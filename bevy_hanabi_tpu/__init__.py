@@ -24,5 +24,22 @@ from .values import (  # noqa: F401
     as_value,
 )
 from .attributes import Attribute, ParticleLayout  # noqa: F401
+from .asset import (  # noqa: F401
+    AlphaMode,
+    EffectAsset,
+    EffectParent,
+    MotionIntegration,
+    SimulationCondition,
+    SimulationSpace,
+)
+from .compiler import SimParams  # noqa: F401
+from .cpu_value import CpuValue  # noqa: F401
+from .gradient import Gradient  # noqa: F401
+from .graph import ExprWriter, Module  # noqa: F401
+from .properties import EffectProperties, Property, PropertyLayout  # noqa: F401
+from .spawn import EffectSpawner, SpawnerBank, SpawnerSettings  # noqa: F401
+from .time import EffectSimulationClock  # noqa: F401
+from . import modifiers  # noqa: F401
+from .modifiers import *  # noqa: F401,F403
 
 __version__ = "0.1.0"

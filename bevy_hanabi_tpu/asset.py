@@ -1,0 +1,266 @@
+"""Effect asset: the serializable description of a particle effect.
+
+TPU-native re-design of ``/root/reference/src/asset.rs``. An
+:class:`EffectAsset` owns the expression :class:`~bevy_hanabi_tpu.graph.Module`
+and three ordered modifier lists (init/update/render), plus simulation
+settings. ``particle_layout()`` derives the attribute set from the modifiers
+(asset.rs:605), which on TPU determines the SoA pool pytree structure and the
+jit signature of the compiled step.
+
+Serialization is JSON (the reference uses RON via bevy reflection,
+asset.rs:674-1000); round-tripping an asset preserves simulation semantics
+bit-for-bit because expression handles are stable arena indices.
+"""
+
+from __future__ import annotations
+
+import enum
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from .attributes import Attribute, ParticleLayout
+from .graph.expr import ExprHandle, Module
+from .modifiers.base import Modifier, ModifierContext, modifier_from_json
+from .modifiers.event import EmitSpawnEventModifier
+from .properties import Property, PropertyLayout
+from .spawn import SpawnerSettings
+
+__all__ = [
+    "EffectAsset",
+    "AlphaMode",
+    "SimulationSpace",
+    "SimulationCondition",
+    "MotionIntegration",
+    "EffectParent",
+]
+
+
+class SimulationSpace(enum.Enum):
+    """Which space particles simulate in (asset.rs ``SimulationSpace``)."""
+
+    GLOBAL = "global"  # emitter transform applied once at spawn
+    LOCAL = "local"  # particles follow the emitter transform every frame
+
+
+class SimulationCondition(enum.Enum):
+    """When the effect simulates (asset.rs:54)."""
+
+    WHEN_VISIBLE = "when_visible"
+    ALWAYS = "always"
+
+
+class MotionIntegration(enum.Enum):
+    """Euler integration of POSITION from VELOCITY (asset.rs:29).
+
+    PRE_UPDATE integrates before update modifiers run, POST_UPDATE after
+    (the default), NONE disables built-in integration.
+    """
+
+    NONE = "none"
+    PRE_UPDATE = "pre_update"
+    POST_UPDATE = "post_update"
+
+
+@dataclass(frozen=True)
+class AlphaMode:
+    """Render blending mode (asset.rs:117-210)."""
+
+    kind: str  # blend | premultiply | add | multiply | mask | opaque
+    mask_cutoff: Optional[ExprHandle] = None  # only for kind == "mask"
+
+    BLEND = None  # filled below
+    PREMULTIPLY = None
+    ADD = None
+    MULTIPLY = None
+    OPAQUE = None
+
+    @staticmethod
+    def mask(cutoff: ExprHandle) -> "AlphaMode":
+        return AlphaMode("mask", cutoff)
+
+    def is_opaque(self) -> bool:
+        return self.kind in ("opaque", "mask")
+
+
+AlphaMode.BLEND = AlphaMode("blend")
+AlphaMode.PREMULTIPLY = AlphaMode("premultiply")
+AlphaMode.ADD = AlphaMode("add")
+AlphaMode.MULTIPLY = AlphaMode("multiply")
+AlphaMode.OPAQUE = AlphaMode("opaque")
+
+
+@dataclass(frozen=True)
+class EffectParent:
+    """Marks an effect instance as the child of another (asset.rs:1156).
+
+    The ``entity`` is a scene-level instance name; children consume the
+    parent's GPU spawn events and may inherit parent attributes.
+    """
+
+    entity: str
+
+
+class EffectAsset:
+    """A complete effect description (asset.rs:272-336 + builder :391-560)."""
+
+    def __init__(
+        self,
+        name: str,
+        capacity: int,
+        spawner: SpawnerSettings,
+        module: Optional[Module] = None,
+    ) -> None:
+        if capacity <= 0:
+            raise ValueError("effect capacity must be positive")
+        self.name = name
+        self.capacity = int(capacity)
+        self.spawner = spawner
+        self.module = module if module is not None else Module()
+        self.init_modifiers: List[Modifier] = []
+        self.update_modifiers: List[Modifier] = []
+        self.render_modifiers: List[Modifier] = []
+        self.simulation_space = SimulationSpace.GLOBAL
+        self.simulation_condition = SimulationCondition.WHEN_VISIBLE
+        self.motion_integration = MotionIntegration.POST_UPDATE
+        self.alpha_mode: AlphaMode = AlphaMode.BLEND
+        self.z_layer_2d: float = 0.0
+        self.prng_seed: Optional[int] = None  # None => re-rolled per instance
+        self.ribbon_group: Optional[int] = None
+
+    # -- builder (asset.rs:391-560) ---------------------------------------
+
+    def init(self, modifier: Modifier) -> "EffectAsset":
+        if not (modifier.context() & ModifierContext.INIT):
+            raise ValueError(f"{type(modifier).__name__} is not an init modifier")
+        self.init_modifiers.append(modifier)
+        return self
+
+    def update(self, modifier: Modifier) -> "EffectAsset":
+        if not (modifier.context() & ModifierContext.UPDATE):
+            raise ValueError(f"{type(modifier).__name__} is not an update modifier")
+        self.update_modifiers.append(modifier)
+        return self
+
+    def render(self, modifier: Modifier) -> "EffectAsset":
+        if not (modifier.context() & ModifierContext.RENDER):
+            raise ValueError(f"{type(modifier).__name__} is not a render modifier")
+        self.render_modifiers.append(modifier)
+        return self
+
+    def with_simulation_space(self, space: SimulationSpace) -> "EffectAsset":
+        self.simulation_space = space
+        return self
+
+    def with_simulation_condition(self, cond: SimulationCondition) -> "EffectAsset":
+        self.simulation_condition = cond
+        return self
+
+    def with_motion_integration(self, mi: MotionIntegration) -> "EffectAsset":
+        self.motion_integration = mi
+        return self
+
+    def with_alpha_mode(self, mode: AlphaMode) -> "EffectAsset":
+        self.alpha_mode = mode
+        return self
+
+    def with_property(self, name: str, default) -> "EffectAsset":
+        self.module.add_property(name, default)
+        return self
+
+    # -- derived -----------------------------------------------------------
+
+    def particle_layout(self) -> ParticleLayout:
+        """Union of all modifier attribute requirements (asset.rs:605)."""
+        attrs: List[Attribute] = []
+        for m in self.init_modifiers + self.update_modifiers + self.render_modifiers:
+            attrs.extend(m.attributes())
+        return ParticleLayout(attrs)
+
+    def property_layout(self) -> PropertyLayout:
+        return PropertyLayout(
+            tuple(Property(n, v) for n, v in self.module.properties().items())
+        )
+
+    def num_event_channels(self) -> int:
+        """Number of child spawn-event channels this effect emits into."""
+        channels = [
+            m.child_index
+            for m in self.update_modifiers
+            if isinstance(m, EmitSpawnEventModifier)
+        ]
+        return (max(channels) + 1) if channels else 0
+
+    def emits_gpu_spawn_events(self) -> bool:
+        return self.num_event_channels() > 0
+
+    def signature(self) -> Tuple:
+        """Hashable compile key ≈ pipeline specialization key."""
+        return (
+            self.name,
+            self.capacity,
+            self.particle_layout().signature(),
+            json.dumps(self.to_json(), sort_keys=True),
+        )
+
+    # -- serde (asset.rs:674-1000; .effect file loader :1072) ---------------
+
+    def to_json(self) -> Dict[str, Any]:
+        return {
+            "name": self.name,
+            "capacity": self.capacity,
+            "spawner": self.spawner.to_json(),
+            "module": self.module.to_json(),
+            "init_modifiers": [m.to_json() for m in self.init_modifiers],
+            "update_modifiers": [m.to_json() for m in self.update_modifiers],
+            "render_modifiers": [m.to_json() for m in self.render_modifiers],
+            "simulation_space": self.simulation_space.value,
+            "simulation_condition": self.simulation_condition.value,
+            "motion_integration": self.motion_integration.value,
+            "alpha_mode": {
+                "kind": self.alpha_mode.kind,
+                "mask_cutoff": self.alpha_mode.mask_cutoff,
+            },
+            "z_layer_2d": self.z_layer_2d,
+            "prng_seed": self.prng_seed,
+            "ribbon_group": self.ribbon_group,
+        }
+
+    @staticmethod
+    def from_json(data: Dict[str, Any]) -> "EffectAsset":
+        asset = EffectAsset(
+            data["name"],
+            data["capacity"],
+            SpawnerSettings.from_json(data["spawner"]),
+            Module.from_json(data["module"]),
+        )
+        asset.init_modifiers = [modifier_from_json(m) for m in data.get("init_modifiers", [])]
+        asset.update_modifiers = [
+            modifier_from_json(m) for m in data.get("update_modifiers", [])
+        ]
+        asset.render_modifiers = [
+            modifier_from_json(m) for m in data.get("render_modifiers", [])
+        ]
+        asset.simulation_space = SimulationSpace(data.get("simulation_space", "global"))
+        asset.simulation_condition = SimulationCondition(
+            data.get("simulation_condition", "when_visible")
+        )
+        asset.motion_integration = MotionIntegration(
+            data.get("motion_integration", "post_update")
+        )
+        am = data.get("alpha_mode", {"kind": "blend"})
+        asset.alpha_mode = AlphaMode(am["kind"], am.get("mask_cutoff"))
+        asset.z_layer_2d = data.get("z_layer_2d", 0.0)
+        asset.prng_seed = data.get("prng_seed")
+        asset.ribbon_group = data.get("ribbon_group")
+        return asset
+
+    def save(self, path: str) -> None:
+        """Write a ``.effect`` JSON file (≈ EffectAssetLoader format)."""
+        with open(path, "w") as f:
+            json.dump(self.to_json(), f, indent=1)
+
+    @staticmethod
+    def load(path: str) -> "EffectAsset":
+        with open(path) as f:
+            return EffectAsset.from_json(json.load(f))

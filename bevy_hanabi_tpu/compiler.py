@@ -204,15 +204,83 @@ class EvalContext:
 
 
 class InitContext(EvalContext):
+    """Init-pass evaluation (reference: ShaderWriter in Init context).
+
+    ``particle`` holds attribute arrays being initialized (starting at their
+    registry defaults); modifiers overwrite them via :meth:`set_attr`.
+    """
+
     context_name = "init"
 
 
 class UpdateContext(EvalContext):
+    """Update-pass evaluation (reference: ShaderWriter in Update context).
+
+    Tracks the alive mask functionally: ``alive`` is reassigned by
+    :meth:`kill`; ``was_alive`` is the mask at pass start (used by
+    ``EventEmitCondition::OnDie``, reference modifier/mod.rs:692).
+    Emitted GPU spawn events accumulate in :attr:`events_out` as
+    ``(channel, mask, count)`` tuples consumed by the runtime.
+    """
+
     context_name = "update"
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        if self.alive is None:
+            raise ValueError("UpdateContext requires an alive mask")
+        self.was_alive = self.alive
+        self.events_out: list = []
+
+    def kill(self, mask: jnp.ndarray) -> None:
+        """Kill particles where ``mask`` is True (reference: is_alive=false)."""
+        self.alive = jnp.logical_and(self.alive, jnp.logical_not(mask))
+
+    def emit_events(self, channel: int, count: jnp.ndarray, condition: str) -> None:
+        if condition == "always":
+            mask = self.alive
+        elif condition == "on_die":
+            mask = jnp.logical_and(self.was_alive, jnp.logical_not(self.alive))
+        else:
+            raise ValueError(f"unknown event emit condition {condition!r}")
+        count = jnp.broadcast_to(jnp.asarray(count, jnp.uint32), mask.shape)
+        self.events_out.append((channel, mask, count))
 
 
 class RenderContext(EvalContext):
+    """Render extraction (reference: RenderContext, modifier/mod.rs:371-556).
+
+    Render modifiers mutate the per-particle render outputs below; the
+    rasterizer consumes them. Defaults mirror the reference's render input
+    defaults (lib.rs:867-951): color from COLOR/HDR_COLOR attribute or
+    white, size from SIZE/SIZE2/SIZE3 or 1, axes from the camera.
+    """
+
     context_name = "render"
+
+    def __init__(self, *args, camera=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.camera = camera
+        n = None
+        for v in self.particle.values():
+            n = v.shape[0]
+            break
+        self._n = n
+        # Mutable render outputs (batched [N, ...]).
+        self.color: Optional[jnp.ndarray] = None  # vec4
+        self.size: Optional[jnp.ndarray] = None  # vec3
+        self.axis_x: Optional[jnp.ndarray] = None
+        self.axis_y: Optional[jnp.ndarray] = None
+        self.axis_z: Optional[jnp.ndarray] = None
+        self.sprite_grid_size: Optional[tuple] = None  # (cols, rows)
+        self.needs_uv: bool = False
+        self.roundness: Optional[jnp.ndarray] = None
+        self.screen_space_size: bool = False
+        self.texture_layers: list = []  # [(slot, ImageSampleMapping)]
+
+    @property
+    def num_particles(self) -> int:
+        return self._n
 
 
 # ---------------------------------------------------------------------------
