@@ -171,10 +171,17 @@ class EffectAsset:
     # -- derived -----------------------------------------------------------
 
     def particle_layout(self) -> ParticleLayout:
-        """Union of all modifier attribute requirements (asset.rs:605)."""
+        """Union of all modifier attribute requirements (asset.rs:605), plus
+        any attribute read directly by an expression in the module (the
+        reference would fail shader compilation on such reads; deriving them
+        into the layout is strictly friendlier)."""
         attrs: List[Attribute] = []
         for m in self.init_modifiers + self.update_modifiers + self.render_modifiers:
             attrs.extend(m.attributes())
+        for i in range(1, len(self.module) + 1):
+            e = self.module.get(i)
+            if e.kind == "attribute":
+                attrs.append(Attribute.from_name(e.name))
         return ParticleLayout(attrs)
 
     def property_layout(self) -> PropertyLayout:

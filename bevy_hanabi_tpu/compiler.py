@@ -23,6 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 
 from .attributes import Attribute
@@ -91,6 +92,22 @@ class SimParams:
             )
             return jnp.float32(v)
         raise KeyError(op)
+
+
+# SimParams is a pytree so jitted steps take it as a runtime argument —
+# time/dt changes never retrace (the reference's GpuSimParams uniform).
+jax.tree_util.register_dataclass(
+    SimParams,
+    data_fields=[
+        "time",
+        "delta_time",
+        "virtual_time",
+        "virtual_delta_time",
+        "real_time",
+        "real_delta_time",
+    ],
+    meta_fields=[],
+)
 
 
 class EvalContext:

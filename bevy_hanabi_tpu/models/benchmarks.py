@@ -1,0 +1,213 @@
+"""The five BASELINE benchmark effects (BASELINE.md / reference examples/).
+
+These re-create the reference examples' authoring code through this
+framework's API — they are *new* effect definitions with the same behavior,
+not translations of the Rust example sources.
+"""
+
+from __future__ import annotations
+
+from .. import attributes as A
+from ..asset import AlphaMode, EffectAsset, SimulationCondition
+from ..gradient import Gradient
+from ..graph import ExprWriter
+from ..modifiers import (
+    AccelModifier,
+    ColorOverLifetimeModifier,
+    ConformToSphereModifier,
+    EmitSpawnEventModifier,
+    EventEmitCondition,
+    InheritAttributeModifier,
+    KillAabbModifier,
+    LinearDragModifier,
+    OrientMode,
+    OrientModifier,
+    SetAttributeModifier,
+    SetPositionSphereModifier,
+    SetVelocitySphereModifier,
+    ShapeDimension,
+    SizeOverLifetimeModifier,
+)
+from ..spawn import SpawnerSettings
+from ..values import VEC3F
+
+__all__ = [
+    "spawn_gravity_effect",
+    "gradient_effect",
+    "force_field_effect",
+    "firework_effect",
+    "instancing_effect",
+]
+
+
+def spawn_gravity_effect(capacity: int = 32768, rate: float = 8192.0) -> EffectAsset:
+    """BASELINE config 1 (examples/spawn.rs): rate spawner + gravity."""
+    w = ExprWriter()
+    w.add_property("gravity", (0.0, -3.0, 0.0))
+    return (
+        EffectAsset("spawn", capacity, SpawnerSettings.rate(rate), w.finish())
+        .init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(4.0).expr()))
+        .init(
+            SetPositionSphereModifier(
+                w.lit((0.0, 0.0, 0.0)).expr(), w.lit(0.5).expr(), ShapeDimension.VOLUME
+            )
+        )
+        .init(
+            SetVelocitySphereModifier(
+                w.lit((0.0, 0.0, 0.0)).expr(), w.lit(2.0).uniform(w.lit(4.0)).expr()
+            )
+        )
+        .update(AccelModifier(w.prop("gravity").expr()))
+    )
+
+
+def gradient_effect(capacity: int = 32768) -> EffectAsset:
+    """BASELINE config 2 (examples/gradient.rs): sphere init + radial velocity
+    + ColorOverLifetime, billboard render."""
+    w = ExprWriter()
+    color = (
+        Gradient()
+        .with_key(0.0, (1.0, 0.0, 0.0, 1.0))
+        .with_key(0.5, (1.0, 1.0, 0.0, 1.0))
+        .with_key(1.0, (0.0, 0.0, 1.0, 0.0))
+    )
+    return (
+        EffectAsset("gradient", capacity, SpawnerSettings.rate(capacity / 5.0), w.finish())
+        .init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(5.0).expr()))
+        .init(
+            SetPositionSphereModifier(
+                w.lit((0.0, 0.0, 0.0)).expr(), w.lit(1.0).expr(), ShapeDimension.SURFACE
+            )
+        )
+        .init(
+            SetVelocitySphereModifier(w.lit((0.0, 0.0, 0.0)).expr(), w.lit(2.0).expr())
+        )
+        .render(OrientModifier(OrientMode.PARALLEL_CAMERA_DEPTH_PLANE))
+        .render(ColorOverLifetimeModifier(color))
+        .render(SizeOverLifetimeModifier(Gradient.linear((0.1,), (0.02,))))
+        .with_alpha_mode(AlphaMode.BLEND)
+    )
+
+
+def force_field_effect(capacity: int = 100_000) -> EffectAsset:
+    """BASELINE config 3 (examples/force_field.rs): conform-to-sphere
+    attractor + kill-AABB, 100k particles."""
+    w = ExprWriter()
+    w.add_property("attractor", (0.0, 1.0, 0.0))
+    return (
+        EffectAsset(
+            "force_field", capacity, SpawnerSettings.rate(capacity / 4.0), w.finish()
+        )
+        .init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(4.0).expr()))
+        .init(
+            SetPositionSphereModifier(
+                w.lit((0.0, -2.0, 0.0)).expr(), w.lit(0.4).expr(), ShapeDimension.VOLUME
+            )
+        )
+        .init(
+            SetVelocitySphereModifier(
+                w.lit((0.0, -2.0, 0.0)).expr(), w.lit(3.0).uniform(w.lit(5.0)).expr()
+            )
+        )
+        .update(
+            ConformToSphereModifier(
+                w.prop("attractor").expr(),
+                w.lit(1.0).expr(),
+                w.lit(10.0).expr(),
+                w.lit(30.0).expr(),
+                w.lit(5.0).expr(),
+            )
+        )
+        .update(LinearDragModifier(w.lit(1.0).expr()))
+        .update(
+            KillAabbModifier(
+                w.lit((0.0, 0.0, 0.0)).expr(), w.lit((8.0, 8.0, 8.0)).expr(), False
+            )
+        )
+    )
+
+
+def firework_effect(capacity: int = 65536) -> EffectAsset:
+    """BASELINE config 4 (examples/firework.rs): rocket burst + HDR colors +
+    size/color gradients + drag; emits OnDie events for a trail child."""
+    w = ExprWriter()
+    color = (
+        Gradient()
+        .with_key(0.0, (4.0, 4.0, 4.0, 1.0))  # HDR white flash
+        .with_key(0.1, (4.0, 2.0, 0.0, 1.0))
+        .with_key(0.7, (2.0, 0.2, 0.0, 1.0))
+        .with_key(1.0, (0.5, 0.0, 0.0, 0.0))
+    )
+    size = Gradient.linear((0.06,), (0.01,))
+    return (
+        EffectAsset("firework", capacity, SpawnerSettings.burst(2048.0, 2.0), w.finish())
+        .init(SetAttributeModifier(A.AGE, w.lit(0.0).uniform(w.lit(0.2)).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(0.8).uniform(w.lit(1.4)).expr()))
+        .init(
+            SetPositionSphereModifier(
+                w.lit((0.0, 3.0, 0.0)).expr(), w.lit(0.25).expr(), ShapeDimension.VOLUME
+            )
+        )
+        .init(
+            SetVelocitySphereModifier(
+                w.lit((0.0, 3.0, 0.0)).expr(), w.lit(5.0).uniform(w.lit(9.0)).expr()
+            )
+        )
+        .update(AccelModifier(w.lit((0.0, -6.0, 0.0)).expr()))
+        .update(LinearDragModifier(w.lit(4.0).expr()))
+        .update(
+            EmitSpawnEventModifier(EventEmitCondition.ON_DIE, w.module.lit(4, None), 0)
+        )
+        .render(OrientModifier(OrientMode.PARALLEL_CAMERA_DEPTH_PLANE))
+        .render(ColorOverLifetimeModifier(color))
+        .render(SizeOverLifetimeModifier(size))
+        .with_alpha_mode(AlphaMode.ADD)
+    )
+
+
+def firework_trail_effect(capacity: int = 262144) -> EffectAsset:
+    """Trail child for :func:`firework_effect` (consumes OnDie events)."""
+    w = ExprWriter()
+    color = Gradient.linear((3.0, 2.0, 1.0, 1.0), (0.0, 0.0, 0.0, 0.0))
+    return (
+        EffectAsset("firework_trail", capacity, SpawnerSettings.once(0.0), w.finish())
+        .init(InheritAttributeModifier(A.POSITION))
+        .init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(0.3).uniform(w.lit(0.6)).expr()))
+        .init(
+            SetVelocitySphereModifier(
+                w.attr(A.POSITION).expr(), w.lit(0.2).uniform(w.lit(0.6)).expr()
+            )
+        )
+        .render(ColorOverLifetimeModifier(color))
+        .render(SizeOverLifetimeModifier(Gradient.linear((0.02,), (0.0,))))
+        .with_alpha_mode(AlphaMode.ADD)
+    )
+
+
+def instancing_effect(capacity: int = 4096) -> EffectAsset:
+    """BASELINE config 5 (examples/instancing.rs): small per-instance effect,
+    stepped as hundreds of instances via InstancedEffect (1M+ total)."""
+    w = ExprWriter()
+    color = Gradient.linear((1.0, 1.0, 1.0, 1.0), (0.2, 0.2, 1.0, 0.0))
+    return (
+        EffectAsset("instancing", capacity, SpawnerSettings.rate(capacity / 3.0), w.finish())
+        .init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(3.0).expr()))
+        .init(
+            SetPositionSphereModifier(
+                w.lit((0.0, 0.0, 0.0)).expr(), w.lit(0.3).expr(), ShapeDimension.VOLUME
+            )
+        )
+        .init(
+            SetVelocitySphereModifier(
+                w.lit((0.0, 0.0, 0.0)).expr(), w.lit(0.5).uniform(w.lit(1.0)).expr()
+            )
+        )
+        .update(AccelModifier(w.lit((0.0, 1.0, 0.0)).expr()))
+        .render(ColorOverLifetimeModifier(color))
+        .with_simulation_condition(SimulationCondition.ALWAYS)
+    )

@@ -1,0 +1,3 @@
+"""Multi-chip scaling via jax.sharding meshes."""
+
+from .mesh import ShardedEffect, make_mesh  # noqa: F401

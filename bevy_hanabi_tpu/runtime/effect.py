@@ -1,0 +1,293 @@
+"""Compiled effect: asset → one fused, jitted simulation step.
+
+This is the TPU replacement for the reference's whole GPU frame
+(``simulate()``, render/mod.rs:6942-7613): where the reference records five
+compute passes (fill-dispatch → init → indirect bookkeeping → prefix-sum →
+update) connected through storage buffers and atomics, here **one jitted
+function** does spawn + init + update + reap + event emission in a single
+fused pass over the pool. XLA fuses the whole thing into a few HBM-bandwidth
+bound loops; counts stay on device (no readback, matching the reference's
+zero-readback design).
+
+Spawn without atomics (vfx_init.wgsl:141-143's dead-list pop):
+  dead lanes are ranked by exclusive cumsum; lanes with rank < S become this
+  frame's spawns; their per-lane PCG seed is ``pcg_hash(rank ^ frame_seed)``
+  exactly like vfx_init.wgsl:154, so trajectories are reproducible.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..asset import EffectAsset, MotionIntegration, SimulationSpace
+from ..attributes import Attribute, ParticleLayout
+from ..compiler import InitContext, SimParams, UpdateContext
+from ..modifiers.base import ModifierContext
+from ..ops import rng
+from .events import EventBuffer, build_event_buffer, consume_events
+from .pool import ParticlePool
+
+__all__ = ["CompiledEffect", "StepInputs", "identity_transform"]
+
+
+def identity_transform() -> jnp.ndarray:
+    """Emitter transform: rows of a 3x4 [R|t] matrix (GpuCompressedTransform
+    analogue, render/mod.rs:291)."""
+    return jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+
+
+class StepInputs(NamedTuple):
+    """Per-frame host→device inputs for one effect instance.
+
+    The only CPU→TPU traffic per frame (reference: GpuSpawnerParams upload,
+    render/mod.rs:2998): a spawn count, a fresh 32-bit seed (the reference
+    re-rolls the spawner PRNG seed each frame, lib.rs:1813-1820), the emitter
+    transform, and property values.
+    """
+
+    spawn_count: Any  # int32[]
+    frame_seed: Any  # uint32[]
+    transform: Any  # f32[3,4]
+    properties: Dict[str, Any]
+
+    @staticmethod
+    def make(spawn_count=0, frame_seed=0, transform=None, properties=None) -> "StepInputs":
+        return StepInputs(
+            jnp.asarray(spawn_count, jnp.int32),
+            jnp.asarray(frame_seed, jnp.uint32),
+            transform if transform is not None else identity_transform(),
+            dict(properties or {}),
+        )
+
+
+class CompiledEffect:
+    """An :class:`EffectAsset` compiled to a jitted step function.
+
+    One XLA executable per asset signature — the analogue of the reference's
+    per-effect pipeline specialization + ShaderCache (lib.rs:1352-1555).
+    """
+
+    def __init__(
+        self,
+        asset: EffectAsset,
+        parent_layout: Optional[ParticleLayout] = None,
+    ) -> None:
+        self.asset = asset
+        self.layout = asset.particle_layout()
+        self.parent_layout = parent_layout
+        self.consumes_events = parent_layout is not None
+        self.num_event_channels = asset.num_event_channels()
+
+        has = self.layout.contains
+        self._has_age = has("age")
+        self._has_lifetime = has("lifetime")
+        self._integrate = (
+            asset.motion_integration is not MotionIntegration.NONE
+            and has("position")
+            and has("velocity")
+        )
+        self._global_space = asset.simulation_space is SimulationSpace.GLOBAL
+
+        # jit once per instance; donate the pool so stepping is in-place in
+        # HBM (no copy of a potentially multi-GB pool).
+        self._jit_step = jax.jit(self._step, donate_argnums=(0,))
+        self._jit_step_chunk = jax.jit(self._step_chunk, donate_argnums=(0,))
+
+    # -- pool ------------------------------------------------------------
+
+    def create_pool(self, capacity: Optional[int] = None, poison: bool = False) -> ParticlePool:
+        return ParticlePool.create(
+            self.layout, capacity or self.asset.capacity, poison=poison
+        )
+
+    # -- public step -------------------------------------------------------
+
+    def step(
+        self,
+        pool: ParticlePool,
+        inputs: StepInputs,
+        sim: SimParams,
+        events_in: Optional[EventBuffer] = None,
+        parent_pool: Optional[ParticlePool] = None,
+    ):
+        """Advance one frame. Returns ``(pool, events_out)`` where
+        ``events_out`` is a dict channel→EventBuffer for child effects."""
+        return self._jit_step(pool, inputs, sim, events_in, parent_pool)
+
+    def step_chunk(self, pool: ParticlePool, inputs_stacked: StepInputs, sims_stacked: SimParams):
+        """Advance K frames in ONE device dispatch via ``lax.scan``.
+
+        ``inputs_stacked``/``sims_stacked`` have a leading [K] axis on every
+        leaf (stack per-frame StepInputs/SimParams). Amortizes host↔device
+        dispatch latency over K frames — the TPU equivalent of the
+        reference's recording many compute passes into one command encoder
+        (render/mod.rs:6942). Only valid for effects without event channels
+        (events need scene-level routing between dispatches).
+        """
+        if self.num_event_channels or self.consumes_events:
+            raise ValueError("step_chunk does not support event-linked effects")
+        return self._jit_step_chunk(pool, inputs_stacked, sims_stacked)
+
+    def _step_chunk(self, pool, inputs_stacked, sims_stacked):
+        def body(p, per_frame):
+            inputs, sim = per_frame
+            new_pool, _ = self._step(p, inputs, sim, None, None)
+            return new_pool, None
+
+        pool, _ = jax.lax.scan(body, pool, (inputs_stacked, sims_stacked))
+        return pool
+
+    @staticmethod
+    def stack_frames(inputs_list, sims_list):
+        """Stack per-frame StepInputs/SimParams into scan-ready pytrees."""
+        inputs = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *inputs_list
+        )
+        sims = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x, jnp.float32) for x in xs]),
+            *sims_list,
+        )
+        return inputs, sims
+
+    # -- traced body ---------------------------------------------------------
+
+    def _step(
+        self,
+        pool: ParticlePool,
+        inputs: StepInputs,
+        sim: SimParams,
+        events_in: Optional[EventBuffer],
+        parent_pool: Optional[ParticlePool],
+    ):
+        n = pool.alive.shape[-1]
+        slot_ids = jnp.arange(n, dtype=jnp.uint32)
+
+        # ---- spawn ranking (replaces dead-list atomics) ----
+        dead = jnp.logical_not(pool.alive)
+        free_rank = jnp.cumsum(dead.astype(jnp.int32)) - 1  # 0-based among dead
+        num_free = jnp.sum(dead, dtype=jnp.int32)
+
+        if self.consumes_events:
+            if events_in is None:
+                raise ValueError(
+                    f"effect {self.asset.name!r} consumes GPU spawn events; "
+                    "pass events_in"
+                )
+            parent_slot, requested = consume_events(events_in, free_rank)
+        else:
+            parent_slot = jnp.zeros((n,), jnp.uint32)
+            requested = inputs.spawn_count
+
+        spawn_total = jnp.minimum(requested, num_free)
+        spawn_mask = jnp.logical_and(dead, free_rank < spawn_total)
+
+        # ---- init pass (vfx_init.wgsl analogue) ----
+        # Per-lane seed: pcg(local_spawn_index ^ frame_seed), vfx_init.wgsl:154.
+        spawn_seed = rng.initial_seed(
+            free_rank.astype(jnp.uint32), inputs.frame_seed
+        )
+
+        defaults: Dict[str, jnp.ndarray] = {}
+        for a in self.layout.storage_attributes():
+            shape = (n,) if a.lanes == 1 else (n, a.lanes)
+            defaults[a.name] = jnp.broadcast_to(
+                jnp.asarray(a.default_numpy()), shape
+            ).astype(a.np_dtype)
+        if "particle_counter" in defaults:
+            defaults["particle_counter"] = pool.counter + free_rank.astype(jnp.uint32)
+
+        parent_particle = None
+        if self.consumes_events and parent_pool is not None:
+            parent_particle = {
+                k: v[parent_slot] for k, v in parent_pool.attrs.items()
+            }
+
+        ictx = InitContext(
+            self.asset.module,
+            defaults,
+            spawn_seed,
+            sim=sim,
+            properties=inputs.properties,
+            parent_particle=parent_particle,
+            particle_index=slot_ids,
+        )
+        for m in self.asset.init_modifiers:
+            m.apply(self.asset.module, ictx)
+
+        # Emitter transform (global sim space): position w=1, velocity w=0
+        # (vfx_init.wgsl:186-188).
+        if self._global_space:
+            rot = inputs.transform[:, :3]
+            tr = inputs.transform[:, 3]
+            if "position" in ictx.particle:
+                ictx.particle["position"] = ictx.particle["position"] @ rot.T + tr
+            if "velocity" in ictx.particle:
+                ictx.particle["velocity"] = ictx.particle["velocity"] @ rot.T
+
+        # Merge spawned lanes into the pool.
+        new_attrs = {}
+        for name, old in pool.attrs.items():
+            new = ictx.particle[name]
+            m = spawn_mask if old.ndim == 1 else spawn_mask[:, None]
+            new_attrs[name] = jnp.where(m, new, old)
+        seed = jnp.where(spawn_mask, ictx.seed, pool.seed)
+        alive = jnp.logical_or(pool.alive, spawn_mask)
+        counter = pool.counter + spawn_total.astype(jnp.uint32)
+
+        # ---- update pass (vfx_update.wgsl analogue) ----
+        uctx = UpdateContext(
+            self.asset.module,
+            new_attrs,
+            seed,
+            sim=sim,
+            properties=inputs.properties,
+            particle_index=slot_ids,
+            alive=alive,
+        )
+        dt = jnp.float32(sim.delta_time)
+        if self._has_age:
+            uctx.particle["age"] = uctx.particle["age"] + dt
+        if self._has_age and self._has_lifetime:
+            uctx.alive = jnp.logical_and(
+                uctx.alive, uctx.particle["age"] < uctx.particle["lifetime"]
+            )
+        if self._integrate and (
+            self.asset.motion_integration is MotionIntegration.PRE_UPDATE
+        ):
+            uctx.particle["position"] = (
+                uctx.particle["position"] + uctx.particle["velocity"] * dt
+            )
+        for m in self.asset.update_modifiers:
+            m.apply(self.asset.module, uctx)
+        if self._integrate and (
+            self.asset.motion_integration is MotionIntegration.POST_UPDATE
+        ):
+            uctx.particle["position"] = (
+                uctx.particle["position"] + uctx.particle["velocity"] * dt
+            )
+
+        # ---- emitted events, aggregated per channel ----
+        events_out: Dict[int, EventBuffer] = {}
+        if self.num_event_channels:
+            per_channel: Dict[int, jnp.ndarray] = {}
+            for channel, mask, count in uctx.events_out:
+                contrib = jnp.where(mask, count, 0).astype(jnp.uint32)
+                per_channel[channel] = per_channel.get(channel, 0) + contrib
+            for channel in range(self.num_event_channels):
+                counts = per_channel.get(channel)
+                if counts is None:
+                    events_out[channel] = EventBuffer.empty(n)
+                else:
+                    events_out[channel] = build_event_buffer(counts > 0, counts)
+
+        new_pool = ParticlePool(
+            attrs=uctx.particle,
+            alive=uctx.alive,
+            seed=uctx.seed,
+            counter=counter,
+        )
+        return new_pool, events_out

@@ -1,0 +1,99 @@
+"""GPU spawn-event buffers: parent→child dataflow without atomics.
+
+The reference appends events into per-child GPU buffers with atomicAdd on a
+ChildInfo counter (event.rs, vfx_common.wgsl:96-105) and the child's init
+pass consumes them next frame via indirect dispatch. Here an event buffer is
+a fixed-capacity pytree built by cumsum-rank compaction inside the parent's
+jitted step; the child's init consumes it with a searchsorted lookup — same
+one-frame latency, zero host involvement.
+
+Capacity = parent pool capacity: each parent particle can emit at most one
+event (with arbitrary ``count``) per channel per frame, so compaction can
+never overflow — the reference instead silently drops on a full buffer
+(lib.rs:984-987).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["EventBuffer", "build_event_buffer", "consume_events"]
+
+
+@jax.tree_util.register_pytree_node_class
+class EventBuffer:
+    """Compacted spawn events for one child channel.
+
+    parent_slot: uint32[cap] — pool slot of the emitting parent particle
+    count:       uint32[cap] — particles to spawn per event (0 past num_events)
+    num_events:  int32[]     — valid prefix length
+    """
+
+    def __init__(self, parent_slot, count, num_events):
+        self.parent_slot = parent_slot
+        self.count = count
+        self.num_events = num_events
+
+    def tree_flatten(self):
+        return (self.parent_slot, self.count, self.num_events), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def capacity(self) -> int:
+        return int(self.parent_slot.shape[-1])
+
+    def total_spawn_count(self):
+        """Device scalar: total child particles requested."""
+        return jnp.sum(self.count, dtype=jnp.int32)
+
+    @staticmethod
+    def empty(capacity: int) -> "EventBuffer":
+        return EventBuffer(
+            jnp.zeros((capacity,), jnp.uint32),
+            jnp.zeros((capacity,), jnp.uint32),
+            jnp.zeros((), jnp.int32),
+        )
+
+
+def build_event_buffer(mask: jnp.ndarray, count: jnp.ndarray) -> EventBuffer:
+    """Compact per-particle (mask, count) into a dense event list.
+
+    Replaces the reference's atomicAdd append (generated
+    ``append_spawn_events_N``, lib.rs:977-994) with a cumsum rank + scatter.
+    """
+    n = mask.shape[-1]
+    active = jnp.logical_and(mask, count > 0)
+    rank = jnp.cumsum(active.astype(jnp.int32)) - 1  # inclusive -> 0-based
+    num_events = jnp.sum(active, dtype=jnp.int32)
+    slot_ids = jnp.arange(n, dtype=jnp.uint32)
+    # Scatter active rows to their rank; inactive rows write to a dump slot
+    # (index n-1 with mode='drop' after clipping via where).
+    dst = jnp.where(active, rank, n)  # n = out of range -> dropped
+    parent_slot = jnp.zeros((n,), jnp.uint32).at[dst].set(slot_ids, mode="drop")
+    counts = jnp.zeros((n,), jnp.uint32).at[dst].set(
+        count.astype(jnp.uint32), mode="drop"
+    )
+    return EventBuffer(parent_slot, counts, num_events)
+
+
+def consume_events(
+    events: EventBuffer, spawn_rank: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Map each child spawn rank to its source event and parent slot.
+
+    ``spawn_rank[i]`` is the i-th lane's 0-based rank among this frame's
+    spawned particles. Returns ``(parent_slot[N], valid_requests int32[])``.
+    Mirrors the child init path of vfx_init.wgsl:123-171 (event lookup by
+    prefix sums) with a vectorized searchsorted.
+    """
+    cum = jnp.cumsum(events.count.astype(jnp.int32))
+    event_idx = jnp.searchsorted(cum, spawn_rank, side="right")
+    event_idx = jnp.clip(event_idx, 0, events.capacity - 1)
+    parent_slot = events.parent_slot[event_idx]
+    return parent_slot, events.total_spawn_count()

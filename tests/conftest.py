@@ -8,7 +8,9 @@ contract tests (reference: src/render/headless_batching_tests.rs).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment pre-sets JAX_PLATFORMS=axon (the real
+# TPU tunnel), which would funnel every unit-test op through the tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin (registered by a sitecustomize hook) overrides the
+# JAX_PLATFORMS env var; the config update is authoritative.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.default_backend() == "cpu", "unit tests must not run over the TPU tunnel"
