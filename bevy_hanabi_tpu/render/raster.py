@@ -1,0 +1,270 @@
+"""Tile-binned particle splat rasterizer (pure XLA).
+
+The reference gets rasterization for free from the GPU graphics pipeline
+(vfx_render.wgsl + ROP blending). TPUs have no ROP hardware, no atomics and
+no warp scatter, so this renderer is built the way TPU splatting renderers
+are: **bin → sort → bounded per-tile blend**, all with static shapes:
+
+1. project particle quads to screen; compute conservative pixel bboxes;
+2. replicate each particle into the (bounded) set of tiles its bbox touches;
+3. one ``lax.sort`` orders all (tile, depth) entries back-to-front per tile —
+   this also replaces the reference's per-view transparent-phase sorting;
+4. a bounded ``fori_loop`` blends up to ``max_entries_per_tile`` entries into
+   每 tile's [T, T, 4] block held in registers/VMEM (carry of a scan), which
+   XLA fuses into one pass per entry step.
+
+Alpha modes follow the reference's blend-state mapping (asset.rs:212-240):
+blend/premultiply/add/multiply are order-dependent (hence the depth sort);
+opaque/mask use last-write-wins which the back-to-front order makes a depth
+test.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .camera import CameraParams
+from .extract import ParticleDrawData
+
+__all__ = ["RasterConfig", "rasterize"]
+
+
+@dataclass(frozen=True)
+class RasterConfig:
+    """Static rasterizer configuration (part of the jit signature)."""
+
+    width: int = 512
+    height: int = 512
+    tile_size: int = 16
+    # Each particle is binned into at most tile_span^2 tiles; splats larger
+    # than tile_span*tile_size pixels are cropped (raise tile_span for big
+    # quads, at linear memory cost in bin entries).
+    tile_span: int = 2
+    # Blend budget per tile: entries beyond this (back-to-front) are dropped.
+    max_entries_per_tile: int = 64
+    background: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+
+    @property
+    def tiles_x(self) -> int:
+        return -(-self.width // self.tile_size)
+
+    @property
+    def tiles_y(self) -> int:
+        return -(-self.height // self.tile_size)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+
+def _project(camera: CameraParams, p: jnp.ndarray):
+    """World [N,3] -> (screen_xy [N,2] px, view_dist [N], ndc_z [N]).
+
+    ``view_dist`` is the distance along the camera forward axis (-view z):
+    a valid painter's-order depth for both perspective and orthographic
+    projections (clip w degenerates to 1 under ortho).
+    """
+    n = p.shape[0]
+    hom = jnp.concatenate([p, jnp.ones((n, 1), p.dtype)], axis=1)
+    view = (camera.view @ hom.T).T
+    clip = (camera.proj @ view.T).T
+    w = clip[:, 3]
+    safe_w = jnp.where(jnp.abs(w) < 1e-6, 1e-6, w)
+    ndc = clip[:, :3] / safe_w[:, None]
+    width, height = camera.viewport
+    x = (ndc[:, 0] * 0.5 + 0.5) * width
+    y = (1.0 - (ndc[:, 1] * 0.5 + 0.5)) * height
+    return jnp.stack([x, y], axis=1), -view[:, 2], ndc[:, 2]
+
+
+def rasterize(
+    draw: ParticleDrawData,
+    camera: CameraParams,
+    config: RasterConfig,
+    alpha_mode: str = "blend",
+    textures: Sequence[Any] = (),
+    alpha_cutoff: Any = 0.5,
+) -> jnp.ndarray:
+    """Render particles to a [height, width, 4] float32 image."""
+    n = draw.position.shape[0]
+    T = config.tile_size
+    span = config.tile_span
+    ntx, nty, nt = config.tiles_x, config.tiles_y, config.num_tiles
+
+    # ---- 1. project centers and half-axes ----
+    center, w, _ = _project(camera, draw.position)
+    c_x1, _, _ = _project(camera, draw.position + 0.5 * draw.axis_x)
+    c_y1, _, _ = _project(camera, draw.position + 0.5 * draw.axis_y)
+    h1 = c_x1 - center  # screen half-extent along particle x axis
+    h2 = c_y1 - center
+    depth = w  # view distance for perspective; affine for ortho
+
+    valid = jnp.logical_and(draw.alive, w > 1e-4)
+    rx = jnp.abs(h1[:, 0]) + jnp.abs(h2[:, 0])
+    ry = jnp.abs(h1[:, 1]) + jnp.abs(h2[:, 1])
+    valid &= (center[:, 0] + rx > 0) & (center[:, 0] - rx < config.width)
+    valid &= (center[:, 1] + ry > 0) & (center[:, 1] - ry < config.height)
+    valid &= (rx > 1e-6) & (ry > 1e-6)
+
+    # ---- 2. bin into tiles (bounded replication) ----
+    tx0 = jnp.floor((center[:, 0] - rx) / T).astype(jnp.int32)
+    ty0 = jnp.floor((center[:, 1] - ry) / T).astype(jnp.int32)
+    tx1 = jnp.floor((center[:, 0] + rx) / T).astype(jnp.int32)
+    ty1 = jnp.floor((center[:, 1] + ry) / T).astype(jnp.int32)
+
+    entry_tile = []
+    entry_pidx = []
+    entry_depth = []
+    pidx = jnp.arange(n, dtype=jnp.int32)
+    for dy in range(span):
+        for dx in range(span):
+            tx = tx0 + dx
+            ty = ty0 + dy
+            ok = valid & (tx <= tx1) & (ty <= ty1)
+            ok &= (tx >= 0) & (tx < ntx) & (ty >= 0) & (ty < nty)
+            tile = jnp.where(ok, ty * ntx + tx, nt)  # nt = sentinel bin
+            entry_tile.append(tile)
+            entry_pidx.append(pidx)
+            entry_depth.append(jnp.where(ok, depth, -jnp.inf))
+    tile_ids = jnp.concatenate(entry_tile)
+    pidxs = jnp.concatenate(entry_pidx)
+    depths = jnp.concatenate(entry_depth)
+
+    # ---- 3. sort by (tile asc, depth desc) => back-to-front per tile ----
+    tile_sorted, negdepth_sorted, pidx_sorted = jax.lax.sort(
+        (tile_ids, -depths, pidxs), num_keys=2
+    )
+    starts = jnp.searchsorted(tile_sorted, jnp.arange(nt, dtype=tile_sorted.dtype))
+    ends = jnp.searchsorted(
+        tile_sorted, jnp.arange(1, nt + 1, dtype=tile_sorted.dtype)
+    )
+    num_entries = tile_ids.shape[0]
+
+    # ---- 4. bounded per-tile blend ----
+    tile_row = jnp.arange(nt, dtype=jnp.int32) // ntx
+    tile_col = jnp.arange(nt, dtype=jnp.int32) % ntx
+    py = (
+        tile_row[:, None, None] * T
+        + jnp.arange(T, dtype=jnp.int32)[None, :, None]
+    ).astype(jnp.float32) + 0.5
+    px = (
+        tile_col[:, None, None] * T
+        + jnp.arange(T, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.float32) + 0.5
+
+    bg = jnp.asarray(config.background, jnp.float32)
+    fb0 = jnp.broadcast_to(bg, (nt, T, T, 4)).astype(jnp.float32)
+
+    grid_cols, grid_rows = draw.sprite_grid_size
+
+    def sample_texture(tex, u, v):
+        th, tw = tex.shape[0], tex.shape[1]
+        uu = u * tw - 0.5
+        vv = v * th - 0.5
+        u0 = jnp.floor(uu)
+        v0 = jnp.floor(vv)
+        fu = (uu - u0)[..., None]
+        fv = (vv - v0)[..., None]
+        u0i = jnp.mod(u0.astype(jnp.int32), tw)
+        v0i = jnp.mod(v0.astype(jnp.int32), th)
+        u1i = jnp.mod(u0i + 1, tw)
+        v1i = jnp.mod(v0i + 1, th)
+        t00 = tex[v0i, u0i]
+        t01 = tex[v0i, u1i]
+        t10 = tex[v1i, u0i]
+        t11 = tex[v1i, u1i]
+        top = t00 + (t01 - t00) * fu
+        bot = t10 + (t11 - t10) * fu
+        return top + (bot - top) * fv
+
+    def body(m, fb):
+        idx = starts + m
+        has = idx < ends
+        idx = jnp.minimum(idx, num_entries - 1)
+        p = pidx_sorted[idx]  # [nt]
+        has &= tile_sorted[idx] < nt
+
+        c = center[p]  # [nt,2]
+        a1 = h1[p]
+        a2 = h2[p]
+        col = draw.color[p]  # [nt,4]
+        rnd = draw.roundness[p]
+        dx = px - c[:, 0][:, None, None]  # [nt,T,T]
+        dy = py - c[:, 1][:, None, None]
+        det = a1[:, 0] * a2[:, 1] - a1[:, 1] * a2[:, 0]
+        det = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)[:, None, None]
+        u = (a2[:, 1][:, None, None] * dx - a2[:, 0][:, None, None] * dy) / det
+        v = (-a1[:, 1][:, None, None] * dx + a1[:, 0][:, None, None] * dy) / det
+        inside = (jnp.abs(u) <= 1.0) & (jnp.abs(v) <= 1.0)
+        inside &= has[:, None, None]
+        u01 = u * 0.5 + 0.5
+        v01 = v * 0.5 + 0.5
+
+        # squircle rounding (output.rs:899-918): discard where
+        # |1-2u|^nexp + |1-2v|^nexp > 1
+        nexp = (2.0 / jnp.maximum(rnd, 1e-6))[:, None, None]
+        squircle = jnp.power(jnp.abs(1.0 - 2.0 * u01), nexp) + jnp.power(
+            jnp.abs(1.0 - 2.0 * v01), nexp
+        )
+        inside &= (rnd[:, None, None] <= 0.0) | (squircle <= 1.0)
+
+        src = jnp.broadcast_to(col[:, None, None, :], (nt, T, T, 4))
+        if draw.texture_layers:
+            # flipbook cell mapping (FlipbookModifier)
+            if (grid_cols, grid_rows) != (1, 1):
+                sprite = draw.sprite_index[p].astype(jnp.float32)
+                cell_c = jnp.mod(sprite, grid_cols)[:, None, None]
+                cell_r = jnp.floor_divide(sprite, grid_cols)[:, None, None]
+                tu = (u01 + cell_c) / grid_cols
+                tv = (v01 + cell_r) / grid_rows
+            else:
+                tu, tv = u01, v01
+            for slot, mapping in draw.texture_layers:
+                tex = textures[slot]
+                texel = sample_texture(tex, tu, tv)
+                mode = getattr(mapping, "value", mapping)
+                if mode == "modulate":
+                    src = src * texel
+                elif mode == "modulate_rgb":
+                    src = src.at[..., :3].multiply(texel[..., :3])
+                else:  # modulate_opacity_from_r
+                    src = src.at[..., 3].multiply(texel[..., 0])
+
+        a = jnp.where(inside, src[..., 3], 0.0)[..., None]
+        rgb_s = src[..., :3]
+        rgb_d = fb[..., :3]
+        a_d = fb[..., 3:4]
+
+        if alpha_mode == "blend":
+            rgb = rgb_s * a + rgb_d * (1.0 - a)
+            alpha = a + a_d * (1.0 - a)
+        elif alpha_mode == "premultiply":
+            rgb = jnp.where(inside[..., None], rgb_s, 0.0) + rgb_d * (1.0 - a)
+            alpha = a + a_d * (1.0 - a)
+        elif alpha_mode == "add":
+            rgb = rgb_s * a + rgb_d
+            alpha = jnp.minimum(a + a_d, 1.0)
+        elif alpha_mode == "multiply":
+            rgb = rgb_s * rgb_d * a + rgb_d * (1.0 - a)
+            alpha = a_d
+        elif alpha_mode in ("opaque", "mask"):
+            write = inside
+            if alpha_mode == "mask":
+                write &= src[..., 3] >= alpha_cutoff
+            wr = write[..., None]
+            rgb = jnp.where(wr, rgb_s, rgb_d)
+            alpha = jnp.where(wr, 1.0, a_d)
+        else:
+            raise ValueError(f"unknown alpha mode {alpha_mode!r}")
+        return jnp.concatenate([rgb, alpha], axis=-1)
+
+    fb = jax.lax.fori_loop(0, config.max_entries_per_tile, body, fb0)
+
+    # ---- 5. untile to the image ----
+    img = fb.reshape(nty, ntx, T, T, 4).transpose(0, 2, 1, 3, 4)
+    img = img.reshape(nty * T, ntx * T, 4)
+    return img[: config.height, : config.width]

@@ -1,0 +1,114 @@
+"""High-level renderer: pool → image, one jitted function per effect/view.
+
+Equivalent of the reference's DrawEffects draw function + render phases
+(render/mod.rs:6607-6846): effects render back-to-front into a shared
+float framebuffer; HDR colors pass through linearly (tonemap separately).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..asset import EffectAsset, SimulationSpace
+from ..compiler import SimParams
+from ..runtime.pool import ParticlePool
+from .camera import CameraParams
+from .extract import extract_draw_data
+from .raster import RasterConfig, rasterize
+
+__all__ = ["EffectRenderer"]
+
+
+class EffectRenderer:
+    """Renders one effect's pool with its render modifiers applied."""
+
+    def __init__(
+        self,
+        asset: EffectAsset,
+        config: RasterConfig,
+        textures: Sequence[Any] = (),
+    ) -> None:
+        self.asset = asset
+        self.config = config
+        self.textures = tuple(jnp.asarray(t, jnp.float32) for t in textures)
+        mode = asset.alpha_mode.kind
+        self._alpha_mode = mode
+        self._mask_cutoff_handle = asset.alpha_mode.mask_cutoff
+        self._jit_render = jax.jit(self._render)
+
+    def render(
+        self,
+        pool: ParticlePool,
+        camera: CameraParams,
+        sim: SimParams = None,
+        properties: Optional[Dict[str, Any]] = None,
+        transform: Optional[Any] = None,
+        framebuffer: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Rasterize the pool; optionally composite over ``framebuffer``."""
+        return self._jit_render(
+            pool,
+            camera,
+            sim if sim is not None else SimParams(),
+            properties or {},
+            transform,
+            framebuffer,
+        )
+
+    def _render(self, pool, camera, sim, properties, transform, framebuffer):
+        draw = extract_draw_data(
+            self.asset,
+            pool,
+            camera,
+            sim=sim,
+            properties=properties,
+            textures=list(self.textures),
+            transform=transform,
+        )
+        cutoff = 0.5
+        if self._mask_cutoff_handle is not None:
+            from ..compiler import EvalContext
+
+            ctx = EvalContext(
+                self.asset.module,
+                dict(pool.attrs),
+                pool.seed,
+                sim=sim,
+                properties=properties,
+            )
+            cutoff = jnp.mean(ctx.eval(self._mask_cutoff_handle))
+        config = self.config
+        if framebuffer is not None:
+            # Composite: render with transparent background, then "over".
+            config = RasterConfig(
+                width=config.width,
+                height=config.height,
+                tile_size=config.tile_size,
+                tile_span=config.tile_span,
+                max_entries_per_tile=config.max_entries_per_tile,
+                background=(0.0, 0.0, 0.0, 0.0),
+            )
+        img = rasterize(
+            draw,
+            camera,
+            config,
+            alpha_mode=self._alpha_mode,
+            textures=list(self.textures),
+            alpha_cutoff=cutoff,
+        )
+        if framebuffer is not None:
+            a = img[..., 3:4]
+            rgb = img[..., :3] + framebuffer[..., :3] * (1.0 - a)
+            alpha = a + framebuffer[..., 3:4] * (1.0 - a)
+            img = jnp.concatenate([rgb, alpha], axis=-1)
+        return img
+
+
+def tonemap_reinhard(img: jnp.ndarray) -> jnp.ndarray:
+    """Simple HDR→LDR tonemap for writing images to disk."""
+    rgb = img[..., :3]
+    return jnp.concatenate([rgb / (1.0 + rgb), img[..., 3:4]], axis=-1)

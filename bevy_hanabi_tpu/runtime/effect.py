@@ -186,9 +186,13 @@ class CompiledEffect:
         spawn_mask = jnp.logical_and(dead, free_rank < spawn_total)
 
         # ---- init pass (vfx_init.wgsl analogue) ----
-        # Per-lane seed: pcg(local_spawn_index ^ frame_seed), vfx_init.wgsl:154.
+        # Per-lane seed: pcg(local_spawn_index ^ hash(frame_seed)). The
+        # reference uses pcg(index ^ spawner.seed) with a spawner seed
+        # re-rolled randomly each frame (vfx_init.wgsl:154, lib.rs:1813-1820);
+        # hashing here keeps draws decorrelated even when callers pass frame
+        # counters as seeds (rank ^ counter collides constantly otherwise).
         spawn_seed = rng.initial_seed(
-            free_rank.astype(jnp.uint32), inputs.frame_seed
+            free_rank.astype(jnp.uint32), rng.pcg_hash(inputs.frame_seed)
         )
 
         defaults: Dict[str, jnp.ndarray] = {}

@@ -1,0 +1,243 @@
+"""Rasterizer and extraction contract tests.
+
+Uses a 64x64 orthographic view of [-1,1]^2 so pixel math is exact:
+world dx of 1 unit = 32 px. Mirrors the reference's GPU-contract-test idea
+(render/shader_contract_tests.rs) with value readbacks instead of wgpu.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bevy_hanabi_tpu import attributes as A
+from bevy_hanabi_tpu.asset import AlphaMode, EffectAsset
+from bevy_hanabi_tpu.compiler import SimParams
+from bevy_hanabi_tpu.gradient import Gradient
+from bevy_hanabi_tpu.graph import ExprWriter
+from bevy_hanabi_tpu.modifiers import (
+    ColorOverLifetimeModifier,
+    FlipbookModifier,
+    OrientMode,
+    OrientModifier,
+    ParticleTextureModifier,
+    RoundModifier,
+    SetAttributeModifier,
+    SetSizeModifier,
+    SizeOverLifetimeModifier,
+)
+from bevy_hanabi_tpu.render import (
+    CameraParams,
+    ParticleDrawData,
+    RasterConfig,
+    extract_draw_data,
+    look_at,
+    orthographic,
+    rasterize,
+)
+from bevy_hanabi_tpu.render.renderer import EffectRenderer
+from bevy_hanabi_tpu.runtime import CompiledEffect, StepInputs
+from bevy_hanabi_tpu.spawn import SpawnerSettings
+from bevy_hanabi_tpu.values import UINT
+
+W = H = 64
+
+
+def ortho_camera():
+    return CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(W, H),
+    )
+
+
+def quad_draw(positions, colors, size=0.5, roundness=0.0, **kw):
+    n = len(positions)
+    return ParticleDrawData(
+        position=jnp.asarray(positions, jnp.float32),
+        axis_x=jnp.broadcast_to(jnp.asarray([size, 0.0, 0.0]), (n, 3)),
+        axis_y=jnp.broadcast_to(jnp.asarray([0.0, size, 0.0]), (n, 3)),
+        color=jnp.asarray(colors, jnp.float32),
+        alive=kw.pop("alive", jnp.ones((n,), jnp.bool_)),
+        roundness=jnp.full((n,), roundness, jnp.float32),
+        sprite_index=jnp.zeros((n,), jnp.int32),
+        sprite_grid_size=kw.pop("sprite_grid_size", (1, 1)),
+        texture_layers=kw.pop("texture_layers", ()),
+        needs_uv=False,
+        **kw,
+    )
+
+
+CFG = RasterConfig(width=W, height=H, tile_size=16, tile_span=2, max_entries_per_tile=16)
+
+
+def test_single_quad_coverage():
+    # size 0.5 world units = 16 px wide quad centered at the image center
+    draw = quad_draw([[0.0, 0.0, 0.0]], [[1.0, 0.0, 0.0, 1.0]])
+    img = np.asarray(rasterize(draw, ortho_camera(), CFG, "blend"))
+    assert img.shape == (H, W, 4)
+    np.testing.assert_allclose(img[32, 32], [1, 0, 0, 1], atol=1e-6)  # center
+    np.testing.assert_allclose(img[32, 32 - 7], [1, 0, 0, 1], atol=1e-6)  # inside
+    np.testing.assert_allclose(img[32, 32 - 9], [0, 0, 0, 0], atol=1e-6)  # outside
+    np.testing.assert_allclose(img[32 - 9, 32], [0, 0, 0, 0], atol=1e-6)
+
+
+def test_offcenter_quad_and_y_flip():
+    # world +y is up => smaller row index
+    draw = quad_draw([[0.5, 0.5, 0.0]], [[0.0, 1.0, 0.0, 1.0]], size=0.25)
+    img = np.asarray(rasterize(draw, ortho_camera(), CFG, "blend"))
+    # (0.5, 0.5) world -> px (48, 16)
+    np.testing.assert_allclose(img[16, 48], [0, 1, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(img[48, 16], [0, 0, 0, 0], atol=1e-6)
+
+
+def test_additive_blend_accumulates():
+    draw = quad_draw(
+        [[0.0, 0.0, 0.0], [0.0, 0.0, 0.5]],
+        [[0.25, 0.0, 0.0, 1.0], [0.25, 0.0, 0.0, 1.0]],
+    )
+    img = np.asarray(rasterize(draw, ortho_camera(), CFG, "add"))
+    np.testing.assert_allclose(img[32, 32, 0], 0.5, atol=1e-6)
+
+
+def test_alpha_blend_depth_order_independent_of_input_order():
+    # red at z=0.5 (nearer to camera at z=5), blue at z=-0.5 (farther)
+    for order in [(0, 1), (1, 0)]:
+        pos = [[0.0, 0.0, 0.5], [0.0, 0.0, -0.5]]
+        col = [[1.0, 0.0, 0.0, 0.5], [0.0, 0.0, 1.0, 1.0]]
+        pos = [pos[i] for i in order]
+        col = [col[i] for i in order]
+        draw = quad_draw(pos, col)
+        img = np.asarray(rasterize(draw, ortho_camera(), CFG, "blend"))
+        # back-to-front: blue then red@0.5 => rgb = (0.5, 0, 0.5)
+        np.testing.assert_allclose(img[32, 32, :3], [0.5, 0, 0.5], atol=1e-5)
+
+
+def test_opaque_nearest_wins():
+    pos = [[0.0, 0.0, -0.5], [0.0, 0.0, 0.5]]
+    col = [[0.0, 0.0, 1.0, 1.0], [1.0, 0.0, 0.0, 1.0]]
+    draw = quad_draw(pos, col)
+    img = np.asarray(rasterize(draw, ortho_camera(), CFG, "opaque"))
+    np.testing.assert_allclose(img[32, 32], [1, 0, 0, 1], atol=1e-6)  # red nearer
+
+
+def test_mask_discards_below_cutoff():
+    draw = quad_draw([[0.0, 0.0, 0.0]], [[1.0, 1.0, 1.0, 0.3]])
+    img = np.asarray(rasterize(draw, ortho_camera(), CFG, "mask", alpha_cutoff=0.5))
+    np.testing.assert_allclose(img[32, 32], [0, 0, 0, 0], atol=1e-6)
+    img2 = np.asarray(rasterize(draw, ortho_camera(), CFG, "mask", alpha_cutoff=0.2))
+    np.testing.assert_allclose(img2[32, 32, :3], [1, 1, 1], atol=1e-6)
+
+
+def test_roundness_cuts_corners():
+    draw = quad_draw([[0.0, 0.0, 0.0]], [[1.0, 0.0, 0.0, 1.0]], size=0.9, roundness=1.0)
+    img = np.asarray(rasterize(draw, ortho_camera(), CFG, "blend"))
+    assert img[32, 32, 0] == 1.0  # center filled
+    # corner of the bounding quad (~(0.4, 0.4) world) should be cut by the ellipse
+    assert img[32 - 13, 32 + 13, 0] == 0.0
+    # edge midpoints still filled
+    assert img[32, 32 + 13, 0] == 1.0
+
+
+def test_tile_spanning_seamless():
+    # quad centered exactly on a tile boundary (px 16) spans two tiles
+    draw = quad_draw([[-0.5, 0.0, 0.0]], [[0.0, 1.0, 1.0, 1.0]], size=0.4)
+    img = np.asarray(rasterize(draw, ortho_camera(), CFG, "blend"))
+    xs = np.flatnonzero(img[32, :, 1] > 0.5)
+    assert len(xs) > 0
+    assert np.all(np.diff(xs) == 1), "coverage must be contiguous across tiles"
+
+
+def test_dead_particles_not_drawn():
+    draw = quad_draw(
+        [[0.0, 0.0, 0.0]], [[1.0, 0.0, 0.0, 1.0]], alive=jnp.zeros((1,), jnp.bool_)
+    )
+    img = np.asarray(rasterize(draw, ortho_camera(), CFG, "blend"))
+    assert img.max() == 0.0
+
+
+def test_texture_modulate_and_flipbook():
+    # 1x2 texture: left texel red, right texel green (width 2)
+    tex = jnp.asarray(
+        [[[1.0, 0.0, 0.0, 1.0], [0.0, 1.0, 0.0, 1.0]]], jnp.float32
+    )  # [1,2,4]
+    from bevy_hanabi_tpu.modifiers import ImageSampleMapping
+
+    draw = quad_draw(
+        [[0.0, 0.0, 0.0]],
+        [[1.0, 1.0, 1.0, 1.0]],
+        size=0.5,
+        texture_layers=((0, ImageSampleMapping.MODULATE),),
+    )
+    img = np.asarray(rasterize(draw, ortho_camera(), CFG, "blend", textures=[tex]))
+    # left half of the quad ~red, right half ~green
+    assert img[32, 32 - 5, 0] > 0.6 and img[32, 32 - 5, 1] < 0.4
+    assert img[32, 32 + 5, 1] > 0.6 and img[32, 32 + 5, 0] < 0.4
+
+
+def test_end_to_end_effect_render():
+    """BASELINE config 2 shape: sim + extract + raster via EffectRenderer."""
+    w = ExprWriter()
+    color = Gradient.linear((0.0, 1.0, 0.0, 1.0), (0.0, 0.0, 1.0, 1.0))
+    asset = (
+        EffectAsset("fx", 256, SpawnerSettings.once(64.0), w.finish())
+        .init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(10.0).expr()))
+        .init(SetAttributeModifier(A.POSITION, w.lit((0.0, 0.0, 0.0)).expr()))
+        .render(OrientModifier(OrientMode.PARALLEL_CAMERA_DEPTH_PLANE))
+        .render(ColorOverLifetimeModifier(color))
+        .render(SizeOverLifetimeModifier(Gradient.constant((0.3,))))
+    )
+    fx = CompiledEffect(asset)
+    pool = fx.create_pool()
+    pool, _ = fx.step(pool, StepInputs.make(64, 0), SimParams(delta_time=1 / 60))
+    renderer = EffectRenderer(asset, CFG)
+    img = np.asarray(renderer.render(pool, ortho_camera(), SimParams()))
+    # all particles at origin, age/lifetime ~ 0 => green
+    assert img[32, 32, 1] > 0.9
+    assert img[32, 32, 2] < 0.1
+    assert img[0, 0, 3] == 0.0  # background untouched
+
+
+def test_extract_defaults_color_unpack_and_size():
+    w = ExprWriter()
+    asset = (
+        EffectAsset("d", 8, SpawnerSettings.once(1.0), w.finish())
+        .init(SetAttributeModifier(A.POSITION, w.lit((0.0, 0.0, 0.0)).expr()))
+        .init(SetAttributeModifier(A.COLOR, w.lit(0xFF0080FF, UINT).expr()))  # packed
+        .init(SetAttributeModifier(A.SIZE, w.lit(2.0).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(9.0).expr()))
+    )
+    fx = CompiledEffect(asset)
+    pool = fx.create_pool()
+    pool, _ = fx.step(pool, StepInputs.make(1, 0), SimParams(delta_time=1 / 60))
+    draw = extract_draw_data(asset, pool, ortho_camera())
+    i = int(np.flatnonzero(np.asarray(pool.alive))[0])
+    # packed u32 0xFF0080FF -> r=0xFF, g=0x80, b=0x00, a=0xFF (little-endian bytes)
+    np.testing.assert_allclose(
+        np.asarray(draw.color)[i], [1.0, 128 / 255, 0.0, 1.0], atol=1e-6
+    )
+    # SIZE=2 scales the default camera-facing axes
+    np.testing.assert_allclose(np.asarray(draw.axis_x)[i], [2, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(draw.axis_y)[i], [0, 2, 0], atol=1e-5)
+
+
+def test_renderer_composite_over_framebuffer():
+    draw_asset_w = ExprWriter()
+    asset = (
+        EffectAsset("c", 8, SpawnerSettings.once(1.0), draw_asset_w.finish())
+        .init(
+            SetAttributeModifier(A.POSITION, draw_asset_w.lit((0.0, 0.0, 0.0)).expr())
+        )
+        .init(SetAttributeModifier(A.LIFETIME, draw_asset_w.lit(9.0).expr()))
+        .render(SetSizeModifier((0.25, 0.25, 0.25)))
+    )
+    fx = CompiledEffect(asset)
+    pool = fx.create_pool()
+    pool, _ = fx.step(pool, StepInputs.make(1, 0), SimParams(delta_time=1 / 60))
+    renderer = EffectRenderer(asset, CFG)
+    base = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.2, 1.0]), (H, W, 4))
+    img = np.asarray(
+        renderer.render(pool, ortho_camera(), SimParams(), framebuffer=base)
+    )
+    np.testing.assert_allclose(img[32, 32, :3], [1, 1, 1], atol=1e-5)  # particle
+    np.testing.assert_allclose(img[0, 0], [0, 0, 0.2, 1.0], atol=1e-6)  # base kept
