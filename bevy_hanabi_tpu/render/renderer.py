@@ -69,6 +69,10 @@ class EffectRenderer:
             textures=list(self.textures),
             transform=transform,
         )
+        if self.asset.particle_layout().contains("ribbon_id"):
+            from .ribbon import build_ribbon_segments
+
+            draw = build_ribbon_segments(draw, camera)
         cutoff = 0.5
         if self._mask_cutoff_handle is not None:
             from ..compiler import EvalContext

@@ -1,0 +1,89 @@
+"""Ribbon/trail rendering: sorted segment quads.
+
+The reference renders ribbons by sorting alive particles by
+``(RIBBON_ID, AGE)`` on the GPU — with a single-threaded insertion sort it
+itself calls a TODO (vfx_sort.wgsl:33-39) — and drawing a quad between each
+particle and its predecessor (vfx_render.wgsl:239-282), discarding the first
+instance of each ribbon and cross-ribbon segments.
+
+Here the sort is one ``jax.lax.sort`` over (ribbon_id, age) — massively
+parallel where the reference is serial — and each segment becomes a regular
+particle quad (center = midpoint, axis_x = the segment delta, axis_y = the
+camera-facing side vector), so the tile rasterizer needs no ribbon-specific
+path at all.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .camera import CameraParams
+from .extract import ParticleDrawData
+
+__all__ = ["build_ribbon_segments"]
+
+
+def build_ribbon_segments(
+    draw: ParticleDrawData, camera: CameraParams
+) -> ParticleDrawData:
+    """Convert per-particle draw data into per-segment quad draw data.
+
+    Requires ``draw.ribbon_id`` and ``draw.age``. Output has the same array
+    length; invalid segments (ribbon heads, cross-ribbon pairs, dead lanes)
+    have ``alive=False``.
+    """
+    if draw.ribbon_id is None or draw.age is None:
+        raise ValueError("ribbon rendering requires RIBBON_ID and AGE attributes")
+    n = draw.position.shape[0]
+
+    # Sort alive particles by (ribbon_id, age desc): a ribbon runs from the
+    # oldest particle (tail) to the newest (head). Dead lanes sort last.
+    big = jnp.uint32(0xFFFFFFFF)
+    rid = jnp.where(draw.alive, draw.ribbon_id.astype(jnp.uint32), big)
+    age_key = jnp.where(draw.alive, -draw.age, jnp.inf)
+    _, _, order = jax.lax.sort(
+        (rid, age_key, jnp.arange(n, dtype=jnp.int32)), num_keys=2
+    )
+
+    pos = draw.position[order]
+    alive = draw.alive[order]
+    rid_sorted = rid[order]
+
+    prev = jnp.roll(order, 1)
+    pos_prev = draw.position[prev]
+    alive_prev = jnp.roll(alive, 1)
+    rid_prev = jnp.roll(rid_sorted, 1)
+
+    same_ribbon = rid_sorted == rid_prev
+    is_first = jnp.concatenate([jnp.ones((1,), jnp.bool_), jnp.zeros((n - 1,), jnp.bool_)])
+    seg_valid = alive & alive_prev & same_ribbon & jnp.logical_not(is_first)
+    seg_valid &= rid_sorted != big
+
+    delta = pos - pos_prev
+    center = 0.5 * (pos + pos_prev)
+
+    # Camera-facing side vector: width along cross(view_dir, delta), like the
+    # reference's orientation-from-delta (vfx_render.wgsl:239-282).
+    view_dir = center - camera.position
+    side = jnp.cross(delta, view_dir)
+    side_norm = jnp.sqrt(jnp.sum(side * side, axis=-1, keepdims=True))
+    side = side / jnp.where(side_norm > 1e-8, side_norm, 1.0)
+
+    # Ribbon width from the particle's size (|axis_y| carries size.y).
+    width = jnp.sqrt(jnp.sum(draw.axis_y[order] * draw.axis_y[order], axis=-1))
+
+    return ParticleDrawData(
+        position=center,
+        axis_x=delta,  # full segment length (raster uses 0.5*axis half-extent)
+        axis_y=side * width[:, None],
+        color=draw.color[order],
+        alive=seg_valid,
+        roundness=jnp.zeros((n,), jnp.float32),
+        sprite_index=draw.sprite_index[order],
+        sprite_grid_size=draw.sprite_grid_size,
+        texture_layers=draw.texture_layers,
+        needs_uv=draw.needs_uv,
+        ribbon_id=rid_sorted,
+        age=draw.age[order],
+    )

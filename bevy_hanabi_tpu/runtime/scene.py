@@ -1,0 +1,255 @@
+"""Scene orchestration: many effects, parent/child event routing, rendering.
+
+The TPU analogue of the reference's main-world ECS systems + render-world
+orchestration (plugin.rs:219-246, render/mod.rs extract/prepare/queue): a
+host-side registry of effect instances that each frame ticks spawners,
+routes last frame's GPU spawn events from parents to children (the same
+one-frame latency as the reference, vfx_init.wgsl:123-129), steps every
+instance's jitted function, and composites renders back-to-front.
+
+There is no pipeline-readiness protocol (render/mod.rs:4086-4121): XLA
+compilation is synchronous at first use, so a ``warmup()`` that steps once
+with zero spawns replaces the whole ready-state machinery.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..asset import EffectAsset, SimulationCondition, SimulationSpace
+from ..compiler import SimParams
+from ..properties import EffectProperties, Property
+from ..spawn import EffectSpawner
+from ..time import EffectSimulationClock
+from .effect import CompiledEffect, StepInputs, identity_transform
+from .events import EventBuffer
+from .pool import ParticlePool
+
+__all__ = ["HanabiScene", "EffectInstance"]
+
+
+@dataclass
+class EffectInstance:
+    """One live effect instance (≈ ParticleEffect + EffectSpawner +
+    CompiledParticleEffect + EffectProperties components)."""
+
+    name: str
+    asset: EffectAsset
+    fx: CompiledEffect
+    pool: ParticlePool
+    spawner: Optional[EffectSpawner]
+    properties: EffectProperties
+    transform: Any
+    textures: tuple = ()
+    parent: Optional[str] = None
+    child_channel: int = 0
+    visible: bool = True
+    # events emitted by this instance's LAST step, per channel
+    last_events: Dict[int, EventBuffer] = field(default_factory=dict)
+    renderer: Any = None
+
+    def alive_count(self) -> int:
+        return int(self.pool.alive_count())
+
+
+class HanabiScene:
+    """Host-side effect world (≈ HanabiPlugin's systems as one object)."""
+
+    def __init__(self, seed: int = 0) -> None:
+        self._rng = np.random.default_rng(seed)
+        self._effects: Dict[str, EffectInstance] = {}
+        self._order: List[str] = []  # parents before children
+        self.clock = EffectSimulationClock()
+        self._frame = 0
+
+    # -- authoring-world API ------------------------------------------------
+
+    def add(
+        self,
+        asset: EffectAsset,
+        name: Optional[str] = None,
+        transform: Optional[Any] = None,
+        parent: Optional[str] = None,
+        textures: Sequence[Any] = (),
+        capacity: Optional[int] = None,
+    ) -> str:
+        """Spawn an effect instance (≈ commands.spawn(ParticleEffect))."""
+        name = name or f"{asset.name}#{len(self._effects)}"
+        if name in self._effects:
+            raise ValueError(f"effect instance {name!r} already exists")
+        parent_layout = None
+        child_channel = 0
+        if parent is not None:
+            if parent not in self._effects:
+                raise KeyError(f"parent effect {parent!r} not found")
+            p = self._effects[parent]
+            if not p.asset.emits_gpu_spawn_events():
+                raise ValueError(
+                    f"parent {parent!r} has no EmitSpawnEventModifier"
+                )
+            parent_layout = p.asset.particle_layout()
+            # Nth registered child reads event channel N (modifier/mod.rs:664)
+            child_channel = sum(
+                1 for e in self._effects.values() if e.parent == parent
+            )
+        fx = CompiledEffect(asset, parent_layout=parent_layout)
+        pool = fx.create_pool(capacity)
+        spawner = None if parent is not None else EffectSpawner(
+            asset.spawner, rng=np.random.default_rng(self._rng.integers(0, 2**63))
+        )
+        props = EffectProperties(
+            [Property(n, v) for n, v in asset.module.properties().items()]
+        )
+        inst = EffectInstance(
+            name=name,
+            asset=asset,
+            fx=fx,
+            pool=pool,
+            spawner=spawner,
+            properties=props,
+            transform=(
+                jnp.asarray(transform, jnp.float32)
+                if transform is not None
+                else identity_transform()
+            ),
+            textures=tuple(textures),
+            parent=parent,
+            child_channel=child_channel,
+        )
+        self._effects[name] = inst
+        # keep parents before children in step order
+        if parent is not None:
+            self._order.insert(self._order.index(parent) + 1, name)
+        else:
+            self._order.append(name)
+        return name
+
+    def remove(self, name: str) -> None:
+        children = [e.name for e in self._effects.values() if e.parent == name]
+        if children:
+            raise ValueError(f"remove children first: {children}")
+        del self._effects[name]
+        self._order.remove(name)
+
+    def __getitem__(self, name: str) -> EffectInstance:
+        return self._effects[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._effects
+
+    def effects(self) -> List[EffectInstance]:
+        return [self._effects[n] for n in self._order]
+
+    def set_property(self, name: str, prop: str, value) -> None:
+        self._effects[name].properties.set(prop, value)
+
+    def set_transform(self, name: str, transform) -> None:
+        self._effects[name].transform = jnp.asarray(transform, jnp.float32)
+
+    def set_visible(self, name: str, visible: bool) -> None:
+        self._effects[name].visible = visible
+
+    def reset_spawner(self, name: str) -> None:
+        sp = self._effects[name].spawner
+        if sp is not None:
+            sp.reset()
+
+    def set_spawner_active(self, name: str, active: bool) -> None:
+        sp = self._effects[name].spawner
+        if sp is not None:
+            sp.set_active(active)
+
+    # -- per-frame update (≈ tick_spawners + simulate()) ---------------------
+
+    def update(self, dt: float) -> None:
+        sim = self.clock.advance(dt)
+        self._frame += 1
+        # Children consume events emitted by their parent's PREVIOUS step.
+        prev_events: Dict[str, Dict[int, EventBuffer]] = {
+            n: dict(e.last_events) for n, e in self._effects.items()
+        }
+        for name in self._order:
+            inst = self._effects[name]
+            if (
+                not inst.visible
+                and inst.asset.simulation_condition
+                is SimulationCondition.WHEN_VISIBLE
+            ):
+                continue
+            frame_seed = np.uint32(self._rng.integers(0, 2**32))
+            if inst.parent is not None:
+                parent = self._effects[inst.parent]
+                events_in = prev_events[inst.parent].get(inst.child_channel)
+                if events_in is None:
+                    events_in = EventBuffer.empty(parent.pool.capacity)
+                inst.pool, events_out = inst.fx.step(
+                    inst.pool,
+                    StepInputs.make(
+                        0, frame_seed, inst.transform, inst.properties.as_dict()
+                    ),
+                    sim,
+                    events_in=events_in,
+                    parent_pool=parent.pool,
+                )
+            else:
+                n_spawn = inst.spawner.tick(self.clock.delta) if inst.spawner else 0
+                inst.pool, events_out = inst.fx.step(
+                    inst.pool,
+                    StepInputs.make(
+                        n_spawn, frame_seed, inst.transform, inst.properties.as_dict()
+                    ),
+                    sim,
+                )
+            inst.last_events = events_out
+
+    def warmup(self) -> None:
+        """Compile every instance's step (replaces the readiness protocol)."""
+        self.update(0.0)
+
+    # -- rendering -------------------------------------------------------------
+
+    def render(
+        self,
+        camera,
+        config,
+        background: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0),
+    ) -> jnp.ndarray:
+        """Composite all visible effects back-to-front by emitter distance
+        (≈ Transparent3d phase sorting) / z_layer_2d for 2D ties."""
+        from ..render.renderer import EffectRenderer
+        from ..render.raster import RasterConfig
+
+        visible = [e for e in self.effects() if e.visible]
+
+        def sort_key(e: EffectInstance):
+            t = np.asarray(e.transform)[:, 3]
+            dist = float(np.linalg.norm(np.asarray(camera.position) - t))
+            return (-dist, e.asset.z_layer_2d)
+
+        visible.sort(key=sort_key)
+        fb = jnp.broadcast_to(
+            jnp.asarray(background, jnp.float32),
+            (config.height, config.width, 4),
+        )
+        sim = self.clock.sim_params()
+        for inst in visible:
+            if inst.renderer is None or inst.renderer.config != config:
+                inst.renderer = EffectRenderer(
+                    inst.asset, config, textures=inst.textures
+                )
+            fb = inst.renderer.render(
+                inst.pool,
+                camera,
+                sim=sim,
+                properties=inst.properties.as_dict(),
+                transform=inst.transform,
+                framebuffer=fb,
+            )
+        return fb
+
+    def total_alive(self) -> int:
+        return sum(e.alive_count() for e in self.effects())

@@ -1,0 +1,265 @@
+"""Scene orchestration + ribbon tests (≈ the reference's gpu_tests/*.rs
+end-to-end app tests: empty_effect, single_particle, properties,
+batching_instancing)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bevy_hanabi_tpu import attributes as A
+from bevy_hanabi_tpu.asset import EffectAsset, SimulationCondition
+from bevy_hanabi_tpu.compiler import SimParams
+from bevy_hanabi_tpu.graph import ExprWriter
+from bevy_hanabi_tpu.modifiers import (
+    AccelModifier,
+    EmitSpawnEventModifier,
+    EventEmitCondition,
+    InheritAttributeModifier,
+    SetAttributeModifier,
+    SetSizeModifier,
+)
+from bevy_hanabi_tpu.render import (
+    CameraParams,
+    RasterConfig,
+    look_at,
+    orthographic,
+)
+from bevy_hanabi_tpu.render.extract import extract_draw_data
+from bevy_hanabi_tpu.render.ribbon import build_ribbon_segments
+from bevy_hanabi_tpu.render.raster import rasterize
+from bevy_hanabi_tpu.runtime import HanabiScene
+from bevy_hanabi_tpu.runtime.pool import ParticlePool
+from bevy_hanabi_tpu.spawn import SpawnerSettings
+
+DT = 1.0 / 60.0
+
+
+def simple_asset(name="fx", capacity=64, rate=None, once=None):
+    w = ExprWriter()
+    spawner = (
+        SpawnerSettings.once(once) if once is not None else SpawnerSettings.rate(rate or 60.0)
+    )
+    return (
+        EffectAsset(name, capacity, spawner, w.finish())
+        .init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(10.0).expr()))
+        .init(SetAttributeModifier(A.POSITION, w.lit((0.0, 0.0, 0.0)).expr()))
+        .init(SetAttributeModifier(A.VELOCITY, w.lit((1.0, 0.0, 0.0)).expr()))
+    )
+
+
+def test_empty_effect_scene():
+    scene = HanabiScene()
+    scene.add(simple_asset(once=0.0), "empty")
+    for _ in range(10):
+        scene.update(DT)
+    assert scene.total_alive() == 0
+
+
+def test_single_particle_300_frames():
+    scene = HanabiScene()
+    scene.add(simple_asset(once=1.0), "single")
+    for _ in range(300):
+        scene.update(DT)
+    assert scene["single"].alive_count() == 1
+    pos = np.asarray(scene["single"].pool.get("position"))
+    alive = np.asarray(scene["single"].pool.alive)
+    assert pos[alive][0, 0] == pytest.approx(300 * DT, rel=1e-4)
+
+
+def test_properties_update_between_frames():
+    w = ExprWriter()
+    w.add_property("accel", (0.0, 0.0, 0.0))
+    asset = (
+        EffectAsset("p", 16, SpawnerSettings.once(1.0), w.finish())
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(10.0).expr()))
+        .init(SetAttributeModifier(A.VELOCITY, w.lit((0.0, 0.0, 0.0)).expr()))
+        .update(AccelModifier(w.prop("accel").expr()))
+    )
+    scene = HanabiScene()
+    scene.add(asset, "fx")
+    scene.update(DT)
+    v0 = np.asarray(scene["fx"].pool.get("velocity"))[np.asarray(scene["fx"].pool.alive)]
+    np.testing.assert_allclose(v0, 0.0)
+    scene.set_property("fx", "accel", (0.0, 60.0, 0.0))
+    scene.update(DT)
+    v1 = np.asarray(scene["fx"].pool.get("velocity"))[np.asarray(scene["fx"].pool.alive)]
+    assert v1[0, 1] == pytest.approx(1.0, rel=1e-5)
+
+
+def test_visibility_gates_when_visible_condition():
+    scene = HanabiScene()
+    scene.add(simple_asset(rate=60.0), "fx")
+    scene.set_visible("fx", False)
+    for _ in range(30):
+        scene.update(DT)
+    assert scene["fx"].alive_count() == 0  # WHEN_VISIBLE default: paused
+    scene.set_visible("fx", True)
+    for _ in range(30):
+        scene.update(DT)
+    assert scene["fx"].alive_count() > 0
+
+
+def test_always_condition_simulates_hidden():
+    asset = simple_asset(rate=60.0).with_simulation_condition(SimulationCondition.ALWAYS)
+    scene = HanabiScene()
+    scene.add(asset, "fx")
+    scene.set_visible("fx", False)
+    for _ in range(30):
+        scene.update(DT)
+    assert scene["fx"].alive_count() > 0
+
+
+def test_parent_child_scene_wiring():
+    wp = ExprWriter()
+    parent = (
+        EffectAsset("par", 8, SpawnerSettings.once(2.0), wp.finish())
+        .init(SetAttributeModifier(A.AGE, wp.lit(0.0).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, wp.lit(2.5 * DT).expr()))
+        .init(SetAttributeModifier(A.POSITION, wp.lit((1.0, 2.0, 3.0)).expr()))
+        .update(
+            EmitSpawnEventModifier(EventEmitCondition.ON_DIE, wp.module.lit(3, None), 0)
+        )
+    )
+    wc = ExprWriter()
+    child = (
+        EffectAsset("chi", 64, SpawnerSettings.once(0.0), wc.finish())
+        .init(InheritAttributeModifier(A.POSITION))
+        .init(SetAttributeModifier(A.LIFETIME, wc.lit(100.0).expr()))
+    )
+    scene = HanabiScene()
+    scene.add(parent, "P")
+    scene.add(child, "C", parent="P")
+    for _ in range(6):
+        scene.update(DT)
+    assert scene["P"].alive_count() == 0
+    assert scene["C"].alive_count() == 6  # 2 parents x 3 events
+    pos = np.asarray(scene["C"].pool.get("position"))[np.asarray(scene["C"].pool.alive)]
+    np.testing.assert_allclose(pos, np.tile([1.0, 2.0, 3.0], (6, 1)), atol=1e-5)
+
+
+def test_child_requires_event_emitting_parent():
+    scene = HanabiScene()
+    scene.add(simple_asset(), "P")
+    with pytest.raises(ValueError):
+        scene.add(simple_asset("c"), "C", parent="P")
+
+
+def test_remove_requires_children_first():
+    wp = ExprWriter()
+    parent = (
+        EffectAsset("par", 8, SpawnerSettings.once(1.0), wp.finish())
+        .update(
+            EmitSpawnEventModifier(EventEmitCondition.ALWAYS, wp.module.lit(1, None), 0)
+        )
+        .init(SetAttributeModifier(A.LIFETIME, wp.lit(1.0).expr()))
+    )
+    wc = ExprWriter()
+    child = EffectAsset("chi", 8, SpawnerSettings.once(0.0), wc.finish()).init(
+        SetAttributeModifier(A.LIFETIME, wc.lit(1.0).expr())
+    )
+    scene = HanabiScene()
+    scene.add(parent, "P")
+    scene.add(child, "C", parent="P")
+    with pytest.raises(ValueError):
+        scene.remove("P")
+    scene.remove("C")
+    scene.remove("P")
+    assert "P" not in scene
+
+
+def test_scene_render_composites():
+    scene = HanabiScene()
+    asset = simple_asset(once=4.0)
+    asset.render_modifiers.append(SetSizeModifier((0.3, 0.3, 0.3)))
+    scene.add(asset, "fx")
+    scene.update(DT)
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    cfg = RasterConfig(width=64, height=64, tile_size=16, max_entries_per_tile=16)
+    img = np.asarray(scene.render(cam, cfg, background=(0.1, 0.1, 0.1, 1.0)))
+    assert img.shape == (64, 64, 4)
+    np.testing.assert_allclose(img[0, 0, :3], 0.1, atol=1e-6)
+    assert img[32, 34, 0] > 0.5  # particle moved slightly +x
+
+
+# ---- ribbons ----------------------------------------------------------------
+
+
+def ribbon_pool(points, ribbon_ids):
+    """Hand-build a pool of ribbon particles at given points."""
+    n = 16
+    from bevy_hanabi_tpu.attributes import ParticleLayout
+
+    layout = ParticleLayout(
+        [A.POSITION, A.AGE, A.LIFETIME, A.RIBBON_ID, A.SIZE]
+    )
+    pool = ParticlePool.create(layout, n)
+    k = len(points)
+    pos = np.zeros((n, 3), np.float32)
+    pos[:k] = points
+    age = np.zeros(n, np.float32)
+    age[:k] = np.arange(k, 0, -1)  # oldest first
+    rid = np.zeros(n, np.uint32)
+    rid[:k] = ribbon_ids
+    alive = np.zeros(n, bool)
+    alive[:k] = True
+    pool.attrs["position"] = jnp.asarray(pos)
+    pool.attrs["age"] = jnp.asarray(age)
+    pool.attrs["lifetime"] = jnp.full(n, 100.0, jnp.float32)
+    pool.attrs["ribbon_id"] = jnp.asarray(rid)
+    pool.attrs["size"] = jnp.full(n, 0.1, jnp.float32)
+    pool.alive = jnp.asarray(alive)
+    return pool
+
+
+def ribbon_asset():
+    w = ExprWriter()
+    return EffectAsset(
+        "rib", 16, SpawnerSettings.once(0.0), w.finish()
+    ).init(SetAttributeModifier(A.RIBBON_ID, w.lit(0, None).expr()))
+
+
+def test_ribbon_segments_connect_same_ribbon_by_age():
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    pts = [[-0.5, 0.0, 0.0], [0.0, 0.0, 0.0], [0.5, 0.0, 0.0], [0.0, 0.5, 0.0]]
+    pool = ribbon_pool(pts, [0, 0, 0, 1])
+    asset = ribbon_asset()
+    draw = extract_draw_data(asset, pool, cam)
+    segs = build_ribbon_segments(draw, cam)
+    valid = np.asarray(segs.alive)
+    # ribbon 0 has 3 points -> 2 segments; ribbon 1 has 1 point -> 0
+    assert valid.sum() == 2
+    centers = np.asarray(segs.position)[valid]
+    np.testing.assert_allclose(
+        sorted(centers[:, 0].tolist()), [-0.25, 0.25], atol=1e-6
+    )
+    # segment axis spans the two endpoints
+    ax = np.asarray(segs.axis_x)[valid]
+    np.testing.assert_allclose(np.abs(ax[:, 0]), 0.5, atol=1e-6)
+
+
+def test_ribbon_renders_continuous_line():
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    pts = [[-0.75, 0.0, 0.0], [0.0, 0.0, 0.0], [0.75, 0.0, 0.0]]
+    pool = ribbon_pool(pts, [0, 0, 0])
+    draw = extract_draw_data(ribbon_asset(), pool, cam)
+    segs = build_ribbon_segments(draw, cam)
+    cfg = RasterConfig(width=64, height=64, tile_size=16, tile_span=4, max_entries_per_tile=16)
+    img = np.asarray(rasterize(segs, cam, cfg, "blend"))
+    row = img[32, :, 3]
+    xs = np.flatnonzero(row > 0.5)
+    # continuous from ~px 8 to ~px 56
+    assert xs.min() < 10 and xs.max() > 54
+    assert np.all(np.diff(xs) == 1)
