@@ -22,7 +22,20 @@ import numpy as np
 
 from .cpu_value import CpuValue
 
-__all__ = ["SpawnerSettings", "EffectSpawner", "SpawnerBank"]
+__all__ = ["SpawnerSettings", "EffectSpawner", "SpawnerBank", "make_spawner_bank"]
+
+
+def make_spawner_bank(settings: "SpawnerSettings", num_instances: int, seed: int = 0):
+    """Best available bank for N same-settings spawners: the native (C++)
+    implementation when the toolchain is present, else the numpy one."""
+    try:
+        from .native import NativeSpawnerBank, native_available
+
+        if native_available():
+            return NativeSpawnerBank(settings, num_instances, seed=seed)
+    except Exception:
+        pass
+    return SpawnerBank(settings, num_instances)
 
 
 @dataclass(frozen=True)
