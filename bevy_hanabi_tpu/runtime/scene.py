@@ -65,6 +65,11 @@ class HanabiScene:
         self._order: List[str] = []  # parents before children
         self.clock = EffectSimulationClock()
         self._frame = 0
+        self._new_effect_added = False
+        # Debug capture knobs (≈ DebugSettings resource, render/mod.rs:2425)
+        from ..utils.profiling import DebugSettings
+
+        self.debug = DebugSettings()
 
     # -- authoring-world API ------------------------------------------------
 
@@ -121,6 +126,7 @@ class HanabiScene:
             child_channel=child_channel,
         )
         self._effects[name] = inst
+        self._new_effect_added = True
         # keep parents before children in step order
         if parent is not None:
             self._order.insert(self._order.index(parent) + 1, name)
@@ -166,6 +172,8 @@ class HanabiScene:
     # -- per-frame update (≈ tick_spawners + simulate()) ---------------------
 
     def update(self, dt: float) -> None:
+        self.debug.on_frame_start(self._new_effect_added)
+        self._new_effect_added = False
         sim = self.clock.advance(dt)
         self._frame += 1
         # Children consume events emitted by their parent's PREVIOUS step.
@@ -205,6 +213,7 @@ class HanabiScene:
                     sim,
                 )
             inst.last_events = events_out
+        self.debug.on_frame_end()
 
     def warmup(self) -> None:
         """Compile every instance's step (replaces the readiness protocol)."""

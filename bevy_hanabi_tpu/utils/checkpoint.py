@@ -1,0 +1,86 @@
+"""Scene checkpoint/resume.
+
+The reference cannot checkpoint simulation state at all — particles live
+only in GPU buffers (SURVEY.md §5: "no sim-state checkpointing"). Because
+this framework's pools are pytrees, a full scene checkpoint is a single npz:
+every instance's particle state + spawner state + the simulation clock.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+if TYPE_CHECKING:
+    from ..runtime.scene import HanabiScene
+
+__all__ = ["save_scene_state", "load_scene_state"]
+
+
+def save_scene_state(scene: "HanabiScene", path: str) -> None:
+    arrays = {}
+    meta = {"effects": [], "clock": {
+        "time": scene.clock._time,
+        "virtual_time": scene.clock._virtual_time,
+        "real_time": scene.clock._real_time,
+        "speed": scene.clock._speed,
+        "paused": scene.clock._paused,
+    }}
+    for inst in scene.effects():
+        key = inst.name
+        meta["effects"].append(key)
+        for aname, arr in inst.pool.attrs.items():
+            arrays[f"{key}/attr:{aname}"] = np.asarray(arr)
+        arrays[f"{key}/alive"] = np.asarray(inst.pool.alive)
+        arrays[f"{key}/seed"] = np.asarray(inst.pool.seed)
+        arrays[f"{key}/counter"] = np.asarray(inst.pool.counter)
+        if inst.spawner is not None:
+            sp = inst.spawner
+            arrays[f"{key}/spawner"] = np.asarray(
+                [
+                    sp.cycle_time,
+                    sp.sampled_period,
+                    sp.sampled_spawn_duration,
+                    sp.sampled_count,
+                    sp.spawn_remainder,
+                    float(sp.completed_cycle_count),
+                    1.0 if sp.active else 0.0,
+                ]
+            )
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    )
+    np.savez(path, **arrays)
+
+
+def load_scene_state(scene: "HanabiScene", path: str) -> None:
+    """Restore pools/spawners/clock into an already-built scene (same assets)."""
+    import jax.numpy as jnp
+
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    meta = json.loads(bytes(data["__meta__"]).decode())
+    for key in meta["effects"]:
+        inst = scene[key]
+        for aname in list(inst.pool.attrs):
+            inst.pool.attrs[aname] = jnp.asarray(data[f"{key}/attr:{aname}"])
+        inst.pool.alive = jnp.asarray(data[f"{key}/alive"])
+        inst.pool.seed = jnp.asarray(data[f"{key}/seed"])
+        inst.pool.counter = jnp.asarray(data[f"{key}/counter"])
+        if inst.spawner is not None and f"{key}/spawner" in data:
+            s = data[f"{key}/spawner"]
+            sp = inst.spawner
+            sp.cycle_time = float(s[0])
+            sp.sampled_period = float(s[1])
+            sp.sampled_spawn_duration = float(s[2])
+            sp.sampled_count = float(s[3])
+            sp.spawn_remainder = float(s[4])
+            sp.completed_cycle_count = int(s[5])
+            sp.active = bool(s[6])
+    clk = meta["clock"]
+    scene.clock._time = clk["time"]
+    scene.clock._virtual_time = clk["virtual_time"]
+    scene.clock._real_time = clk["real_time"]
+    scene.clock._speed = clk["speed"]
+    scene.clock._paused = clk["paused"]

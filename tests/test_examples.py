@@ -1,0 +1,145 @@
+"""Acceptance tests: every re-created reference example builds, serializes,
+compiles, and simulates (the reference runs examples in CI the same way)."""
+
+import numpy as np
+import pytest
+
+from bevy_hanabi_tpu.asset import EffectAsset
+from bevy_hanabi_tpu.models.examples import (
+    LambertianLightingModifier,
+    example_lightning,
+    example_ribbon,
+    example_spawn_on_command,
+    example_worms,
+    examples_registry,
+)
+from bevy_hanabi_tpu.runtime import HanabiScene
+
+DT = 1.0 / 60.0
+
+_SINGLE = {
+    name: builder
+    for name, builder in examples_registry().items()
+    if name not in ("lifetime", "worms")
+}
+
+
+@pytest.mark.parametrize("name", sorted(_SINGLE))
+def test_example_builds_serializes_and_runs(name):
+    asset = _SINGLE[name]()
+    # serde roundtrip
+    back = EffectAsset.from_json(asset.to_json())
+    assert back.to_json() == asset.to_json()
+    # simulate 30 frames in a scene
+    scene = HanabiScene(seed=1)
+    scene.add(asset, "fx")
+    for _ in range(30):
+        scene.update(DT)
+    expect_alive = {
+        "activate": False,  # starts inactive
+        "spawn_on_command": False,  # once + inactive until reset
+    }.get(name, True)
+    alive = scene["fx"].alive_count()
+    assert (alive > 0) == expect_alive, f"{name}: alive={alive}"
+
+
+def test_example_lifetime_trio():
+    scene = HanabiScene(seed=1)
+    for name, asset in examples_registry()["lifetime"]().items():
+        scene.add(asset, name)
+    for _ in range(120):  # 2s: short (1s life) dying, long (12s) retaining
+        scene.update(DT)
+    assert scene["short"].alive_count() < scene["long"].alive_count()
+
+
+def test_example_worms_parent_child_ribbons():
+    assets = example_worms()
+    scene = HanabiScene(seed=2)
+    scene.add(assets["heads"], "heads")
+    scene.add(assets["bodies"], "bodies", parent="heads")
+    for _ in range(120):
+        scene.update(DT)
+    assert scene["heads"].alive_count() > 0
+    assert scene["bodies"].alive_count() > 0
+    # each body particle carries its parent's counter as ribbon id
+    bodies = scene["bodies"].pool
+    alive = np.asarray(bodies.alive)
+    rids = np.asarray(bodies.get("ribbon_id"))[alive]
+    assert len(np.unique(rids)) > 1  # several worms
+
+
+def test_example_activate_toggling():
+    scene = HanabiScene(seed=3)
+    from bevy_hanabi_tpu.models.examples import example_activate
+
+    scene.add(example_activate(), "fx")
+    for _ in range(30):
+        scene.update(DT)
+    assert scene["fx"].alive_count() == 0
+    scene.set_spawner_active("fx", True)
+    for _ in range(30):
+        scene.update(DT)
+    assert scene["fx"].alive_count() > 0
+    scene.set_spawner_active("fx", False)
+    a = scene["fx"].alive_count()
+    for _ in range(10):
+        scene.update(DT)
+    assert scene["fx"].alive_count() <= a
+
+
+def test_example_spawn_on_command_reset():
+    scene = HanabiScene(seed=4)
+    scene.add(example_spawn_on_command(), "fx")
+    scene.set_property("fx", "spawn_color", 0xFF00FF00)
+    scene.set_property("fx", "normal", (0.0, 1.0, 0.0))
+    for _ in range(5):
+        scene.update(DT)
+    assert scene["fx"].alive_count() == 0
+    # "on command": activate + reset fires the once-spawner
+    scene.set_spawner_active("fx", True)
+    scene.reset_spawner("fx")
+    scene.update(DT)
+    assert scene["fx"].alive_count() == 100
+    colors = np.asarray(scene["fx"].pool.get("color"))[np.asarray(scene["fx"].pool.alive)]
+    assert (colors == 0xFF00FF00).all()
+
+
+def test_example_lightning_expression_stress():
+    asset = example_lightning(particles_per_bolt=64)
+    scene = HanabiScene(seed=5)
+    scene.add(asset, "bolt")
+    scene.set_property("bolt", "wave_seed", 3.25)
+    scene.update(DT)
+    pool = scene["bolt"].pool
+    alive = np.asarray(pool.alive)
+    assert alive.sum() == 64
+    pos = np.asarray(pool.get("position"))[alive]
+    # bolt spans y in [0, 8], zig-zags in x within spread bounds
+    assert pos[:, 1].min() < 0.5 and pos[:, 1].max() > 7.5
+    assert np.abs(pos[:, 0]).max() <= 0.9
+    # changing the seed property changes the bolt shape without recompiling
+    scene.set_property("bolt", "wave_seed", 7.5)
+    scene.reset_spawner("bolt")
+    for _ in range(30):
+        scene.update(DT)
+
+
+def test_example_ribbon_trails():
+    scene = HanabiScene(seed=6)
+    scene.add(example_ribbon(), "rib")
+    for _ in range(60):
+        scene.update(DT)
+    inst = scene["rib"]
+    assert inst.alive_count() > 50
+    # all one ribbon
+    rids = np.asarray(inst.pool.get("ribbon_id"))[np.asarray(inst.pool.alive)]
+    assert (rids == 0).all()
+
+
+def test_custom_modifier_registered_for_serde():
+    from bevy_hanabi_tpu.modifiers import modifier_from_json
+
+    m = LambertianLightingModifier((0.0, 1.0, 0.0), 0.5)
+    back = modifier_from_json(m.to_json())
+    assert isinstance(back, LambertianLightingModifier)
+    assert back.band == 0.5

@@ -1,0 +1,83 @@
+"""Aux subsystem tests: profiling spans, debug capture, scene checkpointing."""
+
+import os
+
+import numpy as np
+import pytest
+
+from bevy_hanabi_tpu.utils import (
+    DebugSettings,
+    load_scene_state,
+    profile_span,
+    save_scene_state,
+)
+from bevy_hanabi_tpu.runtime import HanabiScene
+
+DT = 1.0 / 60.0
+
+
+def make_scene():
+    from bevy_hanabi_tpu.models import spawn_gravity_effect
+
+    scene = HanabiScene(seed=11)
+    scene.add(spawn_gravity_effect(capacity=512, rate=120.0), "fx")
+    return scene
+
+
+def test_profile_span_runs():
+    import jax.numpy as jnp
+
+    with profile_span("hanabi:update"):
+        x = jnp.ones(8).sum()
+    assert float(x) == 8.0
+
+
+def test_debug_capture_cycle(tmp_path):
+    settings = DebugSettings(capture_dir=str(tmp_path / "trace"))
+    scene = make_scene()
+    scene.debug = settings
+    settings.start_capture_this_frame = True
+    settings.capture_frame_count = 2
+    scene.update(DT)
+    assert settings.is_capturing
+    scene.update(DT)
+    assert not settings.is_capturing
+    # trace directory exists with content
+    assert os.path.isdir(settings.capture_dir)
+
+
+def test_capture_on_new_effect(tmp_path):
+    scene = make_scene()
+    scene.update(DT)  # consume initial new-effect flag
+    scene.debug = DebugSettings(
+        start_capture_on_new_effect=True, capture_dir=str(tmp_path / "t2")
+    )
+    from bevy_hanabi_tpu.models import spawn_gravity_effect
+
+    scene.add(spawn_gravity_effect(capacity=64, rate=10.0), "fx2")
+    scene.update(DT)
+    scene.debug.on_frame_end()  # ensure closed even if count > frames run
+    assert os.path.isdir(str(tmp_path / "t2"))
+
+
+def test_scene_checkpoint_roundtrip(tmp_path):
+    scene = make_scene()
+    for _ in range(45):
+        scene.update(DT)
+    path = str(tmp_path / "scene.npz")
+    save_scene_state(scene, path)
+    alive0 = scene["fx"].alive_count()
+    t0 = scene.clock.time
+
+    # build a fresh scene with the same assets, restore, continue
+    scene2 = make_scene()
+    load_scene_state(scene2, path)
+    assert scene2["fx"].alive_count() == alive0
+    assert scene2.clock.time == t0
+    np.testing.assert_array_equal(
+        np.asarray(scene2["fx"].pool.get("position")),
+        np.asarray(scene["fx"].pool.get("position")),
+    )
+    # both continue identically given identical frame seeds
+    scene2.update(DT)
+    assert abs(scene2.clock.time - (t0 + DT)) < 1e-9
