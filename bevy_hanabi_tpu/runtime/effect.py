@@ -69,7 +69,22 @@ class CompiledEffect:
 
     One XLA executable per asset signature — the analogue of the reference's
     per-effect pipeline specialization + ShaderCache (lib.rs:1352-1555).
+    Use :meth:`get` to share compilations between instances of the same
+    asset (the ShaderCache dedupe, render/shader_cache.rs:18-62).
     """
+
+    _CACHE: "dict" = {}
+
+    @staticmethod
+    def get(
+        asset: EffectAsset, parent_layout: Optional[ParticleLayout] = None
+    ) -> "CompiledEffect":
+        key = (asset.signature(), parent_layout.signature() if parent_layout else None)
+        fx = CompiledEffect._CACHE.get(key)
+        if fx is None:
+            fx = CompiledEffect(asset, parent_layout)
+            CompiledEffect._CACHE[key] = fx
+        return fx
 
     def __init__(
         self,

@@ -101,7 +101,7 @@ class HanabiScene:
             child_channel = sum(
                 1 for e in self._effects.values() if e.parent == parent
             )
-        fx = CompiledEffect(asset, parent_layout=parent_layout)
+        fx = CompiledEffect.get(asset, parent_layout=parent_layout)
         pool = fx.create_pool(capacity)
         spawner = None if parent is not None else EffectSpawner(
             asset.spawner, rng=np.random.default_rng(self._rng.integers(0, 2**63))
