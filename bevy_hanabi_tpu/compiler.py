@@ -132,6 +132,7 @@ class EvalContext:
         alive: Optional[jnp.ndarray] = None,
         alpha_cutoff: Optional[Any] = None,
         textures: Optional[List[jnp.ndarray]] = None,
+        constant_hook=None,
     ) -> None:
         self.module = module
         self.particle = particle
@@ -143,6 +144,10 @@ class EvalContext:
         self.alive = alive
         self.alpha_cutoff = alpha_cutoff
         self.textures = textures or []
+        # Optional transform applied to non-scalar constants (literals,
+        # defaults). Pallas kernels set this to re-materialize array
+        # constants from traced scalars (Mosaic only allows scalar captures).
+        self.constant_hook = constant_hook
         self._memo: Dict[ExprHandle, jnp.ndarray] = {}
 
     # -- attribute store ---------------------------------------------------
@@ -352,7 +357,14 @@ def _eval(module: Module, e: Expr, handle: ExprHandle, ctx: EvalContext) -> jnp.
         v = e.value
         vt = v.value_type
         dtype = _NP_DTYPE[vt if isinstance(vt, ScalarType) else vt.elem_type]
-        return jnp.asarray(v.to_numpy(), dtype)
+        import numpy as _np
+
+        npv = _np.asarray(v.to_numpy(), dtype)
+        if ctx.constant_hook is not None and npv.ndim > 0:
+            # hand the raw numpy value to the hook BEFORE jnp lifts it into
+            # the trace as an array constant (pallas can't capture those)
+            return ctx.constant_hook(npv)
+        return jnp.asarray(npv)
 
     if e.kind == "attribute":
         return ctx.get_attr(e.name)

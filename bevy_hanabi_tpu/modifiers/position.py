@@ -94,8 +94,8 @@ class SetPositionSphereModifier(Modifier):
             r = ctx.eval(self.radius)
         theta = ctx.draw(FLOAT) * _TAU
         z = ctx.draw(FLOAT) * 2.0 - 1.0
-        phi = jnp.arccos(z)
-        sinphi = jnp.sin(phi)
+        # sin(acos(z)) == sqrt(1 - z^2); avoids acos (no Mosaic lowering)
+        sinphi = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
         x = sinphi * jnp.cos(theta)
         y = sinphi * jnp.sin(theta)
         direction = jnp.stack([x, y, z], axis=-1)
