@@ -88,4 +88,4 @@ class InstancedEffect:
         return jnp.sum(pools.alive, axis=-1, dtype=jnp.int32)
 
     def total_alive(self, pools: ParticlePool):
-        return jnp.sum(pools.alive, dtype=jnp.int64)
+        return jnp.sum(pools.alive, dtype=jnp.int32)

@@ -136,9 +136,9 @@ class EffectSpawner:
         self.completed_cycle_count = 0
         self.active = settings.starts_active
         if not settings.emit_on_start:
-            # Start mid-cycle so the first burst is skipped (reference
-            # handles this by starting inactive until triggered).
-            self.active = settings.starts_active
+            # Skip the t=0 emission: start just past the spawn window so the
+            # first cycle emits nothing; reset() re-arms it.
+            self.cycle_time = 1e-9
 
     # -- control (spawn.rs:762-835) ---------------------------------------
 

@@ -137,3 +137,17 @@ def test_bank_once():
         np.testing.assert_array_equal(bank.tick(1 / 60), 0)
     bank.reset()
     np.testing.assert_array_equal(bank.tick(1 / 60), 100)
+
+
+def test_emit_on_start_false_skips_initial_burst():
+    sp = EffectSpawner(SpawnerSettings.once(50.0).with_emit_on_start(False))
+    assert sp.tick(1 / 60) == 0
+    assert sp.tick(1 / 60) == 0
+    sp.reset()
+    assert sp.tick(1 / 60) == 50
+
+
+def test_emit_on_start_false_burst_skips_only_first():
+    sp = EffectSpawner(SpawnerSettings.burst(10.0, 0.5).with_emit_on_start(False))
+    total = sum(sp.tick(1 / 60) for _ in range(59))  # just under 1s
+    assert total == 10  # only the t=0.5 burst; t=0 skipped
