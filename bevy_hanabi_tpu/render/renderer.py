@@ -88,14 +88,9 @@ class EffectRenderer:
         config = self.config
         if framebuffer is not None:
             # Composite: render with transparent background, then "over".
-            config = RasterConfig(
-                width=config.width,
-                height=config.height,
-                tile_size=config.tile_size,
-                tile_span=config.tile_span,
-                max_entries_per_tile=config.max_entries_per_tile,
-                background=(0.0, 0.0, 0.0, 0.0),
-            )
+            import dataclasses
+
+            config = dataclasses.replace(config, background=(0.0, 0.0, 0.0, 0.0))
         img = rasterize(
             draw,
             camera,
