@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Run every re-created reference example headlessly and render a gallery.
+
+Equivalent of the reference's ``run_examples.sh`` + .github/example-run
+screenshot harness: each example simulates a characteristic number of
+frames and renders one PNG into ``examples/gallery/``.
+
+Usage: python examples/run_all.py [--size 256] [--out examples/gallery]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # gallery runs headless on host
+
+import numpy as np
+
+from bevy_hanabi_tpu.models.examples import examples_registry, example_worms
+from bevy_hanabi_tpu.models import (
+    firework_effect,
+    firework_trail_effect,
+    force_field_effect,
+    gradient_effect,
+    spawn_gravity_effect,
+)
+from bevy_hanabi_tpu.models.texutils import make_anim_sprite_sheet, make_circle_texture
+from bevy_hanabi_tpu.render import CameraParams, RasterConfig, look_at, perspective
+from bevy_hanabi_tpu.runtime import HanabiScene
+
+DT = 1.0 / 60.0
+
+# name -> (scene builder, frames to simulate, camera eye, camera target)
+def _single(builder, textures=()):
+    def make(scene):
+        scene.add(builder(), "fx", textures=textures)
+
+    return make
+
+
+def _worms(scene):
+    assets = example_worms()
+    scene.add(assets["heads"], "heads")
+    scene.add(assets["bodies"], "bodies", parent="heads")
+
+
+def _firework(scene):
+    scene.add(firework_effect(capacity=8192), "rocket")
+    scene.add(firework_trail_effect(capacity=32768), "trail", parent="rocket")
+
+
+def _activated(builder):
+    def make(scene):
+        scene.add(builder(), "fx")
+        scene.set_spawner_active("fx", True)
+        scene.reset_spawner("fx")
+
+    return make
+
+
+def build_gallery_specs():
+    reg = examples_registry()
+    sheet = make_anim_sprite_sheet(frames=8, size=32)
+    disc = make_circle_texture(64)
+    return {
+        "2d": (_single(reg["2d"]), 150, (0, 0, 4), (0, 0, 0)),
+        "activate": (_activated(reg["activate"]), 180, (0, 0, 3), (0, 0.3, 0)),
+        "billboard": (_single(reg["billboard"], textures=[disc]), 150, (0, 1.5, 4), (0, 0.5, 0)),
+        "circle": (_single(reg["circle"], textures=[sheet]), 150, (0, 2, 4), (0, 0.5, 0)),
+        "expr": (_single(reg["expr"]), 240, (0, 2, 12), (0, -2, 0)),
+        "init_circle": (_single(reg["init_circle"]), 2, (0, 0, 14), (0, 0, 0)),
+        "init_sphere": (_single(reg["init_sphere"]), 2, (0, 0, 14), (0, 0, 0)),
+        "init_cone": (_single(reg["init_cone"]), 2, (14, 5, 0), (0, 5, 0)),
+        "lightning": (_activated(reg["lightning"]), 3, (0, 4, 10), (0, 4, 0)),
+        "multicam": (_single(reg["multicam"]), 200, (0, 0, 10), (0, 0, 0)),
+        "ordering": (_single(reg["ordering"]), 90, (0, 0, 18), (0, 0, 0)),
+        "portal": (_single(reg["portal"]), 90, (0, 0, 10), (0, 0, 0)),
+        "puffs": (_single(reg["puffs"]), 120, (0, 0, 6), (0, 0, 0)),
+        "random": (_single(reg["random"]), 120, (0, 0, 6), (0, 0, 0)),
+        "ribbon": (_single(reg["ribbon"]), 90, (0, 0, 4), (0, 0, 0)),
+        "visibility": (_single(reg["visibility"]), 60, (0, 0, 6), (0, 0, 0)),
+        "worms": (_worms, 150, (0, 0, 10), (0, 0, 0)),
+        "firework": (_firework, 24, (0, 3, 6), (0, 3, 0)),
+        "gradient_bench": (_single(lambda: gradient_effect(16384)), 120, (0, 0, 6), (0, 0, 0)),
+        "force_field_bench": (_single(lambda: force_field_effect(20000)), 150, (0, 0, 8), (0, 0, 0)),
+        "spawn_bench": (_single(lambda: spawn_gravity_effect(16384, 4096.0)), 120, (0, -1, 8), (0, -1, 0)),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "gallery"))
+    ap.add_argument("--only", nargs="*", default=None)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    cfg = RasterConfig(
+        width=args.size, height=args.size, tile_size=16, tile_span=2,
+        max_entries_per_tile=128,
+    )
+    specs = build_gallery_specs()
+    if args.only:
+        specs = {k: v for k, v in specs.items() if k in args.only}
+
+    for name, (make, frames, eye, target) in specs.items():
+        scene = HanabiScene(seed=hash(name) % 100000)
+        make(scene)
+        for _ in range(frames):
+            scene.update(DT)
+        cam = CameraParams(
+            view=look_at(eye, target),
+            proj=perspective(0.9, 1.0, 0.1, 200.0),
+            viewport=(args.size, args.size),
+        )
+        img = np.asarray(scene.render(cam, cfg))
+        rgb = img[..., :3]
+        ldr = np.clip(rgb / (1.0 + rgb) * 1.6, 0.0, 1.0)  # reinhard-ish
+        path = os.path.join(args.out, f"{name}.png")
+        try:
+            from PIL import Image
+
+            Image.fromarray((ldr * 255).astype(np.uint8)).save(path)
+        except ImportError:
+            with open(path.replace(".png", ".ppm"), "wb") as f:
+                f.write(
+                    f"P6\n{args.size} {args.size}\n255\n".encode()
+                    + (ldr * 255).astype(np.uint8).tobytes()
+                )
+        print(f"{name}: alive={scene.total_alive()} -> {path}")
+
+
+if __name__ == "__main__":
+    main()
