@@ -127,6 +127,7 @@ class EffectAsset:
         self.z_layer_2d: float = 0.0
         self.prng_seed: Optional[int] = None  # None => re-rolled per instance
         self.ribbon_group: Optional[int] = None
+        self.mesh = None  # Optional[render.mesh.ParticleMesh]; None = quad
 
     # -- builder (asset.rs:391-560) ---------------------------------------
 
@@ -166,6 +167,12 @@ class EffectAsset:
 
     def with_property(self, name: str, default) -> "EffectAsset":
         self.module.add_property(name, default)
+        return self
+
+    def with_mesh(self, mesh) -> "EffectAsset":
+        """Render particles as instances of a ParticleMesh (EffectMesh
+        analogue, reference lib.rs:745)."""
+        self.mesh = mesh
         return self
 
     # -- derived -----------------------------------------------------------
@@ -231,6 +238,7 @@ class EffectAsset:
             "z_layer_2d": self.z_layer_2d,
             "prng_seed": self.prng_seed,
             "ribbon_group": self.ribbon_group,
+            "mesh": self.mesh.to_json() if self.mesh is not None else None,
         }
 
     @staticmethod
@@ -260,6 +268,10 @@ class EffectAsset:
         asset.z_layer_2d = data.get("z_layer_2d", 0.0)
         asset.prng_seed = data.get("prng_seed")
         asset.ribbon_group = data.get("ribbon_group")
+        if data.get("mesh"):
+            from .render.mesh import ParticleMesh
+
+            asset.mesh = ParticleMesh.from_json(data["mesh"])
         return asset
 
     def save(self, path: str) -> None:

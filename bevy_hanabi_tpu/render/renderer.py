@@ -73,6 +73,10 @@ class EffectRenderer:
             from .ribbon import build_ribbon_segments
 
             draw = build_ribbon_segments(draw, camera)
+        elif self.asset.mesh is not None:
+            from .mesh import expand_mesh_draw
+
+            draw = expand_mesh_draw(draw, self.asset.mesh)
         cutoff = 0.5
         if self._mask_cutoff_handle is not None:
             from ..compiler import EvalContext

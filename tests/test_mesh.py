@@ -1,0 +1,92 @@
+"""Per-particle mesh (EffectMesh analogue) tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from bevy_hanabi_tpu import attributes as A
+from bevy_hanabi_tpu.asset import EffectAsset
+from bevy_hanabi_tpu.compiler import SimParams
+from bevy_hanabi_tpu.graph import ExprWriter
+from bevy_hanabi_tpu.modifiers import SetAttributeModifier, SetSizeModifier
+from bevy_hanabi_tpu.render import CameraParams, RasterConfig, look_at, orthographic
+from bevy_hanabi_tpu.render.extract import extract_draw_data
+from bevy_hanabi_tpu.render.mesh import ParticleMesh, expand_mesh_draw
+from bevy_hanabi_tpu.render.renderer import EffectRenderer
+from bevy_hanabi_tpu.runtime import CompiledEffect, StepInputs
+from bevy_hanabi_tpu.spawn import SpawnerSettings
+
+W = H = 64
+CFG = RasterConfig(width=W, height=H, tile_size=16, tile_span=2, max_entries_per_tile=32)
+
+
+def cam():
+    return CameraParams(
+        look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        (W, H),
+    )
+
+
+def one_particle_asset(mesh=None, size=0.25):
+    w = ExprWriter()
+    a = (
+        EffectAsset("m", 8, SpawnerSettings.once(1.0), w.finish())
+        .init(SetAttributeModifier(A.POSITION, w.lit((0.0, 0.0, 0.0)).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(100.0).expr()))
+        .render(SetSizeModifier((size,) * 3))
+    )
+    if mesh is not None:
+        a.with_mesh(mesh)
+    return a
+
+
+def render_one(asset):
+    fx = CompiledEffect(asset)
+    pool = fx.create_pool()
+    pool, _ = fx.step(pool, StepInputs.make(1, 0), SimParams(delta_time=1 / 60))
+    return np.asarray(EffectRenderer(asset, CFG).render(pool, cam(), SimParams()))
+
+
+def test_stock_meshes():
+    assert ParticleMesh.quad().num_quads == 1
+    assert ParticleMesh.cross().num_quads == 2
+    assert ParticleMesh.cube().num_quads == 6
+    m2 = ParticleMesh.from_json(ParticleMesh.cube().to_json())
+    np.testing.assert_array_equal(m2.offsets, ParticleMesh.cube().offsets)
+
+
+def test_default_quad_mesh_is_noop():
+    asset = one_particle_asset()
+    img_none = render_one(asset)
+    asset2 = one_particle_asset(mesh=ParticleMesh.quad())
+    img_quad = render_one(asset2)
+    np.testing.assert_array_equal(img_none, img_quad)
+
+
+def test_cross_mesh_expands_entries():
+    fx = CompiledEffect(one_particle_asset())
+    pool = fx.create_pool()
+    pool, _ = fx.step(pool, StepInputs.make(1, 0), SimParams(delta_time=1 / 60))
+    draw = extract_draw_data(one_particle_asset(), pool, cam())
+    ex = expand_mesh_draw(draw, ParticleMesh.cross())
+    assert ex.position.shape[0] == draw.position.shape[0] * 2
+    assert int(np.asarray(ex.alive).sum()) == 2
+
+
+def test_cube_mesh_renders_wider_than_quad():
+    # camera looks down -z; a cube shows front+back+4 edge-on faces; its
+    # screen footprint equals the quad's, but entries = 6 (opaque depth wins)
+    img_quad = render_one(one_particle_asset(size=0.5))
+    cube_asset = one_particle_asset(mesh=ParticleMesh.cube(), size=0.5)
+    cube_asset.render_modifiers = cube_asset.render_modifiers  # keep
+    img_cube = render_one(cube_asset)
+    cov_quad = (img_quad[..., 3] > 0).sum()
+    cov_cube = (img_cube[..., 3] > 0).sum()
+    assert cov_cube >= cov_quad > 0
+
+
+def test_mesh_serde_via_asset():
+    asset = one_particle_asset(mesh=ParticleMesh.cross())
+    back = EffectAsset.from_json(asset.to_json())
+    assert back.mesh is not None and back.mesh.num_quads == 2
+    assert back.to_json() == asset.to_json()
