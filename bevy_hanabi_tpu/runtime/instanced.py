@@ -84,6 +84,29 @@ class InstancedEffect:
         """Advance all instances one frame; returns (pools, events_out)."""
         return self._jit_step(pools, inputs, sim)
 
+    def step_chunk(self, pools: ParticlePool, inputs_stacked, sims_stacked):
+        """K frames x I instances in ONE dispatch (lax.scan over vmap).
+
+        Leaves of ``inputs_stacked`` are [K, I, ...]; of ``sims_stacked``
+        [K]. Amortizes dispatch latency like CompiledEffect.step_chunk.
+        """
+        vm = jax.vmap(
+            lambda pool, inputs, sim: self.effect._step(pool, inputs, sim, None, None),
+            in_axes=(0, 0, None),
+        )
+
+        def body(p, per_frame):
+            inputs, sim = per_frame
+            new_p, _ = vm(p, inputs, sim)
+            return new_p, None
+
+        if not hasattr(self, "_jit_chunk"):
+            self._jit_chunk = jax.jit(
+                lambda p, ii, ss: jax.lax.scan(body, p, (ii, ss))[0],
+                donate_argnums=(0,),
+            )
+        return self._jit_chunk(pools, inputs_stacked, sims_stacked)
+
     def alive_counts(self, pools: ParticlePool) -> jnp.ndarray:
         return jnp.sum(pools.alive, axis=-1, dtype=jnp.int32)
 

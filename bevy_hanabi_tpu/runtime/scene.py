@@ -62,6 +62,7 @@ class HanabiScene:
     def __init__(self, seed: int = 0) -> None:
         self._rng = np.random.default_rng(seed)
         self._effects: Dict[str, EffectInstance] = {}
+        self._groups: Dict[str, dict] = {}  # instanced groups
         self._order: List[str] = []  # parents before children
         self.clock = EffectSimulationClock()
         self._frame = 0
@@ -133,6 +134,70 @@ class HanabiScene:
         else:
             self._order.append(name)
         return name
+
+    def add_group(
+        self,
+        asset: EffectAsset,
+        count: int,
+        name: Optional[str] = None,
+        transforms: Optional[Any] = None,
+        capacity: Optional[int] = None,
+    ) -> str:
+        """Add ``count`` instances of one asset stepped as ONE dispatch.
+
+        The Batcher analogue (reference render/batch.rs): instances share the
+        executable via vmap and their spawners tick in one native pass.
+        GLOBAL simulation space only (per-instance transforms bake in at
+        spawn); event-linked assets are not batchable (route via add()).
+        """
+        from .instanced import InstancedEffect
+        from ..spawn import make_spawner_bank
+
+        if asset.emits_gpu_spawn_events():
+            raise ValueError("event-emitting assets cannot be grouped; use add()")
+        if asset.simulation_space is not SimulationSpace.GLOBAL:
+            raise ValueError("instanced groups require GLOBAL simulation space")
+        name = name or f"{asset.name}[group]#{len(self._groups)}"
+        if name in self._groups or name in self._effects:
+            raise ValueError(f"effect {name!r} already exists")
+        fx = InstancedEffect(asset, count, capacity)
+        if transforms is None:
+            tfs = jnp.broadcast_to(identity_transform(), (count, 3, 4))
+        else:
+            tfs = jnp.asarray(transforms, jnp.float32).reshape(count, 3, 4)
+        self._groups[name] = {
+            "asset": asset,
+            "fx": fx,
+            "pools": fx.create_pools(),
+            "bank": make_spawner_bank(
+                asset.spawner, count, seed=int(self._rng.integers(0, 2**63))
+            ),
+            "transforms": tfs,
+            "properties": EffectProperties(
+                [Property(n, v) for n, v in asset.module.properties().items()]
+            ),
+            "visible": True,
+            "renderer": None,
+        }
+        self._new_effect_added = True
+        return name
+
+    def group_alive(self, name: str) -> int:
+        g = self._groups[name]
+        return int(g["fx"].total_alive(g["pools"]))
+
+    def _group_flat_pool(self, g) -> ParticlePool:
+        """View a group's [I, N, ...] pools as one flat pool for rendering."""
+        pools = g["pools"]
+        i, n = pools.alive.shape
+        return ParticlePool(
+            attrs={
+                k: v.reshape((i * n,) + v.shape[2:]) for k, v in pools.attrs.items()
+            },
+            alive=pools.alive.reshape(i * n),
+            seed=pools.seed.reshape(i * n),
+            counter=jnp.zeros((), jnp.uint32),
+        )
 
     def remove(self, name: str) -> None:
         children = [e.name for e in self._effects.values() if e.parent == name]
@@ -213,6 +278,22 @@ class HanabiScene:
                     sim,
                 )
             inst.last_events = events_out
+
+        # Instanced groups: one dispatch per group.
+        for g in self._groups.values():
+            if (
+                not g["visible"]
+                and g["asset"].simulation_condition
+                is SimulationCondition.WHEN_VISIBLE
+            ):
+                continue
+            counts = g["bank"].tick(self.clock.delta)
+            n = g["fx"].num_instances
+            seeds = self._rng.integers(0, 2**32, size=n, dtype=np.uint32)
+            inputs = g["fx"].make_inputs(
+                counts, seeds, g["transforms"], g["properties"].as_dict()
+            )
+            g["pools"], _ = g["fx"].step(g["pools"], inputs, sim)
         self.debug.on_frame_end()
 
     def warmup(self) -> None:
@@ -258,7 +339,21 @@ class HanabiScene:
                 transform=inst.transform,
                 framebuffer=fb,
             )
+        for g in self._groups.values():
+            if not g["visible"]:
+                continue
+            if g["renderer"] is None or g["renderer"].config != config:
+                g["renderer"] = EffectRenderer(g["asset"], config)
+            fb = g["renderer"].render(
+                self._group_flat_pool(g),
+                camera,
+                sim=sim,
+                properties=g["properties"].as_dict(),
+                framebuffer=fb,
+            )
         return fb
 
     def total_alive(self) -> int:
-        return sum(e.alive_count() for e in self.effects())
+        return sum(e.alive_count() for e in self.effects()) + sum(
+            self.group_alive(n) for n in self._groups
+        )

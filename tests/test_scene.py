@@ -263,3 +263,57 @@ def test_ribbon_renders_continuous_line():
     # continuous from ~px 8 to ~px 56
     assert xs.min() < 10 and xs.max() > 54
     assert np.all(np.diff(xs) == 1)
+
+
+def test_instanced_group_in_scene():
+    """BASELINE config 5 shape: hundreds of instances, one dispatch."""
+    from bevy_hanabi_tpu.models import instancing_effect
+    import jax.numpy as jnp
+
+    scene = HanabiScene(seed=5)
+    asset = instancing_effect(capacity=256)
+    # ring of 64 instances at different world positions
+    n = 64
+    tfs = np.tile(np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1), (n, 1, 1))
+    angles = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    tfs[:, 0, 3] = 5 * np.cos(angles)
+    tfs[:, 2, 3] = 5 * np.sin(angles)
+    scene.add_group(asset, n, "ring", transforms=tfs)
+    for _ in range(30):
+        scene.update(DT)
+    alive = scene.group_alive("ring")
+    assert alive > n * 30  # each instance spawning
+    assert scene.total_alive() == alive
+    # positions baked per instance transform: spread across the ring
+    flat = scene._group_flat_pool(scene._groups["ring"])
+    pos = np.asarray(flat.get("position"))[np.asarray(flat.alive)]
+    assert pos[:, 0].min() < -4 and pos[:, 0].max() > 4
+
+
+def test_group_rejects_event_assets_and_local_space():
+    from bevy_hanabi_tpu.models import firework_effect, instancing_effect
+    from bevy_hanabi_tpu.asset import SimulationSpace
+
+    scene = HanabiScene()
+    with pytest.raises(ValueError):
+        scene.add_group(firework_effect(512), 4)
+    a = instancing_effect(128).with_simulation_space(SimulationSpace.LOCAL)
+    with pytest.raises(ValueError):
+        scene.add_group(a, 4)
+
+
+def test_group_renders():
+    from bevy_hanabi_tpu.models import instancing_effect
+    from bevy_hanabi_tpu.render import CameraParams, RasterConfig, look_at, orthographic
+
+    scene = HanabiScene(seed=6)
+    scene.add_group(instancing_effect(capacity=128), 4, "g")
+    for _ in range(30):
+        scene.update(DT)
+    cam = CameraParams(
+        look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        orthographic(-2, 2, -2, 2, 0.1, 10.0),
+        (64, 64),
+    )
+    img = np.asarray(scene.render(cam, RasterConfig(width=64, height=64, tile_size=16)))
+    assert (img[..., :3] > 0.05).any()
