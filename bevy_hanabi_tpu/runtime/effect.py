@@ -34,6 +34,28 @@ from .pool import ParticlePool
 __all__ = ["CompiledEffect", "StepInputs", "identity_transform"]
 
 
+def _exclusive_rank(mask: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive prefix count of True lanes (the spawn ranking).
+
+    For large pools a flat ``jnp.cumsum`` over [N] scans one long vector; a
+    two-level blocked scan ([B, N/B] in-block cumsum + tiny block-offset
+    scan) tiles far better on the VPU — the same layout win that makes the
+    vmapped instanced step ~3x faster than the flat pool.
+    """
+    x = mask.astype(jnp.int32)
+    n = x.shape[-1]
+    block = 4096
+    if n % block != 0 or n <= block:
+        return jnp.cumsum(x) - x
+    b = n // block
+    x2 = x.reshape(b, block)
+    incl = jnp.cumsum(x2, axis=1)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(incl[:, -1])[:-1]]
+    )
+    return (incl - x2 + offsets[:, None]).reshape(n)
+
+
 def identity_transform() -> jnp.ndarray:
     """Emitter transform: rows of a 3x4 [R|t] matrix (GpuCompressedTransform
     analogue, render/mod.rs:291)."""
@@ -183,7 +205,7 @@ class CompiledEffect:
 
         # ---- spawn ranking (replaces dead-list atomics) ----
         dead = jnp.logical_not(pool.alive)
-        free_rank = jnp.cumsum(dead.astype(jnp.int32)) - 1  # 0-based among dead
+        free_rank = _exclusive_rank(dead)  # 0-based among dead
         num_free = jnp.sum(dead, dtype=jnp.int32)
 
         if self.consumes_events:
