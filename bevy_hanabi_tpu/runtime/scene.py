@@ -200,6 +200,9 @@ class HanabiScene:
         )
 
     def remove(self, name: str) -> None:
+        if name in self._groups:
+            del self._groups[name]
+            return
         children = [e.name for e in self._effects.values() if e.parent == name]
         if children:
             raise ValueError(f"remove children first: {children}")
@@ -245,6 +248,8 @@ class HanabiScene:
         prev_events: Dict[str, Dict[int, EventBuffer]] = {
             n: dict(e.last_events) for n, e in self._effects.items()
         }
+        from ..utils.profiling import profile_span
+
         for name in self._order:
             inst = self._effects[name]
             if (
@@ -254,29 +259,35 @@ class HanabiScene:
             ):
                 continue
             frame_seed = np.uint32(self._rng.integers(0, 2**32))
-            if inst.parent is not None:
-                parent = self._effects[inst.parent]
-                events_in = prev_events[inst.parent].get(inst.child_channel)
-                if events_in is None:
-                    events_in = EventBuffer.empty(parent.pool.capacity)
-                inst.pool, events_out = inst.fx.step(
-                    inst.pool,
-                    StepInputs.make(
-                        0, frame_seed, inst.transform, inst.properties.as_dict()
-                    ),
-                    sim,
-                    events_in=events_in,
-                    parent_pool=parent.pool,
-                )
-            else:
-                n_spawn = inst.spawner.tick(self.clock.delta) if inst.spawner else 0
-                inst.pool, events_out = inst.fx.step(
-                    inst.pool,
-                    StepInputs.make(
-                        n_spawn, frame_seed, inst.transform, inst.properties.as_dict()
-                    ),
-                    sim,
-                )
+            with profile_span(f"hanabi:step:{name}"):
+                if inst.parent is not None:
+                    parent = self._effects[inst.parent]
+                    events_in = prev_events[inst.parent].get(inst.child_channel)
+                    if events_in is None:
+                        events_in = EventBuffer.empty(parent.pool.capacity)
+                    inst.pool, events_out = inst.fx.step(
+                        inst.pool,
+                        StepInputs.make(
+                            0, frame_seed, inst.transform, inst.properties.as_dict()
+                        ),
+                        sim,
+                        events_in=events_in,
+                        parent_pool=parent.pool,
+                    )
+                else:
+                    n_spawn = (
+                        inst.spawner.tick(self.clock.delta) if inst.spawner else 0
+                    )
+                    inst.pool, events_out = inst.fx.step(
+                        inst.pool,
+                        StepInputs.make(
+                            n_spawn,
+                            frame_seed,
+                            inst.transform,
+                            inst.properties.as_dict(),
+                        ),
+                        sim,
+                    )
             inst.last_events = events_out
 
         # Instanced groups: one dispatch per group.

@@ -81,3 +81,29 @@ def test_scene_checkpoint_roundtrip(tmp_path):
     # both continue identically given identical frame seeds
     scene2.update(DT)
     assert abs(scene2.clock.time - (t0 + DT)) < 1e-9
+
+
+def test_compaction_primitives():
+    import jax.numpy as jnp
+    from bevy_hanabi_tpu.ops.compaction import compact_indices, exclusive_rank
+
+    m = np.random.default_rng(0).random(10000) < 0.3
+    rank = np.asarray(exclusive_rank(jnp.asarray(m)))
+    np.testing.assert_array_equal(rank, np.cumsum(m) - m)
+    idx, count = compact_indices(jnp.asarray(m))
+    idx = np.asarray(idx)
+    want = np.flatnonzero(m)
+    assert int(count) == len(want)
+    np.testing.assert_array_equal(idx[: len(want)], want)
+    assert (idx[len(want):] == 10000).all()
+
+
+def test_scene_remove_group():
+    from bevy_hanabi_tpu.models import instancing_effect
+
+    scene = make_scene()
+    scene.add_group(instancing_effect(128), 4, "g")
+    scene.update(DT)
+    assert scene.group_alive("g") >= 0
+    scene.remove("g")
+    assert scene.total_alive() >= 0  # group gone, no KeyError
