@@ -22,7 +22,7 @@ lane-major array; XLA tiles it [8,128] with no gather).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import ClassVar, Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np

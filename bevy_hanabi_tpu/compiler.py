@@ -20,7 +20,7 @@ broadcast lazily; XLA fuses the broadcasts away.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional
 
 import jax

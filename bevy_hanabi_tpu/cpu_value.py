@@ -9,7 +9,7 @@ for SetColor/SetSizeModifier).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Tuple, Union
+from typing import Any, Tuple
 
 import numpy as np
 

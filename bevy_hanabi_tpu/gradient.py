@@ -9,7 +9,7 @@ into the surrounding render math.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, List, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

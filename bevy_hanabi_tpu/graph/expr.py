@@ -17,8 +17,8 @@ Handles are 1-based integers, mirroring the reference's ``NonZeroU32``.
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple, Union
 
 from ..attributes import Attribute
 from ..values import (
@@ -432,7 +432,7 @@ class Module:
 
     @staticmethod
     def from_json(data: Dict[str, Any]) -> "Module":
-        from ..values import MatrixType, MatrixValue, ScalarValue, VectorValue
+        from ..values import MatrixValue, ScalarValue, VectorValue
 
         def value_from(j):
             vt = value_type_from_str(j["t"])

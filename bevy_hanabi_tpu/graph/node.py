@@ -8,7 +8,7 @@ Useful as the backing model for visual effect editors.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 from ..attributes import Attribute

@@ -29,7 +29,6 @@ from ..modifiers import (
     SizeOverLifetimeModifier,
 )
 from ..spawn import SpawnerSettings
-from ..values import VEC3F
 
 __all__ = [
     "spawn_gravity_effect",

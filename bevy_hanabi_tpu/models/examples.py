@@ -10,13 +10,12 @@ the demo drivers at the bottom and tests/test_examples.py.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 import jax.numpy as jnp
 
 from .. import attributes as A
-from ..asset import AlphaMode, EffectAsset, SimulationCondition
+from ..asset import AlphaMode, EffectAsset
 from ..cpu_value import CpuValue
 from ..gradient import Gradient
 from ..graph import ExprWriter

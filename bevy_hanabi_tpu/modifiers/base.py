@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Any, Callable, ClassVar, Dict, Tuple, Type
+from typing import Any, ClassVar, Dict, Tuple, Type
 
 from ..attributes import Attribute
 from ..gradient import Gradient

@@ -10,7 +10,7 @@ on the context and applied inside the raster kernel.
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -18,7 +18,6 @@ import jax.numpy as jnp
 from ..attributes import Attribute
 from ..cpu_value import CpuValue
 from ..gradient import Gradient
-from ..values import FLOAT, VEC3F, VEC4F
 from .base import (
     Modifier,
     ModifierContext,

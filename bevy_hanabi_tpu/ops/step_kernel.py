@@ -30,7 +30,7 @@ effects fall back to the XLA step).
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,9 +38,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..asset import MotionIntegration, SimulationSpace
+from ..asset import MotionIntegration
 from ..compiler import InitContext, SimParams, UpdateContext
-from ..values import ScalarType
 from . import rng
 
 __all__ = ["FusedStep"]

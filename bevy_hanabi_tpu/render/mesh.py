@@ -14,7 +14,6 @@ space into world space.
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np

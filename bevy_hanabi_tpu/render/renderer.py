@@ -7,13 +7,12 @@ float framebuffer; HDR colors pass through linearly (tonemap separately).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 
-from ..asset import EffectAsset, SimulationSpace
+from ..asset import EffectAsset
 from ..compiler import SimParams
 from ..runtime.pool import ParticlePool
 from .camera import CameraParams

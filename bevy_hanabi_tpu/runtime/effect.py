@@ -17,16 +17,14 @@ Spawn without atomics (vfx_init.wgsl:141-143's dead-list pop):
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..asset import EffectAsset, MotionIntegration, SimulationSpace
-from ..attributes import Attribute, ParticleLayout
+from ..attributes import ParticleLayout
 from ..compiler import InitContext, SimParams, UpdateContext
-from ..modifiers.base import ModifierContext
 from ..ops import rng
 from .events import EventBuffer, build_event_buffer, consume_events
 from .pool import ParticlePool

@@ -15,14 +15,13 @@ mesh — three things the reference's GPU slabs cannot do.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..attributes import Attribute, ParticleLayout
-from ..values import ScalarType, VectorType
 
 __all__ = ["ParticlePool"]
 

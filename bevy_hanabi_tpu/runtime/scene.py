@@ -21,7 +21,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..asset import EffectAsset, SimulationCondition, SimulationSpace
-from ..compiler import SimParams
 from ..properties import EffectProperties, Property
 from ..spawn import EffectSpawner
 from ..time import EffectSimulationClock
