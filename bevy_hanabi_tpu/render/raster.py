@@ -26,9 +26,15 @@ from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from ..ops.sort import VMEM_SORT_MAX, bitonic_sort_pairs
 from .camera import CameraParams
 from .extract import ParticleDrawData
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
 
 __all__ = ["RasterConfig", "rasterize"]
 
@@ -49,6 +55,10 @@ class RasterConfig:
     # Entries composited per loop iteration: XLA fuses the unrolled chain into
     # one framebuffer pass, dividing blend-loop HBM traffic by this factor.
     blend_unroll: int = 8
+    # Experimental: single-kernel VMEM bitonic sort for the (tile, depth)
+    # entry ordering (ops/sort.py). Currently no faster than lax.sort on
+    # v5e (pltpu.roll serializes) — off by default.
+    use_pallas_sort: bool = False
     background: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
 
     @property
@@ -145,9 +155,46 @@ def rasterize(
     depths = jnp.concatenate(entry_depth)
 
     # ---- 3. sort by (tile asc, depth desc) => back-to-front per tile ----
-    tile_sorted, negdepth_sorted, pidx_sorted = jax.lax.sort(
-        (tile_ids, -depths, pidxs), num_keys=2
+    num_raw = tile_ids.shape[0]
+    use_pallas = (
+        config.use_pallas_sort
+        and jax.default_backend() == "tpu"
+        and _next_pow2(num_raw) <= VMEM_SORT_MAX
     )
+    if use_pallas:
+        # Single-kernel VMEM bitonic sort on a packed (tile | quantized-depth)
+        # key: lax.sort's ~30-40ms of per-pass overhead collapses to <1ms.
+        # Depth quantizes to the bits left under the tile id; ties blend in
+        # arbitrary order (only equal-depth overlaps are affected).
+        tile_bits = max(1, int(np.ceil(np.log2(nt + 2))))
+        depth_bits = 32 - tile_bits
+        finite = depths > -jnp.inf
+        dmin = jnp.min(jnp.where(finite, depths, jnp.inf))
+        dmax = jnp.max(jnp.where(finite, depths, -jnp.inf))
+        span_d = jnp.maximum(dmax - dmin, 1e-9)
+        scale = jnp.float32((1 << depth_bits) - 1)
+        dq = (jnp.clip((depths - dmin) / span_d, 0.0, 1.0) * scale).astype(jnp.uint32)
+        # back-to-front: larger depth first => invert quantized depth
+        key = (tile_ids.astype(jnp.uint32) << depth_bits) | (
+            scale.astype(jnp.uint32) - dq
+        )
+        n_pad = _next_pow2(num_raw)
+        if n_pad != num_raw:
+            key = jnp.concatenate(
+                [key, jnp.full((n_pad - num_raw,), 0xFFFFFFFF, jnp.uint32)]
+            )
+            pidxs_p = jnp.concatenate(
+                [pidxs, jnp.zeros((n_pad - num_raw,), jnp.int32)]
+            )
+        else:
+            pidxs_p = pidxs
+        key_sorted, pidx_sorted = bitonic_sort_pairs(key, pidxs_p)
+        tile_sorted = (key_sorted >> depth_bits).astype(tile_ids.dtype)
+        tile_sorted = jnp.minimum(tile_sorted, nt)  # padding decodes past nt
+    else:
+        tile_sorted, _negdepth_sorted, pidx_sorted = jax.lax.sort(
+            (tile_ids, -depths, pidxs), num_keys=2
+        )
     starts = jnp.searchsorted(tile_sorted, jnp.arange(nt, dtype=tile_sorted.dtype))
     ends = jnp.searchsorted(
         tile_sorted, jnp.arange(1, nt + 1, dtype=tile_sorted.dtype)
