@@ -20,8 +20,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 # The axon TPU plugin (registered by a sitecustomize hook) overrides the
-# JAX_PLATFORMS env var; the config update is authoritative.
-jax.config.update("jax_platforms", "cpu")
+# JAX_PLATFORMS env var; the config update is authoritative. Backends lock
+# at first init, so the on-device suite (HANABI_TPU_TESTS=1, see
+# test_tpu_device.py) must keep the TPU platform registered.
+if os.environ.get("HANABI_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    assert (
+        jax.default_backend() == "cpu"
+    ), "unit tests must not run over the TPU tunnel"
 jax.config.update("jax_enable_x64", False)
-
-assert jax.default_backend() == "cpu", "unit tests must not run over the TPU tunnel"

@@ -1,0 +1,91 @@
+"""Tier-3 on-device tests (SURVEY.md §4): run the real TPU and read back.
+
+Skipped unless HANABI_TPU_TESTS=1 — the axon tunnel makes these slow
+(compiles may take minutes without a warm cache). Run manually:
+
+    HANABI_TPU_TESTS=1 python -m pytest tests/test_tpu_device.py -q
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+if os.environ.get("HANABI_TPU_TESTS") != "1":
+    pytest.skip("set HANABI_TPU_TESTS=1 to run device tests", allow_module_level=True)
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def tpu():
+    devs = [d for d in jax.devices() if d.platform != "cpu"]
+    if not devs:
+        pytest.skip("no TPU device")
+    return devs[0]
+
+
+def test_step_device_matches_cpu(tpu):
+    """The jitted step produces identical masks/seeds on TPU and CPU."""
+    import jax.numpy as jnp
+
+    from bevy_hanabi_tpu.compiler import SimParams
+    from bevy_hanabi_tpu.models import spawn_gravity_effect
+    from bevy_hanabi_tpu.runtime import CompiledEffect, StepInputs
+
+    asset = spawn_gravity_effect(capacity=4096, rate=0.0)
+    fx = CompiledEffect(asset)
+
+    def run(device):
+        with jax.default_device(device):
+            pool = fx.create_pool()
+            for i, s in enumerate([700, 0, 300]):
+                pool, _ = fx.step(
+                    pool,
+                    StepInputs.make(s, i * 31 + 5),
+                    SimParams(time=i / 60, delta_time=1 / 60),
+                )
+            return (
+                np.asarray(pool.alive),
+                np.asarray(pool.seed),
+                np.asarray(pool.get("position")),
+            )
+
+    cpu = jax.devices("cpu")[0]
+    a_t, s_t, p_t = run(tpu)
+    a_c, s_c, p_c = run(cpu)
+    # integer state is bit-exact across devices
+    np.testing.assert_array_equal(a_t, a_c)
+    np.testing.assert_array_equal(s_t, s_c)
+    # float trajectories agree to TPU transcendental precision (the VPU's
+    # sin/cos/log approximations differ from the host's libm at ~1e-3 rel)
+    np.testing.assert_allclose(p_t[a_t], p_c[a_c], rtol=1e-2, atol=1e-3)
+
+
+def test_render_device_readback(tpu):
+    """One frame rendered on the TPU reads back with expected coverage."""
+    import jax.numpy as jnp
+
+    from bevy_hanabi_tpu.compiler import SimParams
+    from bevy_hanabi_tpu.models import gradient_effect
+    from bevy_hanabi_tpu.render import (
+        CameraParams,
+        RasterConfig,
+        look_at,
+        perspective,
+    )
+    from bevy_hanabi_tpu.render.renderer import EffectRenderer
+    from bevy_hanabi_tpu.runtime import CompiledEffect, StepInputs
+
+    with jax.default_device(tpu):
+        asset = gradient_effect(capacity=8192)
+        fx = CompiledEffect(asset)
+        pool = fx.create_pool()
+        pool, _ = fx.step(pool, StepInputs.make(8192, 0), SimParams(delta_time=1 / 60))
+        cam = CameraParams(
+            look_at((0, 0, 6), (0, 0, 0)), perspective(0.9, 1.0, 0.1, 100.0), (128, 128)
+        )
+        cfg = RasterConfig(width=128, height=128, tile_size=16, max_entries_per_tile=64)
+        img = np.asarray(EffectRenderer(asset, cfg).render(pool, cam, SimParams()))
+    assert img.shape == (128, 128, 4)
+    assert (img[..., 3] > 0).sum() > 100  # particles visible
