@@ -314,19 +314,31 @@ def example_lightning(particles_per_bolt: int = 256) -> EffectAsset:
     w = ExprWriter()
     w.add_property("wave_seed", 0.0)
     n = float(particles_per_bolt)
+    cells = 8  # zig-zag control points, interpolated like the reference
     idx = (w.attr(A.PARTICLE_COUNTER) % w.lit(particles_per_bolt, UINT)).cast(FLOAT)
     progress = idx / (n - 1.0)
     seed_i = ((w.prop("wave_seed") + 100.0) * 1000.0).cast(UINT)
 
-    def hash_expr(mult: int, modulus: int):
+    def cell_hash(cell_expr, mult: int, modulus: int):
+        """Pseudo-random in [-1,1] per integer cell id (expression-only)."""
         h = (
-            w.attr(A.PARTICLE_COUNTER) * w.lit(mult, UINT)
-            + seed_i * w.lit(67891, UINT)
+            cell_expr.cast(UINT) * w.lit(mult, UINT) + seed_i * w.lit(67891, UINT)
         ) % w.lit(modulus, UINT)
-        return h.cast(FLOAT) / float(modulus)
+        return h.cast(FLOAT) / float(modulus) * 2.0 - 1.0
 
-    x = (hash_expr(12345, 10111) * 2.0 - 1.0) * 0.8 * (progress * (1.0 - progress) * 4.0)
-    z = (hash_expr(54321, 7919) * 2.0 - 1.0) * 0.4 * (progress * (1.0 - progress) * 4.0)
+    # piecewise-linear jitter: interpolate hashes of the surrounding cells
+    cpos = progress * float(cells)
+    c0 = cpos.floor()
+    t = cpos - c0
+
+    def jitter(mult: int, modulus: int):
+        a = cell_hash(c0, mult, modulus)
+        b = cell_hash(c0 + 1.0, mult, modulus)
+        return a.mix(b, t)
+
+    envelope = progress * (1.0 - progress) * 4.0
+    x = jitter(12345, 10111) * 0.8 * envelope
+    z = jitter(54321, 7919) * 0.4 * envelope
     y = 8.0 - progress * 8.0
     pos = x.vec3(y, z)
     bolt_life = 0.35

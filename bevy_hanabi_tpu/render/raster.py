@@ -167,7 +167,8 @@ def rasterize(
         # Depth quantizes to the bits left under the tile id; ties blend in
         # arbitrary order (only equal-depth overlaps are affected).
         tile_bits = max(1, int(np.ceil(np.log2(nt + 2))))
-        depth_bits = 32 - tile_bits
+        # cap depth bits at 22 so the f32 quantization math stays exact
+        depth_bits = min(22, 32 - tile_bits)
         finite = depths > -jnp.inf
         dmin = jnp.min(jnp.where(finite, depths, jnp.inf))
         dmax = jnp.max(jnp.where(finite, depths, -jnp.inf))
