@@ -306,6 +306,89 @@ class HanabiScene:
             g["pools"], _ = g["fx"].step(g["pools"], inputs, sim)
         self.debug.on_frame_end()
 
+    def update_chunk(self, frames: int, dt: float) -> None:
+        """Advance ``frames`` frames with ONE device dispatch per effect.
+
+        The production-serving path: spawner ticks for all frames are
+        precomputed on the host and the jitted steps run under ``lax.scan``
+        (≈12 ms dispatch latency amortized over the chunk). Requires a scene
+        without GPU spawn events (event routing needs per-frame boundaries;
+        use :meth:`update` there).
+        """
+        for inst in self._effects.values():
+            if inst.parent is not None or inst.asset.emits_gpu_spawn_events():
+                raise ValueError(
+                    f"effect {inst.name!r} is event-linked; update_chunk "
+                    "requires an event-free scene"
+                )
+        def paused(visible, asset):
+            return (
+                not visible
+                and asset.simulation_condition is SimulationCondition.WHEN_VISIBLE
+            )
+
+        # Visibility is constant across the chunk: WhenVisible + hidden means
+        # the effect is not stepped at all (matching the per-frame path).
+        active_effects = [
+            n
+            for n in self._order
+            if not paused(self._effects[n].visible, self._effects[n].asset)
+        ]
+        active_groups = [
+            n
+            for n, g in self._groups.items()
+            if not paused(g["visible"], g["asset"])
+        ]
+
+        sims = []
+        per_effect_inputs = {n: [] for n in active_effects}
+        per_group_inputs = {n: [] for n in active_groups}
+        for _ in range(frames):
+            sim = self.clock.advance(dt)
+            sims.append(sim)
+            for name in active_effects:
+                inst = self._effects[name]
+                n_spawn = (
+                    inst.spawner.tick(self.clock.delta) if inst.spawner else 0
+                )
+                per_effect_inputs[name].append(
+                    StepInputs.make(
+                        n_spawn,
+                        np.uint32(self._rng.integers(0, 2**32)),
+                        inst.transform,
+                        inst.properties.as_dict(),
+                    )
+                )
+            for gname in active_groups:
+                g = self._groups[gname]
+                n = g["fx"].num_instances
+                per_group_inputs[gname].append(
+                    g["fx"].make_inputs(
+                        g["bank"].tick(self.clock.delta),
+                        self._rng.integers(0, 2**32, size=n, dtype=np.uint32),
+                        g["transforms"],
+                        g["properties"].as_dict(),
+                    )
+                )
+        self._frame += frames
+        for name in active_effects:
+            inst = self._effects[name]
+            ii, ss = CompiledEffect.stack_frames(per_effect_inputs[name], sims)
+            inst.pool = inst.fx.step_chunk(inst.pool, ii, ss)
+        import jax
+        import jax.numpy as _jnp
+
+        for gname in active_groups:
+            g = self._groups[gname]
+            ii = jax.tree_util.tree_map(
+                lambda *xs: _jnp.stack(xs), *per_group_inputs[gname]
+            )
+            ss = jax.tree_util.tree_map(
+                lambda *xs: _jnp.stack([_jnp.asarray(x, _jnp.float32) for x in xs]),
+                *sims,
+            )
+            g["pools"] = g["fx"].step_chunk(g["pools"], ii, ss)
+
     def warmup(self) -> None:
         """Compile every instance's step (replaces the readiness protocol)."""
         self.update(0.0)

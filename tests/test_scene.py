@@ -317,3 +317,72 @@ def test_group_renders():
     )
     img = np.asarray(scene.render(cam, RasterConfig(width=64, height=64, tile_size=16)))
     assert (img[..., :3] > 0.05).any()
+
+
+def test_update_chunk_matches_per_frame_totals():
+    """Chunked scene stepping advances identical spawner/clock state."""
+    from bevy_hanabi_tpu.models import instancing_effect, spawn_gravity_effect
+
+    def build():
+        scene = HanabiScene(seed=7)
+        scene.add(spawn_gravity_effect(512, 300.0), "fx")
+        scene.add_group(instancing_effect(128), 4, "g")
+        return scene
+
+    a = build()
+    for _ in range(30):
+        a.update(DT)
+    b = build()
+    b.update_chunk(30, DT)
+    # same spawner math => same alive counts (RNG streams differ per frame
+    # seeds, but counts depend only on spawner state)
+    assert a["fx"].alive_count() == b["fx"].alive_count()
+    assert a.group_alive("g") == b.group_alive("g")
+    assert abs(a.clock.time - b.clock.time) < 1e-9
+
+
+def test_update_chunk_rejects_event_scenes():
+    from bevy_hanabi_tpu.models import firework_effect, firework_trail_effect
+
+    scene = HanabiScene()
+    scene.add(firework_effect(512), "p")
+    scene.add(firework_trail_effect(512), "c", parent="p")
+    with pytest.raises(ValueError):
+        scene.update_chunk(10, DT)
+
+
+def test_screen_space_size_end_to_end():
+    from bevy_hanabi_tpu.modifiers import ScreenSpaceSizeModifier
+    from bevy_hanabi_tpu.render import perspective
+
+    # two particles at different depths; screen-space size => SAME pixel size
+    w = ExprWriter()
+    asset = (
+        EffectAsset("sss", 8, SpawnerSettings.once(2.0), w.finish())
+        .init(
+            SetAttributeModifier(
+                A.POSITION,
+                (w.attr(A.ID).cast(__import__("bevy_hanabi_tpu").FLOAT) * 0.0)
+                .vec3(0.0, w.attr(A.ID).cast(__import__("bevy_hanabi_tpu").FLOAT) * -6.0)
+                .expr(),
+            )
+        )
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(9.0).expr()))
+        .init(SetAttributeModifier(A.SIZE, w.lit(40.0).expr()))  # pixels
+        .render(ScreenSpaceSizeModifier())
+    )
+    scene = HanabiScene(seed=1)
+    scene.add(asset, "fx")
+    scene.update(DT)
+    cam = CameraParams(
+        look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        perspective(0.9, 1.0, 0.1, 100.0),
+        (64, 64),
+    )
+    img = np.asarray(
+        scene.render(cam, RasterConfig(width=64, height=64, tile_size=16, tile_span=4))
+    )
+    cov = img[..., 3] > 0
+    # each particle covers ~the same pixel area despite 6 units depth gap
+    cols = np.where(cov.any(axis=0))[0]
+    assert cov.sum() > 100  # both visible and sizeable
