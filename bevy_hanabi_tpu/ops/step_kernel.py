@@ -54,7 +54,8 @@ def _planes(attr) -> int:
 class FusedStep:
     """Builds and calls the fused Pallas step for one CompiledEffect."""
 
-    def __init__(self, effect, tile_rows: int = 64, interpret: bool = False):
+    def __init__(self, effect, tile_rows: int = 64, interpret: bool = False,
+                 vmem_limit_bytes: int = 100 * 1024 * 1024):
         if effect.num_event_channels or effect.consumes_events:
             raise ValueError("fused kernel does not support event-linked effects")
         self.effect = effect
@@ -62,6 +63,7 @@ class FusedStep:
         self.layout = effect.layout
         self.tile_rows = tile_rows
         self.interpret = interpret
+        self.vmem_limit_bytes = vmem_limit_bytes
 
         # Stable attribute ordering and plane decomposition.
         self.attrs = list(self.layout.storage_attributes())
@@ -187,6 +189,9 @@ class FusedStep:
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=self.vmem_limit_bytes
+            ),
             interpret=self.interpret,
         )(fparams, uparams, *planes, alive32, seed)
 

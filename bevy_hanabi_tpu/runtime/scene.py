@@ -47,6 +47,8 @@ class EffectInstance:
     parent: Optional[str] = None
     child_channel: int = 0
     visible: bool = True
+    # per-instance RNG for frame seeds (pinned when asset.prng_seed is set)
+    rng: Any = None
     # events emitted by this instance's LAST step, per channel
     last_events: Dict[int, EventBuffer] = field(default_factory=dict)
     renderer: Any = None
@@ -103,8 +105,15 @@ class HanabiScene:
             )
         fx = CompiledEffect.get(asset, parent_layout=parent_layout)
         pool = fx.create_pool(capacity)
+        # asset.prng_seed pins the instance's random streams (asset.rs PRNG
+        # seed knob); otherwise they derive from the scene RNG.
+        inst_seed = (
+            asset.prng_seed
+            if asset.prng_seed is not None
+            else int(self._rng.integers(0, 2**63))
+        )
         spawner = None if parent is not None else EffectSpawner(
-            asset.spawner, rng=np.random.default_rng(self._rng.integers(0, 2**63))
+            asset.spawner, rng=np.random.default_rng(inst_seed)
         )
         props = EffectProperties(
             [Property(n, v) for n, v in asset.module.properties().items()]
@@ -124,6 +133,7 @@ class HanabiScene:
             textures=tuple(textures),
             parent=parent,
             child_channel=child_channel,
+            rng=np.random.default_rng(inst_seed + 1),
         )
         self._effects[name] = inst
         self._new_effect_added = True
@@ -257,7 +267,7 @@ class HanabiScene:
                 is SimulationCondition.WHEN_VISIBLE
             ):
                 continue
-            frame_seed = np.uint32(self._rng.integers(0, 2**32))
+            frame_seed = np.uint32(inst.rng.integers(0, 2**32))
             with profile_span(f"hanabi:step:{name}"):
                 if inst.parent is not None:
                     parent = self._effects[inst.parent]
@@ -354,7 +364,7 @@ class HanabiScene:
                 per_effect_inputs[name].append(
                     StepInputs.make(
                         n_spawn,
-                        np.uint32(self._rng.integers(0, 2**32)),
+                        np.uint32(inst.rng.integers(0, 2**32)),
                         inst.transform,
                         inst.properties.as_dict(),
                     )

@@ -386,3 +386,34 @@ def test_screen_space_size_end_to_end():
     # each particle covers ~the same pixel area despite 6 units depth gap
     cols = np.where(cov.any(axis=0))[0]
     assert cov.sum() > 100  # both visible and sizeable
+
+
+def test_prng_seed_pins_instance_determinism():
+    """asset.prng_seed makes instances reproducible across scenes
+    (reference: EffectAsset PRNG seed knob)."""
+    from bevy_hanabi_tpu.modifiers import SetPositionSphereModifier, ShapeDimension
+
+    def build():
+        w = ExprWriter()
+        a = (
+            EffectAsset("pin", 64, SpawnerSettings.once(16.0), w.finish())
+            .init(SetAttributeModifier(A.LIFETIME, w.lit(9.0).expr()))
+            .init(
+                SetPositionSphereModifier(
+                    w.lit((0.0, 0.0, 0.0)).expr(), w.lit(1.0).expr(), ShapeDimension.VOLUME
+                )
+            )
+        )
+        a.prng_seed = 1234
+        return a
+
+    s1 = HanabiScene(seed=1)
+    s1.add(build(), "fx")
+    s2 = HanabiScene(seed=999)  # different scene seed
+    s2.add(build(), "fx")
+    for _ in range(5):
+        s1.update(DT)
+        s2.update(DT)
+    p1 = np.asarray(s1["fx"].pool.get("position"))
+    p2 = np.asarray(s2["fx"].pool.get("position"))
+    np.testing.assert_array_equal(p1, p2)
