@@ -317,3 +317,29 @@ def test_poison_pool_debug_mode():
     # spawning overwrites poison
     pool, _ = fx.step(pool, StepInputs.make(16, 0), SimParams(delta_time=DT))
     assert np.isfinite(np.asarray(pool.get("position"))).all()
+
+
+def test_edge_cases_zero_dt_negative_spawn_tiny_pool():
+    w = ExprWriter()
+    asset = (
+        EffectAsset("edge", 64, SpawnerSettings.once(0.0), w.finish())
+        .init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(1.0).expr()))
+    )
+    fx = CompiledEffect(asset)
+    pool = fx.create_pool()
+    # empty pool, zero spawns
+    pool, _ = fx.step(pool, StepInputs.make(0, 0), SimParams(delta_time=DT))
+    assert int(pool.alive_count()) == 0
+    # dt=0: spawns land, nothing ages
+    pool, _ = fx.step(pool, StepInputs.make(5, 1), SimParams(delta_time=0.0))
+    assert int(pool.alive_count()) == 5
+    alive_ages = np.asarray(pool.get("age"))[np.asarray(pool.alive)]
+    assert float(alive_ages.max()) == 0.0  # dt=0: spawned but not aged
+    # negative spawn count is a no-op
+    pool, _ = fx.step(pool, StepInputs.make(-3, 2), SimParams(delta_time=DT))
+    assert int(pool.alive_count()) == 5
+    # capacity-1 pool works
+    tiny = fx.create_pool(1)
+    tiny, _ = fx.step(tiny, StepInputs.make(10, 3), SimParams(delta_time=DT))
+    assert int(tiny.alive_count()) == 1
