@@ -151,6 +151,7 @@ class HanabiScene:
         name: Optional[str] = None,
         transforms: Optional[Any] = None,
         capacity: Optional[int] = None,
+        textures: Sequence[Any] = (),
     ) -> str:
         """Add ``count`` instances of one asset stepped as ONE dispatch.
 
@@ -186,6 +187,7 @@ class HanabiScene:
                 [Property(n, v) for n, v in asset.module.properties().items()]
             ),
             "visible": True,
+            "textures": tuple(textures),
             "renderer": None,
         }
         self._new_effect_added = True
@@ -446,7 +448,9 @@ class HanabiScene:
             if not g["visible"]:
                 continue
             if g["renderer"] is None or g["renderer"].config != config:
-                g["renderer"] = EffectRenderer(g["asset"], config)
+                g["renderer"] = EffectRenderer(
+                    g["asset"], config, textures=g["textures"]
+                )
             fb = g["renderer"].render(
                 self._group_flat_pool(g),
                 camera,

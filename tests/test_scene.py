@@ -417,3 +417,22 @@ def test_prng_seed_pins_instance_determinism():
     p1 = np.asarray(s1["fx"].pool.get("position"))
     p2 = np.asarray(s2["fx"].pool.get("position"))
     np.testing.assert_array_equal(p1, p2)
+
+
+def test_group_with_textures_renders():
+    from bevy_hanabi_tpu.models.examples import example_circle
+    from bevy_hanabi_tpu.models.texutils import make_anim_sprite_sheet
+    from bevy_hanabi_tpu.render import perspective
+
+    scene = HanabiScene(seed=8)
+    sheet = make_anim_sprite_sheet(frames=4, size=16)
+    scene.add_group(example_circle(4), 3, "g", textures=[sheet])
+    for _ in range(30):
+        scene.update(DT)
+    cam = CameraParams(
+        look_at((0.0, 1.0, 4.0), (0.0, 0.5, 0.0)),
+        perspective(1.0, 1.0, 0.1, 100.0),
+        (64, 64),
+    )
+    img = np.asarray(scene.render(cam, RasterConfig(width=64, height=64, tile_size=16)))
+    assert (img[..., :3] > 0.05).any()
