@@ -230,20 +230,37 @@ class HanabiScene:
         return [self._effects[n] for n in self._order]
 
     def set_property(self, name: str, prop: str, value) -> None:
-        self._effects[name].properties.set(prop, value)
+        if name in self._groups:
+            self._groups[name]["properties"].set(prop, value)
+        else:
+            self._effects[name].properties.set(prop, value)
 
     def set_transform(self, name: str, transform) -> None:
-        self._effects[name].transform = jnp.asarray(transform, jnp.float32)
+        if name in self._groups:
+            g = self._groups[name]
+            n = g["fx"].num_instances
+            g["transforms"] = jnp.asarray(transform, jnp.float32).reshape(n, 3, 4)
+        else:
+            self._effects[name].transform = jnp.asarray(transform, jnp.float32)
 
     def set_visible(self, name: str, visible: bool) -> None:
-        self._effects[name].visible = visible
+        if name in self._groups:
+            self._groups[name]["visible"] = visible
+        else:
+            self._effects[name].visible = visible
 
     def reset_spawner(self, name: str) -> None:
+        if name in self._groups:
+            self._groups[name]["bank"].reset()
+            return
         sp = self._effects[name].spawner
         if sp is not None:
             sp.reset()
 
     def set_spawner_active(self, name: str, active: bool) -> None:
+        if name in self._groups:
+            self._groups[name]["bank"].set_active(active)
+            return
         sp = self._effects[name].spawner
         if sp is not None:
             sp.set_active(active)

@@ -436,3 +436,31 @@ def test_group_with_textures_renders():
     )
     img = np.asarray(scene.render(cam, RasterConfig(width=64, height=64, tile_size=16)))
     assert (img[..., :3] > 0.05).any()
+
+
+def test_group_controls():
+    from bevy_hanabi_tpu.models import instancing_effect
+
+    scene = HanabiScene(seed=9)
+    scene.add_group(instancing_effect(128), 4, "g")
+    scene.set_spawner_active("g", False)
+    for _ in range(10):
+        scene.update(DT)
+    assert scene.group_alive("g") == 0
+    scene.set_spawner_active("g", True)
+    for _ in range(5):  # rate ~43/s needs a few frames for the first particle
+        scene.update(DT)
+    assert scene.group_alive("g") > 0
+    scene.set_visible("g", False)
+    # WhenVisible default would pause; instancing_effect uses ALWAYS
+    a0 = scene.group_alive("g")
+    scene.update(DT)
+    assert scene.group_alive("g") >= a0  # still simulating (ALWAYS)
+    # transforms update: move all instances far +x; new spawns land there
+    tfs = np.tile(np.concatenate([np.eye(3), [[50.0], [0.0], [0.0]]], axis=1), (4, 1, 1))
+    scene.set_transform("g", tfs)
+    for _ in range(5):
+        scene.update(DT)
+    flat = scene._group_flat_pool(scene._groups["g"])
+    pos = np.asarray(flat.get("position"))[np.asarray(flat.alive)]
+    assert (pos[:, 0] > 10).any()
