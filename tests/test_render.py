@@ -241,3 +241,67 @@ def test_renderer_composite_over_framebuffer():
     )
     np.testing.assert_allclose(img[32, 32, :3], [1, 1, 1], atol=1e-5)  # particle
     np.testing.assert_allclose(img[0, 0], [0, 0, 0.2, 1.0], atol=1e-6)  # base kept
+
+
+def test_premultiply_blend():
+    # premultiplied src over dst: rgb = src.rgb + dst.rgb*(1-a)
+    back = quad_draw([[0.0, 0.0, -0.5]], [[0.0, 0.0, 1.0, 1.0]])
+    front = quad_draw([[0.0, 0.0, 0.5]], [[0.25, 0.0, 0.0, 0.5]])
+    both = ParticleDrawData(
+        position=jnp.concatenate([back.position, front.position]),
+        axis_x=jnp.concatenate([back.axis_x, front.axis_x]),
+        axis_y=jnp.concatenate([back.axis_y, front.axis_y]),
+        color=jnp.concatenate([back.color, front.color]),
+        alive=jnp.ones((2,), jnp.bool_),
+        roundness=jnp.zeros((2,), jnp.float32),
+        sprite_index=jnp.zeros((2,), jnp.int32),
+        sprite_grid_size=(1, 1),
+        texture_layers=(),
+        needs_uv=False,
+    )
+    img = np.asarray(rasterize(both, ortho_camera(), CFG, "premultiply"))
+    # blue back *(1-0.5) + premultiplied red 0.25
+    np.testing.assert_allclose(img[32, 32, :3], [0.25, 0.0, 0.5], atol=1e-5)
+
+
+def test_multiply_blend():
+    back = quad_draw([[0.0, 0.0, -0.5]], [[0.8, 0.8, 0.8, 1.0]])
+    front = quad_draw([[0.0, 0.0, 0.5]], [[0.5, 1.0, 0.5, 1.0]])
+    both = ParticleDrawData(
+        position=jnp.concatenate([back.position, front.position]),
+        axis_x=jnp.concatenate([back.axis_x, front.axis_x]),
+        axis_y=jnp.concatenate([back.axis_y, front.axis_y]),
+        color=jnp.concatenate([back.color, front.color]),
+        alive=jnp.ones((2,), jnp.bool_),
+        roundness=jnp.zeros((2,), jnp.float32),
+        sprite_index=jnp.zeros((2,), jnp.int32),
+        sprite_grid_size=(1, 1),
+        texture_layers=(),
+        needs_uv=False,
+    )
+    # multiply only modulates the destination: needs a lit background
+    from dataclasses import replace
+
+    cfg = replace(CFG, background=(1.0, 1.0, 1.0, 1.0))
+    img = np.asarray(rasterize(both, ortho_camera(), cfg, "multiply"))
+    # white bg x 0.8 (back) x (0.5,1,0.5) (front)
+    np.testing.assert_allclose(img[32, 32, :3], [0.4, 0.8, 0.4], atol=1e-5)
+
+
+def test_sample_mappings_rgb_and_opacity():
+    from bevy_hanabi_tpu.modifiers import ImageSampleMapping
+
+    # texture: red texel with alpha 0.5
+    tex = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0, 0.5]), (2, 2, 4))
+    base = [[0.5, 1.0, 1.0, 1.0]]
+    d_rgb = quad_draw([[0.0, 0.0, 0.0]], base,
+                      texture_layers=((0, ImageSampleMapping.MODULATE_RGB),))
+    img = np.asarray(rasterize(d_rgb, ortho_camera(), CFG, "blend", textures=[tex]))
+    # rgb multiplied, alpha untouched (1.0)
+    np.testing.assert_allclose(img[32, 32], [0.5, 0.0, 0.0, 1.0], atol=1e-5)
+
+    d_op = quad_draw([[0.0, 0.0, 0.0]], base,
+                     texture_layers=((0, ImageSampleMapping.MODULATE_OPACITY_FROM_R),))
+    img2 = np.asarray(rasterize(d_op, ortho_camera(), CFG, "blend", textures=[tex]))
+    # alpha *= tex.r (=1.0) -> unchanged color, full alpha
+    np.testing.assert_allclose(img2[32, 32], [0.5, 1.0, 1.0, 1.0], atol=1e-5)

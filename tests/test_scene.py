@@ -464,3 +464,61 @@ def test_group_controls():
     flat = scene._group_flat_pool(scene._groups["g"])
     pos = np.asarray(flat.get("position"))[np.asarray(flat.alive)]
     assert (pos[:, 0] > 10).any()
+
+
+def test_two_children_two_channels():
+    """Parent with two EmitSpawnEventModifiers on channels 0 and 1: each
+    child consumes only its own channel (modifier/mod.rs:664 semantics)."""
+    wp = ExprWriter()
+    parent = (
+        EffectAsset("par2", 8, SpawnerSettings.once(2.0), wp.finish())
+        .init(SetAttributeModifier(A.AGE, wp.lit(0.0).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, wp.lit(2.5 * DT).expr()))
+        .update(
+            EmitSpawnEventModifier(EventEmitCondition.ON_DIE, wp.module.lit(1, None), 0)
+        )
+        .update(
+            EmitSpawnEventModifier(EventEmitCondition.ON_DIE, wp.module.lit(4, None), 1)
+        )
+    )
+
+    def child(name):
+        wc = ExprWriter()
+        return EffectAsset(name, 64, SpawnerSettings.once(0.0), wc.finish()).init(
+            SetAttributeModifier(A.LIFETIME, wc.lit(100.0).expr())
+        )
+
+    scene = HanabiScene()
+    scene.add(parent, "P")
+    scene.add(child("c0"), "C0", parent="P")  # channel 0
+    scene.add(child("c1"), "C1", parent="P")  # channel 1
+    for _ in range(6):
+        scene.update(DT)
+    assert scene["C0"].alive_count() == 2  # 2 parents x 1 event
+    assert scene["C1"].alive_count() == 8  # 2 parents x 4 events
+
+
+def test_random_color_per_particle():
+    from bevy_hanabi_tpu.cpu_value import CpuValue
+    from bevy_hanabi_tpu.modifiers import SetColorModifier
+    from bevy_hanabi_tpu.render.extract import extract_draw_data
+
+    w = ExprWriter()
+    asset = (
+        EffectAsset("rc", 64, SpawnerSettings.once(32.0), w.finish())
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(9.0).expr()))
+        .init(SetAttributeModifier(A.POSITION, w.lit((0.0, 0.0, 0.0)).expr()))
+        .render(SetColorModifier(CpuValue.uniform((0.0,) * 4, (1.0,) * 4)))
+    )
+    scene = HanabiScene(seed=4)
+    scene.add(asset, "fx")
+    scene.update(DT)
+    cam = CameraParams(
+        look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        (64, 64),
+    )
+    draw = extract_draw_data(asset, scene["fx"].pool, cam)
+    colors = np.asarray(draw.color)[np.asarray(scene["fx"].pool.alive)]
+    # per-particle uniform draws -> distinct colors
+    assert len(np.unique(colors[:, 0].round(4))) > 4
