@@ -194,7 +194,14 @@ class EvalContext:
         dtype = _NP_DTYPE[vt if isinstance(vt, ScalarType) else vt.elem_type]
         if raw is None:
             return jnp.asarray(default.to_numpy(), dtype)
-        return jnp.asarray(raw, dtype)
+        out = jnp.asarray(raw, dtype)
+        expected = default.to_numpy().shape
+        if out.shape != expected and out.shape[-len(expected) or 99 :] != expected:
+            raise ValueError(
+                f"property {name!r} expects shape {expected} "
+                f"(or batched ...x{expected}), got {out.shape}"
+            )
+        return out
 
     # -- rand --------------------------------------------------------------
 

@@ -35,7 +35,7 @@ def make_spawner_bank(settings: "SpawnerSettings", num_instances: int, seed: int
             return NativeSpawnerBank(settings, num_instances, seed=seed)
     except Exception:
         pass
-    return SpawnerBank(settings, num_instances)
+    return SpawnerBank(settings, num_instances, seed=seed)
 
 
 @dataclass(frozen=True)
@@ -225,12 +225,16 @@ class SpawnerBank:
     fall back to per-instance :class:`EffectSpawner`.
     """
 
-    def __init__(self, settings: SpawnerSettings, num_instances: int):
+    def __init__(self, settings: SpawnerSettings, num_instances: int, seed: int = 0):
         self.settings = settings
         self.n = num_instances
         s = settings
         if any(v.is_uniform for v in (s.count, s.spawn_duration, s.period)):
-            self._spawners = [EffectSpawner(s) for _ in range(num_instances)]
+            root = np.random.default_rng(seed)
+            self._spawners = [
+                EffectSpawner(s, rng=np.random.default_rng(root.integers(0, 2**63)))
+                for _ in range(num_instances)
+            ]
             self._vector = False
             return
         self._vector = True
