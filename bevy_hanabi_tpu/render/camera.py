@@ -111,3 +111,19 @@ def orthographic(
     m = m.at[2, 3].set(near / (near - far))
     m = m.at[3, 3].set(1.0)
     return m
+
+
+def camera_2d(viewport, scale: float = 1.0, z: float = 5.0) -> "CameraParams":
+    """A Bevy-style 2D camera: orthographic, looking down -Z at the origin.
+
+    ``scale`` is world units per half viewport height (zoom).
+    """
+    width, height = viewport
+    aspect = width / height
+    return CameraParams(
+        view=look_at((0.0, 0.0, z), (0.0, 0.0, 0.0)),
+        proj=orthographic(
+            -scale * aspect, scale * aspect, -scale, scale, 0.1, z * 2.0
+        ),
+        viewport=viewport,
+    )
