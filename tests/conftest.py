@@ -29,3 +29,9 @@ if os.environ.get("HANABI_TPU_TESTS") != "1":
         jax.default_backend() == "cpu"
     ), "unit tests must not run over the TPU tunnel"
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compile cache: the suite triggers hundreds of small jit
+# compiles; caching them makes warm reruns several times faster.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
