@@ -55,6 +55,10 @@ class RasterConfig:
     # Entries composited per loop iteration: XLA fuses the unrolled chain into
     # one framebuffer pass, dividing blend-loop HBM traffic by this factor.
     blend_unroll: int = 8
+    # Analytic edge antialiasing: per-pixel fractional coverage instead of
+    # binary inside tests — sub-pixel particles fade smoothly instead of
+    # popping (the reference gets this from MSAA + texture filtering).
+    antialias: bool = False
     # Experimental: single-kernel VMEM bitonic sort for the (tile, depth)
     # entry ordering (ops/sort.py). Currently no faster than lax.sort on
     # v5e (pltpu.roll serializes) — off by default.
@@ -277,6 +281,16 @@ def rasterize(
         v = (-a1y[:, None, None] * dx + a1x[:, None, None] * dy) / det
         inside = (jnp.abs(u) <= 1.0) & (jnp.abs(v) <= 1.0)
         inside &= has[:, None, None]
+        if config.antialias:
+            # fractional coverage: ramp width = one pixel at the quad edge
+            eu = jnp.sqrt(a1x * a1x + a1y * a1y)[:, None, None]  # half-extent px
+            ev = jnp.sqrt(a2x * a2x + a2y * a2y)[:, None, None]
+            cov_u = jnp.clip((1.0 - jnp.abs(u)) * eu + 0.5, 0.0, 1.0)
+            cov_v = jnp.clip((1.0 - jnp.abs(v)) * ev + 0.5, 0.0, 1.0)
+            coverage = cov_u * cov_v * has[:, None, None]
+            inside = coverage > 0.0
+        else:
+            coverage = inside.astype(jnp.float32)
         u01 = u * 0.5 + 0.5
         v01 = v * 0.5 + 0.5
 
@@ -286,7 +300,9 @@ def rasterize(
         squircle = jnp.power(jnp.abs(1.0 - 2.0 * u01), nexp) + jnp.power(
             jnp.abs(1.0 - 2.0 * v01), nexp
         )
-        inside &= (rnd[:, None, None] <= 0.0) | (squircle <= 1.0)
+        sq_ok = (rnd[:, None, None] <= 0.0) | (squircle <= 1.0)
+        inside &= sq_ok
+        coverage = coverage * sq_ok.astype(jnp.float32)
 
         src = jnp.broadcast_to(col[:, None, None, :], (nt, T, T, 4))
         if draw.texture_layers:
@@ -310,7 +326,7 @@ def rasterize(
                 else:  # modulate_opacity_from_r
                     src = src.at[..., 3].multiply(texel[..., 0])
 
-        a = jnp.where(inside, src[..., 3], 0.0)[..., None]
+        a = (src[..., 3] * coverage)[..., None]
         rgb_s = src[..., :3]
         rgb_d = fb[..., :3]
         a_d = fb[..., 3:4]

@@ -305,3 +305,30 @@ def test_sample_mappings_rgb_and_opacity():
     img2 = np.asarray(rasterize(d_op, ortho_camera(), CFG, "blend", textures=[tex]))
     # alpha *= tex.r (=1.0) -> unchanged color, full alpha
     np.testing.assert_allclose(img2[32, 32], [0.5, 1.0, 1.0, 1.0], atol=1e-5)
+
+
+def test_antialias_subpixel_coverage():
+    from dataclasses import replace
+
+    # 0.5-px-wide particle: binary coverage hits 0 or 1 pixels; AA gives a
+    # smooth fractional footprint whose total matches the true area better
+    draw = quad_draw([[0.01, 0.01, 0.0]], [[1.0, 1.0, 1.0, 1.0]], size=0.015)
+    cfg_aa = replace(CFG, antialias=True)
+    img_bin = np.asarray(rasterize(draw, ortho_camera(), CFG, "add"))
+    img_aa = np.asarray(rasterize(draw, ortho_camera(), cfg_aa, "add"))
+    # true footprint: (0.015*32)^2 = 0.23 px^2 of full alpha
+    total_aa = img_aa[..., 0].sum()
+    assert 0.05 < total_aa < 0.8  # fractional, near the true area
+    assert img_aa[..., 0].max() < 1.0  # no hard pixel
+    # binary either misses entirely or paints a full pixel
+    assert img_bin[..., 0].sum() in (0.0, 1.0) or img_bin[..., 0].sum() >= 1.0
+
+
+def test_antialias_preserves_interior():
+    from dataclasses import replace
+
+    draw = quad_draw([[0.0, 0.0, 0.0]], [[1.0, 0.0, 0.0, 1.0]], size=0.5)
+    cfg_aa = replace(CFG, antialias=True)
+    img = np.asarray(rasterize(draw, ortho_camera(), cfg_aa, "blend"))
+    np.testing.assert_allclose(img[32, 32], [1, 0, 0, 1], atol=1e-5)  # interior solid
+    assert img[32, 32 - 9, 0] < 0.05  # outside still empty
