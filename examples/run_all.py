@@ -101,7 +101,7 @@ def main() -> None:
 
     cfg = RasterConfig(
         width=args.size, height=args.size, tile_size=16, tile_span=2,
-        max_entries_per_tile=128,
+        max_entries_per_tile=128, antialias=True,
     )
     specs = build_gallery_specs()
     if args.only:
