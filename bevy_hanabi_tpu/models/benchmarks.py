@@ -7,6 +7,7 @@ not translations of the Rust example sources.
 
 from __future__ import annotations
 
+from .. import VEC3F
 from .. import attributes as A
 from ..asset import AlphaMode, EffectAsset, SimulationCondition
 from ..gradient import Gradient
@@ -176,9 +177,15 @@ def firework_trail_effect(capacity: int = 262144) -> EffectAsset:
         .init(InheritAttributeModifier(A.POSITION))
         .init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
         .init(SetAttributeModifier(A.LIFETIME, w.lit(0.3).uniform(w.lit(0.6)).expr()))
+        # random drift direction (a velocity-sphere centered at the particle's
+        # own position has zero radial length and would degenerate to rest)
         .init(
-            SetVelocitySphereModifier(
-                w.attr(A.POSITION).expr(), w.lit(0.2).uniform(w.lit(0.6)).expr()
+            SetAttributeModifier(
+                A.VELOCITY,
+                (
+                    (w.rand(VEC3F) * w.lit(2.0) - w.lit((1.0, 1.0, 1.0)))
+                    * w.lit(0.2).uniform(w.lit(0.6))
+                ).expr(),
             )
         )
         .render(ColorOverLifetimeModifier(color))

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 
 from ..attributes import Attribute
@@ -22,7 +23,11 @@ __all__ = [
 
 
 def _normalize(v):
-    return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    # Safe normalize: a zero-length vector yields zero velocity rather than
+    # NaN (WGSL normalize(0) is undefined; silently poisoning the pool with
+    # NaNs when position == center is a footgun we choose not to keep).
+    sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    return v * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
 
 
 @register_modifier

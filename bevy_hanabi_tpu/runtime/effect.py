@@ -187,13 +187,16 @@ class CompiledEffect:
         free_rank = _exclusive_rank(dead)  # 0-based among dead
         num_free = jnp.sum(dead, dtype=jnp.int32)
 
+        parent_payload: Dict[str, jnp.ndarray] = {}
         if self.consumes_events:
             if events_in is None:
                 raise ValueError(
                     f"effect {self.asset.name!r} consumes GPU spawn events; "
                     "pass events_in"
                 )
-            parent_slot, requested = consume_events(events_in, free_rank)
+            parent_slot, requested, parent_payload = consume_events(
+                events_in, free_rank
+            )
         else:
             parent_slot = jnp.zeros((n,), jnp.uint32)
             requested = inputs.spawn_count
@@ -220,11 +223,17 @@ class CompiledEffect:
         if "particle_counter" in defaults:
             defaults["particle_counter"] = pool.counter + free_rank.astype(jnp.uint32)
 
+        # Inherited attributes come from the event payload (captured at
+        # emission — immune to parent slot recycling); a parent_pool gather
+        # remains as fallback for payload-less buffers.
         parent_particle = None
-        if self.consumes_events and parent_pool is not None:
-            parent_particle = {
-                k: v[parent_slot] for k, v in parent_pool.attrs.items()
-            }
+        if self.consumes_events:
+            if parent_payload:
+                parent_particle = parent_payload
+            elif parent_pool is not None:
+                parent_particle = {
+                    k: v[parent_slot] for k, v in parent_pool.attrs.items()
+                }
 
         ictx = InitContext(
             self.asset.module,
@@ -300,9 +309,11 @@ class CompiledEffect:
             for channel in range(self.num_event_channels):
                 counts = per_channel.get(channel)
                 if counts is None:
-                    events_out[channel] = EventBuffer.empty(n)
+                    events_out[channel] = EventBuffer.empty(n, self.layout)
                 else:
-                    events_out[channel] = build_event_buffer(counts > 0, counts)
+                    events_out[channel] = build_event_buffer(
+                        counts > 0, counts, parent_attrs=uctx.particle
+                    )
 
         new_pool = ParticlePool(
             attrs=uctx.particle,

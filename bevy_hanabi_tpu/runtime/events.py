@@ -2,10 +2,14 @@
 
 The reference appends events into per-child GPU buffers with atomicAdd on a
 ChildInfo counter (event.rs, vfx_common.wgsl:96-105) and the child's init
-pass consumes them next frame via indirect dispatch. Here an event buffer is
-a fixed-capacity pytree built by cumsum-rank compaction inside the parent's
-jitted step; the child's init consumes it with a searchsorted lookup — same
-one-frame latency, zero host involvement.
+pass consumes them next frame via indirect dispatch, reading the parent
+particle *by slot index at consumption time* — which can observe a recycled
+slot. Here an event buffer is a fixed-capacity pytree built by cumsum-rank
+compaction inside the parent's jitted step, and it carries a **payload**:
+the emitting particle's attribute values captured *at emission time*. The
+child inherits from the payload, so slot recycling can never corrupt
+inheritance, and parent/child steps stay fully independent executables
+(a prerequisite for chunked parent+child scans).
 
 Capacity = parent pool capacity: each parent particle can emit at most one
 event (with arbitrary ``count``) per channel per frame, so compaction can
@@ -15,7 +19,7 @@ never overflow — the reference instead silently drops on a full buffer
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,19 +34,29 @@ class EventBuffer:
     parent_slot: uint32[cap] — pool slot of the emitting parent particle
     count:       uint32[cap] — particles to spawn per event (0 past num_events)
     num_events:  int32[]     — valid prefix length
+    payload:     dict name → [cap, ...] — parent attributes at emission time
     """
 
-    def __init__(self, parent_slot, count, num_events):
+    def __init__(self, parent_slot, count, num_events, payload=None):
         self.parent_slot = parent_slot
         self.count = count
         self.num_events = num_events
+        self.payload: Dict[str, jnp.ndarray] = payload or {}
 
     def tree_flatten(self):
-        return (self.parent_slot, self.count, self.num_events), None
+        names = tuple(sorted(self.payload))
+        children = (
+            self.parent_slot,
+            self.count,
+            self.num_events,
+        ) + tuple(self.payload[n] for n in names)
+        return children, names
 
     @classmethod
-    def tree_unflatten(cls, aux, children):
-        return cls(*children)
+    def tree_unflatten(cls, names, children):
+        parent_slot, count, num_events = children[:3]
+        payload = dict(zip(names, children[3:]))
+        return cls(parent_slot, count, num_events, payload)
 
     @property
     def capacity(self) -> int:
@@ -53,47 +67,66 @@ class EventBuffer:
         return jnp.sum(self.count, dtype=jnp.int32)
 
     @staticmethod
-    def empty(capacity: int) -> "EventBuffer":
+    def empty(capacity: int, layout=None) -> "EventBuffer":
+        """Empty buffer; pass the parent ParticleLayout to shape the payload."""
+        payload = {}
+        if layout is not None:
+            for a in layout.storage_attributes():
+                shape = (capacity,) if a.lanes == 1 else (capacity, a.lanes)
+                payload[a.name] = jnp.zeros(shape, a.np_dtype)
         return EventBuffer(
             jnp.zeros((capacity,), jnp.uint32),
             jnp.zeros((capacity,), jnp.uint32),
             jnp.zeros((), jnp.int32),
+            payload,
         )
 
 
-def build_event_buffer(mask: jnp.ndarray, count: jnp.ndarray) -> EventBuffer:
+def build_event_buffer(
+    mask: jnp.ndarray,
+    count: jnp.ndarray,
+    parent_attrs: Dict[str, jnp.ndarray] = None,
+) -> EventBuffer:
     """Compact per-particle (mask, count) into a dense event list.
 
     Replaces the reference's atomicAdd append (generated
     ``append_spawn_events_N``, lib.rs:977-994) with a cumsum rank + scatter.
+    ``parent_attrs`` (the emitting particles' current attribute arrays) are
+    compacted alongside as the event payload.
     """
     n = mask.shape[-1]
     active = jnp.logical_and(mask, count > 0)
     rank = jnp.cumsum(active.astype(jnp.int32)) - 1  # inclusive -> 0-based
     num_events = jnp.sum(active, dtype=jnp.int32)
     slot_ids = jnp.arange(n, dtype=jnp.uint32)
-    # Scatter active rows to their rank; inactive rows write to a dump slot
-    # (index n-1 with mode='drop' after clipping via where).
-    dst = jnp.where(active, rank, n)  # n = out of range -> dropped
+    # Scatter active rows to their rank; inactive rows write past the end
+    # (mode='drop').
+    dst = jnp.where(active, rank, n)
     parent_slot = jnp.zeros((n,), jnp.uint32).at[dst].set(slot_ids, mode="drop")
     counts = jnp.zeros((n,), jnp.uint32).at[dst].set(
         count.astype(jnp.uint32), mode="drop"
     )
-    return EventBuffer(parent_slot, counts, num_events)
+    payload = {}
+    for name, arr in (parent_attrs or {}).items():
+        out = jnp.zeros_like(arr)
+        payload[name] = out.at[dst].set(arr, mode="drop")
+    return EventBuffer(parent_slot, counts, num_events, payload)
 
 
 def consume_events(
     events: EventBuffer, spawn_rank: jnp.ndarray
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Map each child spawn rank to its source event and parent slot.
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Map each child spawn rank to its source event.
 
     ``spawn_rank[i]`` is the i-th lane's 0-based rank among this frame's
-    spawned particles. Returns ``(parent_slot[N], valid_requests int32[])``.
-    Mirrors the child init path of vfx_init.wgsl:123-171 (event lookup by
-    prefix sums) with a vectorized searchsorted.
+    spawned particles. Returns ``(parent_slot[N], valid_requests int32[],
+    parent_payload {name: [N, ...]})``. Mirrors the child init path of
+    vfx_init.wgsl:123-171 (event lookup by prefix sums) with a vectorized
+    searchsorted; inherited attributes come from the emission-time payload.
     """
     cum = jnp.cumsum(events.count.astype(jnp.int32))
     event_idx = jnp.searchsorted(cum, spawn_rank, side="right")
     event_idx = jnp.clip(event_idx, 0, events.capacity - 1)
     parent_slot = events.parent_slot[event_idx]
-    return parent_slot, events.total_spawn_count()
+    payload = {name: arr[event_idx] for name, arr in events.payload.items()}
+    return parent_slot, events.total_spawn_count(), payload

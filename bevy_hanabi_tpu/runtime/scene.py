@@ -292,7 +292,10 @@ class HanabiScene:
                     parent = self._effects[inst.parent]
                     events_in = prev_events[inst.parent].get(inst.child_channel)
                     if events_in is None:
-                        events_in = EventBuffer.empty(parent.pool.capacity)
+                        events_in = EventBuffer.empty(
+                            parent.pool.capacity,
+                            parent.asset.particle_layout(),
+                        )
                     inst.pool, events_out = inst.fx.step(
                         inst.pool,
                         StepInputs.make(

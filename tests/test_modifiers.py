@@ -242,6 +242,19 @@ def test_velocity_sphere():
     )
 
 
+def test_velocity_sphere_degenerate_center_is_finite():
+    """position == center has zero radial length; safe normalize must yield
+    zero velocity, not NaN (WGSL normalize(0) is undefined — we pick zero)."""
+    m = Module()
+    p = particle(position=jnp.tile(jnp.asarray([[1.0, 2.0, 3.0]]), (N, 1)))
+    mod = SetVelocitySphereModifier(m.lit((1.0, 2.0, 3.0)), m.lit(6.0))
+    ctx = init_ctx(m, p)
+    mod.apply(m, ctx)
+    vel = np.asarray(ctx.particle["velocity"])
+    assert np.isfinite(vel).all()
+    np.testing.assert_allclose(vel[0], [0, 0, 0], atol=1e-5)
+
+
 def test_velocity_circle():
     m = Module()
     p = particle(position=jnp.tile(jnp.asarray([[2.0, 5.0, 0.0]]), (N, 1)))

@@ -343,3 +343,59 @@ def test_edge_cases_zero_dt_negative_spawn_tiny_pool():
     tiny = fx.create_pool(1)
     tiny, _ = fx.step(tiny, StepInputs.make(10, 3), SimParams(delta_time=DT))
     assert int(tiny.alive_count()) == 1
+
+
+def test_event_payload_immune_to_parent_slot_recycling():
+    """Inherited attributes come from emission-time payload: even if the
+    parent slot is recycled before the child consumes the event, the child
+    inherits the ORIGINAL emitter's values (the reference reads the live
+    slot and can observe recycled data)."""
+    wp = ExprWriter()
+    wp.add_property("where", (7.0, 7.0, 7.0))
+    parent = (
+        EffectAsset("par", 4, SpawnerSettings.once(0.0), wp.finish())
+        .init(SetAttributeModifier(A.AGE, wp.lit(0.0).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, wp.lit(1.5 * DT).expr()))
+        .init(SetAttributeModifier(A.POSITION, wp.prop("where").expr()))
+        .update(
+            EmitSpawnEventModifier(EventEmitCondition.ON_DIE, wp.module.lit(1, None), 0)
+        )
+    )
+    wc = ExprWriter()
+    child = (
+        EffectAsset("chi", 16, SpawnerSettings.once(0.0), wc.finish())
+        .init(InheritAttributeModifier(A.POSITION))
+        .init(SetAttributeModifier(A.LIFETIME, wc.lit(100.0).expr()))
+    )
+    pfx = CompiledEffect(parent)
+    cfx = CompiledEffect(child, parent_layout=parent.particle_layout())
+    ppool = pfx.create_pool()
+    cpool = cfx.create_pool()
+
+    # frame 1: spawn a parent at (7,7,7); frame 2: it dies, emits event
+    ppool, ev = pfx.step(
+        ppool,
+        StepInputs.make(1, 0, properties={"where": np.asarray([7.0, 7.0, 7.0], np.float32)}),
+        SimParams(delta_time=DT),
+    )
+    ppool, ev = pfx.step(
+        ppool, StepInputs.make(0, 1), SimParams(delta_time=DT)
+    )
+    assert int(ev[0].num_events) == 1
+    # frame 3 (parent side): the dead slot is RECYCLED by a new parent at (9,9,9)
+    ppool, _ = pfx.step(
+        ppool,
+        StepInputs.make(1, 2, properties={"where": np.asarray([9.0, 9.0, 9.0], np.float32)}),
+        SimParams(delta_time=DT),
+    )
+    # child consumes the frame-2 event AFTER the recycle
+    cpool, _ = cfx.step(
+        cpool,
+        StepInputs.make(0, 3),
+        SimParams(delta_time=DT),
+        events_in=ev[0],
+        parent_pool=ppool,
+    )
+    pos = np.asarray(cpool.get("position"))[np.asarray(cpool.alive)]
+    # payload capture => inherits the DEAD emitter's position, not the recycler's
+    np.testing.assert_allclose(pos, [[7.0, 7.0, 7.0]], atol=1e-5)
