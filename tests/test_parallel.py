@@ -79,3 +79,106 @@ def test_instanced_effect_independent_instances():
     counts = np.asarray(fx.alive_counts(pools))
     np.testing.assert_array_equal(counts, [10, 0, 128, 5])
     assert int(fx.total_alive(pools)) == 143
+
+
+# ---------------------------------------------------------------------------
+# Sharded rendering (parallel/render.py)
+# ---------------------------------------------------------------------------
+
+from bevy_hanabi_tpu.asset import AlphaMode
+from bevy_hanabi_tpu.parallel import ShardedRenderer
+from bevy_hanabi_tpu.render import CameraParams, RasterConfig, look_at, perspective
+from bevy_hanabi_tpu.render.renderer import EffectRenderer
+from bevy_hanabi_tpu.runtime.pool import ParticlePool
+
+
+def _camera(size=64):
+    return CameraParams(
+        view=look_at((0.0, 0.0, 6.0), (0.0, 0.0, 0.0)),
+        proj=perspective(60.0, 1.0, 0.1, 100.0),
+        viewport=(size, size),
+    )
+
+
+def _flatten_pools(pools) -> ParticlePool:
+    """[I, N] instanced pools → one flat [I*N] pool (host-side reference)."""
+    flat = lambda x: jnp.asarray(np.asarray(x).reshape((-1,) + x.shape[2:]))
+    return ParticlePool(
+        {k: flat(v) for k, v in pools.attrs.items()},
+        flat(pools.alive),
+        flat(pools.seed),
+        jnp.sum(pools.counter),
+    )
+
+
+def _small(asset):
+    """Shrink particles so no tile overflows max_entries_per_tile (tile
+    truncation is per-shard under psum — see parallel/render.py docstring —
+    so overflow-free scenes are the bit-comparable regime)."""
+    from bevy_hanabi_tpu.gradient import Gradient
+    from bevy_hanabi_tpu.modifiers import SizeOverLifetimeModifier
+
+    return asset.render(SizeOverLifetimeModifier(Gradient.linear((0.05,), (0.05,))))
+
+
+def _populated_sharded(asset, mesh, ninst=8, cap=512, frames=4):
+    fx = ShardedEffect(asset, ninst, mesh, capacity=cap)
+    pools = fx.create_pools()
+    spawn = np.asarray([40, 7, 0, 512, 13, 1, 99, 260], np.int32)[:ninst]
+    seeds = np.arange(ninst, dtype=np.uint32) * 31 + 2
+    for frame in range(frames):
+        inputs = fx.shard_inputs(fx.make_inputs(spawn, seeds + frame))
+        pools, _ = fx.step(pools, inputs, SimParams(time=frame * DT, delta_time=DT))
+    return fx, pools
+
+
+@needs_devices(8)
+@pytest.mark.parametrize("dp,sp", [(4, 2), (2, 4), (8, 1)])
+def test_sharded_render_psum_matches_single_device(dp, sp):
+    """Additive compositing via psum over (dp, sp) == flat single-device."""
+    asset = _small(
+        spawn_gravity_effect(capacity=512, rate=0.0).with_alpha_mode(AlphaMode.ADD)
+    )
+    mesh = make_mesh(jax.devices()[:8], dp=dp, sp=sp)
+    fx, pools = _populated_sharded(asset, mesh)
+    cam = _camera()
+    cfg = RasterConfig(background=(0.02, 0.0, 0.1, 1.0))
+    sharded = ShardedRenderer(fx, cfg)
+    assert sharded.mode == "psum"
+    img_s = np.asarray(sharded.render(pools, cam))
+    img_f = np.asarray(
+        EffectRenderer(asset, cfg).render(_flatten_pools(pools), cam)
+    )
+    assert img_s.shape == img_f.shape
+    assert np.abs(img_f).max() > 0.05, "reference image is empty"
+    np.testing.assert_allclose(img_s, img_f, atol=1e-4)
+
+
+@needs_devices(8)
+def test_sharded_render_gather_matches_single_device():
+    """Order-dependent blending: all_gather in natural pool order, then one
+    full rasterization — bitwise-comparable to the flat single-device pass."""
+    asset = _small(spawn_gravity_effect(capacity=512, rate=0.0))  # default blend
+    mesh = make_mesh(jax.devices()[:8], dp=4, sp=2)
+    fx, pools = _populated_sharded(asset, mesh)
+    cam = _camera()
+    cfg = RasterConfig(background=(0.0, 0.0, 0.0, 1.0))
+    sharded = ShardedRenderer(fx, cfg)
+    assert sharded.mode == "gather"
+    img_s = np.asarray(sharded.render(pools, cam))
+    img_f = np.asarray(
+        EffectRenderer(asset, cfg).render(_flatten_pools(pools), cam)
+    )
+    assert np.abs(img_f).max() > 0.05, "reference image is empty"
+    np.testing.assert_allclose(img_s, img_f, atol=1e-5)
+
+
+@needs_devices(8)
+def test_sharded_render_validation():
+    asset = spawn_gravity_effect(capacity=512, rate=0.0)  # blend
+    mesh = make_mesh(jax.devices()[:8], dp=4, sp=2)
+    fx = ShardedEffect(asset, 8, mesh, capacity=512)
+    with pytest.raises(ValueError, match="additive"):
+        ShardedRenderer(fx, RasterConfig(), mode="psum")
+    with pytest.raises(ValueError, match="unknown mode"):
+        ShardedRenderer(fx, RasterConfig(), mode="banana")
