@@ -35,6 +35,7 @@ from ..modifiers import (
     ParticleTextureModifier,
     RoundModifier,
     SetAttributeModifier,
+    ScreenSpaceSizeModifier,
     SetColorModifier,
     SetPositionCircleModifier,
     SetPositionCone3dModifier,
@@ -286,19 +287,22 @@ def example_init(shape: str = "sphere") -> EffectAsset:
 def example_lifetime() -> dict:
     """examples/lifetime.rs: three burst effects, lifetime vs gradient span."""
     out = {}
-    for name, life in [("short", 1.0), ("exact", 5.0), ("long", 12.0)]:
+    # side-by-side emitters like the reference's three entities (lifetime.rs)
+    for (name, life), x in zip(
+        [("short", 1.0), ("exact", 5.0), ("long", 12.0)], (-3.0, 0.0, 3.0)
+    ):
         w = ExprWriter()
         g = Gradient.linear((1.0, 0.2, 0.2, 1.0), (0.2, 0.2, 1.0, 1.0))
         out[name] = (
             EffectAsset(f"lifetime_{name}", 4096, SpawnerSettings.burst(50.0, 5.0), w.finish())
             .init(
                 SetPositionSphereModifier(
-                    w.module.lit((0.0, 0.0, 0.0)), w.module.lit(0.5), ShapeDimension.VOLUME
+                    w.module.lit((x, 0.0, 0.0)), w.module.lit(0.5), ShapeDimension.VOLUME
                 )
             )
             .init(
                 SetVelocitySphereModifier(
-                    w.module.lit((0.0, 0.0, 0.0)), w.module.lit(2.0)
+                    w.module.lit((x, 0.0, 0.0)), w.module.lit(2.0)
                 )
             )
             .init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
@@ -577,6 +581,9 @@ def example_spawn_on_command() -> EffectAsset:
         .init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
         .init(SetAttributeModifier(A.LIFETIME, w.lit(5.0).expr()))
         .init(SetAttributeModifier(A.COLOR, w.prop("spawn_color").expr()))
+        # 3 logical pixels, constant in screen space (spawn_on_command.rs:144-148)
+        .render(SetSizeModifier(3.0))
+        .render(ScreenSpaceSizeModifier())
     )
 
 

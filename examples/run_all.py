@@ -20,9 +20,15 @@ jax.config.update("jax_platforms", "cpu")  # gallery runs headless on host
 
 import numpy as np
 
-from bevy_hanabi_tpu.models.examples import examples_registry, example_worms
+from bevy_hanabi_tpu.models.examples import (
+    example_lifetime,
+    example_spawn_on_command,
+    example_worms,
+    examples_registry,
+)
 from bevy_hanabi_tpu.models import (
     firework_effect,
+    instancing_effect,
     firework_trail_effect,
     force_field_effect,
     gradient_effect,
@@ -62,6 +68,38 @@ def _activated(builder):
     return make
 
 
+def _lifetime(scene):
+    for key, asset in example_lifetime().items():
+        scene.add(asset, f"life_{key}")
+
+
+def _spawn_on_command(scene):
+    scene.add(example_spawn_on_command(), "fx")
+    scene.set_property("fx", "spawn_color", 0xFF80C0FF)
+    scene.set_property("fx", "normal", (0.0, 1.0, 0.0))
+    scene.set_spawner_active("fx", True)
+    scene.reset_spawner("fx")
+
+
+def _instancing(scene):
+    # 5x5 grid of small emitters stepped as ONE vmapped dispatch
+    # (instancing.rs's grid of entities -> add_group)
+    grid = []
+    for gy in range(5):
+        for gx in range(5):
+            t = np.eye(3, 4, dtype=np.float32)
+            t[0, 3] = (gx - 2) * 2.0
+            t[1, 3] = (gy - 2) * 2.0
+            grid.append(t)
+    from bevy_hanabi_tpu.gradient import Gradient
+    from bevy_hanabi_tpu.modifiers import SizeOverLifetimeModifier
+
+    asset = instancing_effect(capacity=512).render(
+        SizeOverLifetimeModifier(Gradient.linear((0.15,), (0.05,)))
+    )
+    scene.add_group(asset, 25, "grid", transforms=np.stack(grid))
+
+
 def build_gallery_specs():
     reg = examples_registry()
     sheet = make_anim_sprite_sheet(frames=8, size=32)
@@ -85,6 +123,9 @@ def build_gallery_specs():
         "visibility": (_single(reg["visibility"]), 60, (0, 0, 6), (0, 0, 0)),
         "worms": (_worms, 150, (0, 0, 10), (0, 0, 0)),
         "firework": (_firework, 24, (0, 3, 6), (0, 3, 0)),
+        "lifetime": (_lifetime, 150, (0, 2, 12), (0, 0, 0)),
+        "spawn_on_command": (_spawn_on_command, 60, (0, 1, 5), (0, 0.5, 0)),
+        "instancing": (_instancing, 120, (0, 0, 14), (0, 0, 0)),
         "gradient_bench": (_single(lambda: gradient_effect(16384)), 120, (0, 0, 6), (0, 0, 0)),
         "force_field_bench": (_single(lambda: force_field_effect(20000)), 150, (0, 0, 8), (0, 0, 0)),
         "spawn_bench": (_single(lambda: spawn_gravity_effect(16384, 4096.0)), 120, (0, -1, 8), (0, -1, 0)),
