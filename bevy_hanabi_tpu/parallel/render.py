@@ -154,6 +154,11 @@ class ShardedRenderer:
         """Rasterize the sharded pools to one replicated [H, W, 4] image."""
         sim = sim if sim is not None else SimParams()
         properties = properties or {}
+        vw, vh = camera.viewport
+        if (self.config.width, self.config.height) != (vw, vh):
+            # raster grid follows the camera viewport (see EffectRenderer)
+            self.config = dataclasses.replace(self.config, width=vw, height=vh)
+            self._jit_render = None
         if self._jit_render is None:
             in_specs = (
                 jax.tree_util.tree_map(_pool_pspec, pools),

@@ -33,6 +33,7 @@ class EffectRenderer:
     ) -> None:
         self.asset = asset
         self.config = config
+        self._aligned = False
         self.textures = tuple(jnp.asarray(t, jnp.float32) for t in textures)
         mode = asset.alpha_mode.kind
         self._alpha_mode = mode
@@ -48,7 +49,22 @@ class EffectRenderer:
         transform: Optional[Any] = None,
         framebuffer: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        """Rasterize the pool; optionally composite over ``framebuffer``."""
+        """Rasterize the pool; optionally composite over ``framebuffer``.
+
+        The raster grid follows the camera viewport: a ``RasterConfig`` whose
+        width/height disagree with ``camera.viewport`` is aligned to it on
+        first use (a mismatch only ever crops or pads the image).
+        """
+        if not self._aligned:
+            import dataclasses
+
+            vw, vh = camera.viewport
+            if (self.config.width, self.config.height) != (vw, vh):
+                self.config = dataclasses.replace(
+                    self.config, width=vw, height=vh
+                )
+                self._jit_render = jax.jit(self._render)
+            self._aligned = True
         return self._jit_render(
             pool,
             camera,

@@ -430,13 +430,26 @@ class HanabiScene:
     def render(
         self,
         camera,
-        config,
+        config=None,
         background: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0),
     ) -> jnp.ndarray:
         """Composite all visible effects back-to-front by emitter distance
-        (≈ Transparent3d phase sorting) / z_layer_2d for 2D ties."""
+        (≈ Transparent3d phase sorting) / z_layer_2d for 2D ties.
+
+        ``config`` defaults to a ``RasterConfig`` sized from the camera
+        viewport; an explicit config with mismatched width/height is aligned
+        to the viewport (a mismatch only ever crops or pads the image).
+        """
+        import dataclasses
+
         from ..render.renderer import EffectRenderer
         from ..render.raster import RasterConfig
+
+        vw, vh = camera.viewport
+        if config is None:
+            config = RasterConfig(width=vw, height=vh)
+        elif (config.width, config.height) != (vw, vh):
+            config = dataclasses.replace(config, width=vw, height=vh)
 
         visible = [e for e in self.effects() if e.visible]
 
