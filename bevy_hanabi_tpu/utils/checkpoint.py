@@ -49,6 +49,14 @@ def save_scene_state(scene: "HanabiScene", path: str) -> None:
                     1.0 if sp.active else 0.0,
                 ]
             )
+        # in-flight spawn events (emitted last frame, consumed next frame):
+        # dropping them would silently lose the children they request
+        for chan, ev in (inst.last_events or {}).items():
+            arrays[f"{key}/event:{chan}/parent_slot"] = np.asarray(ev.parent_slot)
+            arrays[f"{key}/event:{chan}/count"] = np.asarray(ev.count)
+            arrays[f"{key}/event:{chan}/num_events"] = np.asarray(ev.num_events)
+            for pname, parr in ev.payload.items():
+                arrays[f"{key}/event:{chan}/payload:{pname}"] = np.asarray(parr)
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8
     )
@@ -68,6 +76,27 @@ def load_scene_state(scene: "HanabiScene", path: str) -> None:
         inst.pool.alive = jnp.asarray(data[f"{key}/alive"])
         inst.pool.seed = jnp.asarray(data[f"{key}/seed"])
         inst.pool.counter = jnp.asarray(data[f"{key}/counter"])
+        events: dict = {}
+        prefix = f"{key}/event:"
+        for k in data.files:
+            if not k.startswith(prefix) or not k.endswith("/parent_slot"):
+                continue
+            chan = int(k[len(prefix):].split("/")[0])
+            base = f"{prefix}{chan}"
+            payload = {
+                pk[len(base) + len("/payload:"):]: jnp.asarray(data[pk])
+                for pk in data.files
+                if pk.startswith(f"{base}/payload:")
+            }
+            from ..runtime.events import EventBuffer
+
+            events[chan] = EventBuffer(
+                jnp.asarray(data[f"{base}/parent_slot"]),
+                jnp.asarray(data[f"{base}/count"]),
+                jnp.asarray(data[f"{base}/num_events"]),
+                payload,
+            )
+        inst.last_events = events
         if inst.spawner is not None and f"{key}/spawner" in data:
             s = data[f"{key}/spawner"]
             sp = inst.spawner

@@ -83,6 +83,44 @@ def test_scene_checkpoint_roundtrip(tmp_path):
     assert abs(scene2.clock.time - (t0 + DT)) < 1e-9
 
 
+def test_scene_checkpoint_preserves_in_flight_events(tmp_path):
+    """Events emitted last frame but not yet consumed must survive a
+    save/load (they request next frame's child spawns); payloads included."""
+    from bevy_hanabi_tpu.models import firework_effect, firework_trail_effect
+
+    def build():
+        s = HanabiScene(seed=3)
+        s.add(firework_effect(capacity=1024), "rocket")
+        s.add(firework_trail_effect(capacity=4096), "trail", parent="rocket")
+        return s
+
+    scene = build()
+    # run until some frame where the rocket emitted events (OnDie)
+    emitted_frame = None
+    for frame in range(240):
+        scene.update(DT)
+        ev = scene["rocket"].last_events.get(0)
+        if ev is not None and int(ev.num_events) > 0:
+            emitted_frame = frame
+            break
+    assert emitted_frame is not None, "rocket never emitted events"
+    n_events = int(scene["rocket"].last_events[0].num_events)
+    path = str(tmp_path / "scene.npz")
+    save_scene_state(scene, path)
+
+    scene2 = build()
+    load_scene_state(scene2, path)
+    ev2 = scene2["rocket"].last_events.get(0)
+    assert ev2 is not None and int(ev2.num_events) == n_events
+    assert set(ev2.payload) == set(scene["rocket"].last_events[0].payload)
+    trail_before = scene2["trail"].alive_count()
+    scene.update(DT)
+    scene2.update(DT)
+    # restored scene consumes the in-flight events: same trail spawn count
+    assert scene2["trail"].alive_count() == scene["trail"].alive_count()
+    assert scene2["trail"].alive_count() > trail_before
+
+
 def test_compaction_primitives():
     import jax.numpy as jnp
     from bevy_hanabi_tpu.ops.compaction import compact_indices, exclusive_rank
