@@ -276,6 +276,10 @@ class HanabiScene:
         prev_events: Dict[str, Dict[int, EventBuffer]] = {
             n: dict(e.last_events) for n, e in self._effects.items()
         }
+        # (parent, channel) pairs consumed this frame: a paused parent's
+        # buffer must not be re-consumed next frame (events fire once)
+        consumed: list = []
+        stepped: set = set()
         from ..utils.profiling import profile_span
 
         for name in self._order:
@@ -290,6 +294,7 @@ class HanabiScene:
             with profile_span(f"hanabi:step:{name}"):
                 if inst.parent is not None:
                     parent = self._effects[inst.parent]
+                    consumed.append((inst.parent, inst.child_channel))
                     events_in = prev_events[inst.parent].get(inst.child_channel)
                     if events_in is None:
                         events_in = EventBuffer.empty(
@@ -320,6 +325,13 @@ class HanabiScene:
                         sim,
                     )
             inst.last_events = events_out
+            stepped.add(name)
+
+        # A parent that did not step (paused WhenVisible) keeps stale
+        # last_events; drop channels a child consumed this frame.
+        for pname, chan in consumed:
+            if pname not in stepped:
+                self._effects[pname].last_events.pop(chan, None)
 
         # Instanced groups: one dispatch per group.
         for g in self._groups.values():

@@ -138,6 +138,40 @@ def test_parent_child_scene_wiring():
     np.testing.assert_allclose(pos, np.tile([1.0, 2.0, 3.0], (6, 1)), atol=1e-5)
 
 
+def test_hidden_parent_events_consumed_once():
+    """A WhenVisible-hidden parent keeps its last_events; the child must
+    consume that buffer exactly once, not once per frame."""
+    wp = ExprWriter()
+    parent = (
+        EffectAsset("par", 32, SpawnerSettings.once(4.0), wp.finish())
+        .init(SetAttributeModifier(A.AGE, wp.lit(0.0).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, wp.lit(100.0).expr()))
+        .update(
+            EmitSpawnEventModifier(EventEmitCondition.ALWAYS, wp.module.lit(1, None), 0)
+        )
+    )
+    wc = ExprWriter()
+    child = (
+        EffectAsset("chi", 256, SpawnerSettings.once(0.0), wc.finish())
+        .init(SetAttributeModifier(A.LIFETIME, wc.lit(100.0).expr()))
+    )
+    scene = HanabiScene()
+    scene.add(parent, "P")
+    scene.add(child, "C", parent="P")
+    scene.update(DT)  # parent spawns 4, emits 4
+    scene.update(DT)  # child consumes 4; parent emits 4 more (ALWAYS)
+    assert scene["C"].alive_count() == 4
+    scene.set_visible("P", False)  # WhenVisible: parent stops stepping
+    for _ in range(4):
+        scene.update(DT)
+    # the pending buffer is consumed exactly once (-> 8), then nothing
+    assert scene["C"].alive_count() == 8
+    scene.set_visible("P", True)
+    scene.update(DT)  # parent emits again
+    scene.update(DT)  # child consumes
+    assert scene["C"].alive_count() == 12
+
+
 def test_child_requires_event_emitting_parent():
     scene = HanabiScene()
     scene.add(simple_asset(), "P")
