@@ -15,9 +15,24 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["exclusive_rank", "compact_indices"]
+__all__ = ["exclusive_rank", "inclusive_sum", "compact_indices"]
 
 _BLOCK = 4096
+
+
+def inclusive_sum(x: jnp.ndarray, block: int = _BLOCK) -> jnp.ndarray:
+    """Blocked inclusive prefix sum (same two-level scheme as
+    :func:`exclusive_rank`, for integer arrays)."""
+    n = x.shape[-1]
+    if n % block != 0 or n <= block:
+        return jnp.cumsum(x)
+    b = n // block
+    x2 = x.reshape(b, block)
+    incl = jnp.cumsum(x2, axis=1)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), x.dtype), jnp.cumsum(incl[:, -1])[:-1]]
+    )
+    return (incl + offsets[:, None]).reshape(n)
 
 
 def exclusive_rank(mask: jnp.ndarray, block: int = _BLOCK) -> jnp.ndarray:

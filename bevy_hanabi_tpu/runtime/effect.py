@@ -21,6 +21,7 @@ from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..asset import EffectAsset, MotionIntegration, SimulationSpace
 from ..attributes import ParticleLayout
@@ -35,10 +36,14 @@ __all__ = ["CompiledEffect", "StepInputs", "identity_transform"]
 from ..ops.compaction import exclusive_rank as _exclusive_rank  # noqa: E402
 
 
-def identity_transform() -> jnp.ndarray:
+def identity_transform() -> np.ndarray:
     """Emitter transform: rows of a 3x4 [R|t] matrix (GpuCompressedTransform
-    analogue, render/mod.rs:291)."""
-    return jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+    analogue, render/mod.rs:291). Host-side numpy: per-frame inputs stay on
+    the host until the jit boundary (one transfer per dispatch; building
+    them as device arrays costs a tunnel round-trip per leaf on axon)."""
+    return np.concatenate(
+        [np.eye(3, dtype=np.float32), np.zeros((3, 1), np.float32)], axis=1
+    )
 
 
 class StepInputs(NamedTuple):
@@ -57,9 +62,13 @@ class StepInputs(NamedTuple):
 
     @staticmethod
     def make(spawn_count=0, frame_seed=0, transform=None, properties=None) -> "StepInputs":
+        # Host numpy, not device arrays: inputs cross to the device once at
+        # the jit call (building jnp arrays here costs a tunnel round-trip
+        # per leaf per frame on axon — measured 10.9s vs 40ms for a
+        # 60-frame chunk's inputs).
         return StepInputs(
-            jnp.asarray(spawn_count, jnp.int32),
-            jnp.asarray(frame_seed, jnp.uint32),
+            np.asarray(spawn_count, np.int32),
+            np.asarray(frame_seed, np.uint32),
             transform if transform is not None else identity_transform(),
             dict(properties or {}),
         )
@@ -97,6 +106,25 @@ class CompiledEffect:
         self.parent_layout = parent_layout
         self.consumes_events = parent_layout is not None
         self.num_event_channels = asset.num_event_channels()
+
+        # attributes actually read from the parent (InheritAttributeModifier
+        # + parent_attr expression reads): payload gathers are limited to
+        # these — a child typically inherits 1-2 of the parent's attributes
+        inherited = set()
+        if self.consumes_events:
+            from ..modifiers.attr import InheritAttributeModifier
+
+            for m in (
+                asset.init_modifiers
+                + asset.update_modifiers
+                + asset.render_modifiers
+            ):
+                if isinstance(m, InheritAttributeModifier):
+                    inherited.add(m.attribute)
+            for i in range(1, len(asset.module) + 1):
+                if asset.module.get(i).kind == "parent_attribute":
+                    inherited.add(asset.module.get(i).name)
+        self._inherited_attrs = tuple(sorted(inherited))
 
         has = self.layout.contains
         self._has_age = has("age")
@@ -158,13 +186,55 @@ class CompiledEffect:
         return pool
 
     @staticmethod
+    def make_family_chunk_step(parent_fx: "CompiledEffect", children):
+        """Build a jitted K-frame scan over a parent and its event children.
+
+        ``children``: sequence of ``(CompiledEffect, channel)``. Returns
+        ``fn(carry, parent_inputs_K, child_inputs_K, sims_K) ->
+        (parent_pool, child_pools, pending_events)`` where ``carry`` is
+        ``(parent_pool, tuple(child_pools), {channel: EventBuffer})``.
+
+        Within each frame the parent emits events and every child consumes
+        the PREVIOUS frame's buffer (the reference's one-frame latency,
+        vfx_init.wgsl:123-129) — the pending dict rides the scan carry, so a
+        whole parent+child family advances K frames in ONE device dispatch.
+        Children inherit from event payloads, never from the live parent
+        pool, which is what makes the fused scan legal.
+        """
+        child_fxs = tuple(c for c, _ in children)
+        chans = tuple(ch for _, ch in children)
+
+        def fam_chunk(carry, parent_inputs, child_inputs, sims):
+            def body(c, per_frame):
+                ppool, cpools, pending = c
+                p_in, c_ins, sim = per_frame
+                new_ppool, ev_out = parent_fx._step(ppool, p_in, sim, None, None)
+                new_cpools = tuple(
+                    cfx._step(cp, cin, sim, pending[ch], None)[0]
+                    for cfx, ch, cp, cin in zip(child_fxs, chans, cpools, c_ins)
+                )
+                return (new_ppool, new_cpools, ev_out), None
+
+            (ppool, cpools, pending), _ = jax.lax.scan(
+                body, carry, (parent_inputs, child_inputs, sims)
+            )
+            return ppool, cpools, pending
+
+        return jax.jit(fam_chunk, donate_argnums=(0,))
+
+    @staticmethod
     def stack_frames(inputs_list, sims_list):
-        """Stack per-frame StepInputs/SimParams into scan-ready pytrees."""
+        """Stack per-frame StepInputs/SimParams into scan-ready pytrees.
+
+        Stacking happens on the HOST (numpy): the stacked arrays transfer to
+        the device once when the chunk dispatches. Per-leaf jnp.stack here
+        would issue hundreds of tiny device ops over the axon tunnel.
+        """
         inputs = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *inputs_list
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *inputs_list
         )
         sims = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack([jnp.asarray(x, jnp.float32) for x in xs]),
+            lambda *xs: np.stack([np.asarray(x, np.float32) for x in xs]),
             *sims_list,
         )
         return inputs, sims
@@ -195,7 +265,7 @@ class CompiledEffect:
                     "pass events_in"
                 )
             parent_slot, requested, parent_payload = consume_events(
-                events_in, free_rank
+                events_in, free_rank, attrs=self._inherited_attrs
             )
         else:
             parent_slot = jnp.zeros((n,), jnp.uint32)
@@ -227,12 +297,14 @@ class CompiledEffect:
         # emission — immune to parent slot recycling); a parent_pool gather
         # remains as fallback for payload-less buffers.
         parent_particle = None
-        if self.consumes_events:
+        if self.consumes_events and self._inherited_attrs:
             if parent_payload:
                 parent_particle = parent_payload
             elif parent_pool is not None:
                 parent_particle = {
-                    k: v[parent_slot] for k, v in parent_pool.attrs.items()
+                    k: parent_pool.attrs[k][parent_slot]
+                    for k in self._inherited_attrs
+                    if k in parent_pool.attrs
                 }
 
         ictx = InitContext(

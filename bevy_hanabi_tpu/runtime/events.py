@@ -114,19 +114,40 @@ def build_event_buffer(
 
 
 def consume_events(
-    events: EventBuffer, spawn_rank: jnp.ndarray
+    events: EventBuffer,
+    spawn_rank: jnp.ndarray,
+    attrs=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Map each child spawn rank to its source event.
 
     ``spawn_rank[i]`` is the i-th lane's 0-based rank among this frame's
     spawned particles. Returns ``(parent_slot[N], valid_requests int32[],
     parent_payload {name: [N, ...]})``. Mirrors the child init path of
-    vfx_init.wgsl:123-171 (event lookup by prefix sums) with a vectorized
-    searchsorted; inherited attributes come from the emission-time payload.
+    vfx_init.wgsl:123-171 (event lookup by prefix sums).
+
+    The rank→event mapping ``searchsorted_right(cum, r) == #{e: cum[e] <= r}``
+    is computed by scattering each event's boundary into a mark array and
+    prefix-summing — ~7x faster than ``jnp.searchsorted``'s scan lowering at
+    256k lanes on v5e (33.5ms → 4.7ms). ``attrs`` limits payload gathers to
+    the attributes the child actually inherits (each gather costs ~3ms at
+    256k; a typical child inherits 1-2 of the parent's many attributes).
     """
-    cum = jnp.cumsum(events.count.astype(jnp.int32))
-    event_idx = jnp.searchsorted(cum, spawn_rank, side="right")
+    from ..ops.compaction import inclusive_sum
+
+    n = spawn_rank.shape[-1]
+    cum = inclusive_sum(events.count.astype(jnp.int32))
+    size = -(-(n + 1) // 4096) * 4096
+    marks = jnp.zeros((size,), jnp.int32).at[jnp.clip(cum, 0, n)].add(
+        1, mode="drop"
+    )
+    csum = inclusive_sum(marks)
+    event_idx = csum[jnp.clip(spawn_rank, 0, n)]
     event_idx = jnp.clip(event_idx, 0, events.capacity - 1)
     parent_slot = events.parent_slot[event_idx]
-    payload = {name: arr[event_idx] for name, arr in events.payload.items()}
+    names = (
+        events.payload.keys()
+        if attrs is None
+        else [a for a in attrs if a in events.payload]
+    )
+    payload = {name: events.payload[name][event_idx] for name in names}
     return parent_slot, events.total_spawn_count(), payload

@@ -64,18 +64,20 @@ class InstancedEffect:
         properties: Optional[Dict[str, Any]] = None,
     ) -> StepInputs:
         """Batch per-instance inputs; each leaf gains a leading [I] axis."""
+        # host numpy: one device transfer at the jit boundary (see
+        # StepInputs.make)
         i = self.num_instances
         if transforms is None:
-            transforms = jnp.broadcast_to(identity_transform(), (i, 3, 4))
+            transforms = np.broadcast_to(identity_transform(), (i, 3, 4))
         props = {}
         for k, v in (properties or {}).items():
-            v = jnp.asarray(v, jnp.float32)
+            v = np.asarray(v, np.float32)
             if v.ndim == 0 or v.shape[0] != i:
-                v = jnp.broadcast_to(v, (i,) + v.shape)
+                v = np.broadcast_to(v, (i,) + v.shape)
             props[k] = v
         return StepInputs(
-            jnp.asarray(spawn_counts, jnp.int32).reshape(i),
-            jnp.asarray(frame_seeds, jnp.uint32).reshape(i),
+            np.asarray(spawn_counts, np.int32).reshape(i),
+            np.asarray(frame_seeds, np.uint32).reshape(i),
             transforms,
             props,
         )

@@ -68,6 +68,8 @@ class HanabiScene:
         self.clock = EffectSimulationClock()
         self._frame = 0
         self._new_effect_added = False
+        # jitted family scans for update_chunk, keyed (parent, child names)
+        self._family_jit: Dict = {}
         # Debug capture knobs (≈ DebugSettings resource, render/mod.rs:2425)
         from ..utils.profiling import DebugSettings
 
@@ -126,7 +128,7 @@ class HanabiScene:
             spawner=spawner,
             properties=props,
             transform=(
-                jnp.asarray(transform, jnp.float32)
+                np.asarray(transform, np.float32)
                 if transform is not None
                 else identity_transform()
             ),
@@ -172,9 +174,9 @@ class HanabiScene:
             raise ValueError(f"effect {name!r} already exists")
         fx = InstancedEffect(asset, count, capacity)
         if transforms is None:
-            tfs = jnp.broadcast_to(identity_transform(), (count, 3, 4))
+            tfs = np.broadcast_to(identity_transform(), (count, 3, 4))
         else:
-            tfs = jnp.asarray(transforms, jnp.float32).reshape(count, 3, 4)
+            tfs = np.asarray(transforms, np.float32).reshape(count, 3, 4)
         self._groups[name] = {
             "asset": asset,
             "fx": fx,
@@ -239,9 +241,9 @@ class HanabiScene:
         if name in self._groups:
             g = self._groups[name]
             n = g["fx"].num_instances
-            g["transforms"] = jnp.asarray(transform, jnp.float32).reshape(n, 3, 4)
+            g["transforms"] = np.asarray(transform, np.float32).reshape(n, 3, 4)
         else:
-            self._effects[name].transform = jnp.asarray(transform, jnp.float32)
+            self._effects[name].transform = np.asarray(transform, np.float32)
 
     def set_visible(self, name: str, visible: bool) -> None:
         if name in self._groups:
@@ -351,20 +353,27 @@ class HanabiScene:
         self.debug.on_frame_end()
 
     def update_chunk(self, frames: int, dt: float) -> None:
-        """Advance ``frames`` frames with ONE device dispatch per effect.
+        """Advance ``frames`` frames with ONE device dispatch per effect
+        (or per parent+children family).
 
         The production-serving path: spawner ticks for all frames are
         precomputed on the host and the jitted steps run under ``lax.scan``
-        (≈12 ms dispatch latency amortized over the chunk). Requires a scene
-        without GPU spawn events (event routing needs per-frame boundaries;
-        use :meth:`update` there).
+        (≈12 ms dispatch latency amortized over the chunk). Event-linked
+        effects are fused into family scans: the pending event buffers ride
+        the scan carry, so parent and children advance together in one
+        dispatch (children inherit from event payloads, never the live
+        parent pool). One level of parent→child nesting is supported;
+        deeper chains need :meth:`update`. A hidden WhenVisible parent
+        pauses its whole family for the chunk.
         """
         for inst in self._effects.values():
-            if inst.parent is not None or inst.asset.emits_gpu_spawn_events():
-                raise ValueError(
-                    f"effect {inst.name!r} is event-linked; update_chunk "
-                    "requires an event-free scene"
-                )
+            if inst.parent is not None:
+                p = self._effects[inst.parent]
+                if p.parent is not None or inst.asset.emits_gpu_spawn_events():
+                    raise ValueError(
+                        f"effect {inst.name!r}: update_chunk supports one "
+                        "level of parent→child nesting; use update()"
+                    )
         def paused(visible, asset):
             return (
                 not visible
@@ -373,16 +382,41 @@ class HanabiScene:
 
         # Visibility is constant across the chunk: WhenVisible + hidden means
         # the effect is not stepped at all (matching the per-frame path).
-        active_effects = [
-            n
-            for n in self._order
-            if not paused(self._effects[n].visible, self._effects[n].asset)
-        ]
+        # Families (a parent + its event children) follow the parent.
+        def family_paused(name):
+            inst = self._effects[name]
+            root = self._effects[inst.parent] if inst.parent is not None else inst
+            return paused(root.visible, root.asset)
+
+        active_effects = [n for n in self._order if not family_paused(n)]
         active_groups = [
             n
             for n, g in self._groups.items()
             if not paused(g["visible"], g["asset"])
         ]
+
+        # family root -> [(child name, channel)], sorted by channel
+        families: Dict[str, list] = {}
+        for n in active_effects:
+            inst = self._effects[n]
+            if inst.parent is not None:
+                families.setdefault(inst.parent, []).append(
+                    (n, inst.child_channel)
+                )
+        for kids in families.values():
+            kids.sort(key=lambda t: t[1])
+        # childless emitters still produce (discardable) event buffers; run
+        # them as zero-child families so last_events stays fresh
+        for n in active_effects:
+            inst = self._effects[n]
+            if (
+                inst.parent is None
+                and inst.fx.num_event_channels
+                and n not in families
+            ):
+                families[n] = []
+        family_members = {n for kids in families.values() for n, _ in kids}
+        family_members |= set(families)
 
         sims = []
         per_effect_inputs = {n: [] for n in active_effects}
@@ -393,7 +427,9 @@ class HanabiScene:
             for name in active_effects:
                 inst = self._effects[name]
                 n_spawn = (
-                    inst.spawner.tick(self.clock.delta) if inst.spawner else 0
+                    inst.spawner.tick(self.clock.delta)
+                    if inst.spawner and inst.parent is None
+                    else 0
                 )
                 per_effect_inputs[name].append(
                     StepInputs.make(
@@ -416,9 +452,45 @@ class HanabiScene:
                 )
         self._frame += frames
         for name in active_effects:
+            if name in family_members:
+                continue
             inst = self._effects[name]
             ii, ss = CompiledEffect.stack_frames(per_effect_inputs[name], sims)
             inst.pool = inst.fx.step_chunk(inst.pool, ii, ss)
+
+        # Event families: one fused scan per parent+children
+        for pname, kids in families.items():
+            parent = self._effects[pname]
+            key = (pname, tuple(n for n, _ in kids))
+            fam_fn = self._family_jit.get(key)
+            if fam_fn is None:
+                fam_fn = CompiledEffect.make_family_chunk_step(
+                    parent.fx, [(self._effects[n].fx, ch) for n, ch in kids]
+                )
+                self._family_jit[key] = fam_fn
+            p_ii, ss = CompiledEffect.stack_frames(per_effect_inputs[pname], sims)
+            c_iis = tuple(
+                CompiledEffect.stack_frames(per_effect_inputs[n], sims)[0]
+                for n, _ in kids
+            )
+            pending = {
+                ch: parent.last_events.get(ch)
+                or EventBuffer.empty(
+                    parent.pool.capacity, parent.asset.particle_layout()
+                )
+                for ch in range(parent.fx.num_event_channels)
+            }
+            carry = (
+                parent.pool,
+                tuple(self._effects[n].pool for n, _ in kids),
+                pending,
+            )
+            ppool, cpools, pending = fam_fn(carry, p_ii, c_iis, ss)
+            parent.pool = ppool
+            parent.last_events = pending
+            for (n, _), cp in zip(kids, cpools):
+                self._effects[n].pool = cp
+                self._effects[n].last_events = {}
         import jax
         import jax.numpy as _jnp
 

@@ -375,12 +375,96 @@ def test_update_chunk_matches_per_frame_totals():
     assert abs(a.clock.time - b.clock.time) < 1e-9
 
 
-def test_update_chunk_rejects_event_scenes():
+def test_update_chunk_event_family_matches_per_frame():
+    """A parent+child event family fused into one scan must reproduce the
+    per-frame path exactly: spawner math, event counts, inherited payloads.
+    Deterministic effect (no rand in modifiers) => identical pools."""
+    wp = ExprWriter()
+    parent = (
+        EffectAsset("par", 64, SpawnerSettings.rate(120.0), wp.finish())
+        .init(SetAttributeModifier(A.AGE, wp.lit(0.0).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, wp.lit(0.1).expr()))
+        .init(SetAttributeModifier(A.POSITION, wp.lit((1.0, 2.0, 3.0)).expr()))
+        .update(
+            EmitSpawnEventModifier(EventEmitCondition.ON_DIE, wp.module.lit(2, None), 0)
+        )
+    )
+    wc = ExprWriter()
+    child = (
+        EffectAsset("chi", 512, SpawnerSettings.once(0.0), wc.finish())
+        .init(InheritAttributeModifier(A.POSITION))
+        .init(SetAttributeModifier(A.AGE, wc.lit(0.0).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, wc.lit(100.0).expr()))
+    )
+
+    def build():
+        s = HanabiScene(seed=9)
+        s.add(parent, "P")
+        s.add(child, "C", parent="P")
+        return s
+
+    a = build()
+    for _ in range(40):
+        a.update(DT)
+    b = build()
+    b.update_chunk(40, DT)
+    assert a["P"].alive_count() == b["P"].alive_count()
+    assert a["C"].alive_count() == b["C"].alive_count() > 0
+    np.testing.assert_array_equal(
+        np.asarray(a["C"].pool.alive), np.asarray(b["C"].pool.alive)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["C"].pool.get("position")),
+        np.asarray(b["C"].pool.get("position")),
+        atol=1e-6,
+    )
+    # pending events survive in last_events for a later per-frame update
+    assert set(b["P"].last_events) == {0}
+    # mixing: continue per-frame after the chunk
+    a.update(DT)
+    b.update(DT)
+    assert a["C"].alive_count() == b["C"].alive_count()
+
+
+def test_update_chunk_firework_runs():
+    """The firework pair (randomized) runs chunked and spawns trails."""
     from bevy_hanabi_tpu.models import firework_effect, firework_trail_effect
 
     scene = HanabiScene()
-    scene.add(firework_effect(512), "p")
-    scene.add(firework_trail_effect(512), "c", parent="p")
+    scene.add(firework_effect(1024), "p")
+    scene.add(firework_trail_effect(4096), "c", parent="p")
+    scene.update_chunk(90, DT)
+    assert scene["c"].alive_count() > 0
+    pos = np.asarray(scene["c"].pool.get("position"))[np.asarray(scene["c"].pool.alive)]
+    assert np.isfinite(pos).all()
+
+
+def test_update_chunk_rejects_deep_event_chains():
+    wp = ExprWriter()
+    root = (
+        EffectAsset("r", 32, SpawnerSettings.once(1.0), wp.finish())
+        .init(SetAttributeModifier(A.LIFETIME, wp.lit(1.0).expr()))
+        .update(
+            EmitSpawnEventModifier(EventEmitCondition.ON_DIE, wp.module.lit(1, None), 0)
+        )
+    )
+    wm = ExprWriter()
+    mid = (
+        EffectAsset("m", 32, SpawnerSettings.once(0.0), wm.finish())
+        .init(SetAttributeModifier(A.LIFETIME, wm.lit(1.0).expr()))
+        .update(
+            EmitSpawnEventModifier(EventEmitCondition.ON_DIE, wm.module.lit(1, None), 0)
+        )
+    )
+    wl = ExprWriter()
+    leaf = (
+        EffectAsset("l", 32, SpawnerSettings.once(0.0), wl.finish())
+        .init(SetAttributeModifier(A.LIFETIME, wl.lit(1.0).expr()))
+    )
+    scene = HanabiScene()
+    scene.add(root, "r")
+    scene.add(mid, "m", parent="r")
+    scene.add(leaf, "l", parent="m")
     with pytest.raises(ValueError):
         scene.update_chunk(10, DT)
 
