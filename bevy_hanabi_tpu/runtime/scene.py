@@ -85,8 +85,12 @@ class HanabiScene:
         parent: Optional[str] = None,
         textures: Sequence[Any] = (),
         capacity: Optional[int] = None,
+        prng_seed: Optional[int] = None,
     ) -> str:
-        """Spawn an effect instance (≈ commands.spawn(ParticleEffect))."""
+        """Spawn an effect instance (≈ commands.spawn(ParticleEffect)).
+
+        ``prng_seed`` overrides ``asset.prng_seed`` for this instance
+        (ParticleEffect::prng_seed, lib.rs:654-672)."""
         name = name or f"{asset.name}#{len(self._effects)}"
         if name in self._effects:
             raise ValueError(f"effect instance {name!r} already exists")
@@ -109,11 +113,12 @@ class HanabiScene:
         pool = fx.create_pool(capacity)
         # asset.prng_seed pins the instance's random streams (asset.rs PRNG
         # seed knob); otherwise they derive from the scene RNG.
-        inst_seed = (
-            asset.prng_seed
-            if asset.prng_seed is not None
-            else int(self._rng.integers(0, 2**63))
-        )
+        if prng_seed is not None:
+            inst_seed = prng_seed
+        elif asset.prng_seed is not None:
+            inst_seed = asset.prng_seed
+        else:
+            inst_seed = int(self._rng.integers(0, 2**63))
         spawner = None if parent is not None else EffectSpawner(
             asset.spawner, rng=np.random.default_rng(inst_seed)
         )

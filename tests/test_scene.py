@@ -537,6 +537,35 @@ def test_prng_seed_pins_instance_determinism():
     np.testing.assert_array_equal(p1, p2)
 
 
+def test_instance_prng_seed_overrides_asset():
+    """scene.add(prng_seed=) overrides asset.prng_seed per instance
+    (ParticleEffect::prng_seed, lib.rs:654-672)."""
+    from bevy_hanabi_tpu.modifiers import SetPositionSphereModifier, ShapeDimension
+
+    w = ExprWriter()
+    a = (
+        EffectAsset("pin", 64, SpawnerSettings.once(16.0), w.finish())
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(9.0).expr()))
+        .init(
+            SetPositionSphereModifier(
+                w.lit((0.0, 0.0, 0.0)).expr(), w.lit(1.0).expr(), ShapeDimension.VOLUME
+            )
+        )
+    )
+    a.prng_seed = 1234
+    scene = HanabiScene(seed=1)
+    scene.add(a, "pinned")          # uses asset seed 1234
+    scene.add(a, "override", prng_seed=1234)  # same streams explicitly
+    scene.add(a, "other", prng_seed=777)
+    for _ in range(3):
+        scene.update(DT)
+    p_pin = np.asarray(scene["pinned"].pool.get("position"))
+    p_ovr = np.asarray(scene["override"].pool.get("position"))
+    p_oth = np.asarray(scene["other"].pool.get("position"))
+    np.testing.assert_array_equal(p_pin, p_ovr)
+    assert not np.array_equal(p_pin, p_oth)
+
+
 def test_group_with_textures_renders():
     from bevy_hanabi_tpu.models.examples import example_circle
     from bevy_hanabi_tpu.models.texutils import make_anim_sprite_sheet
