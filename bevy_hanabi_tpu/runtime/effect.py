@@ -186,39 +186,46 @@ class CompiledEffect:
         return pool
 
     @staticmethod
-    def make_family_chunk_step(parent_fx: "CompiledEffect", children):
-        """Build a jitted K-frame scan over a parent and its event children.
+    def make_family_chunk_step(members):
+        """Build a jitted K-frame scan over an event-linked effect tree.
 
-        ``children``: sequence of ``(CompiledEffect, channel)``. Returns
-        ``fn(carry, parent_inputs_K, child_inputs_K, sims_K) ->
-        (parent_pool, child_pools, pending_events)`` where ``carry`` is
-        ``(parent_pool, tuple(child_pools), {channel: EventBuffer})``.
+        ``members``: topologically ordered (parents first) sequence of
+        ``(fx, parent_index, channel)`` — ``parent_index`` indexes into
+        ``members`` (None for roots); ``channel`` is the event channel the
+        member consumes from its parent. Returns
+        ``fn(carry, member_inputs_K, sims_K) -> (pools, pendings)`` where
+        ``carry = (tuple(pools), tuple(pendings))`` and ``pendings[i]`` is
+        member i's emitted-events dict ``{channel: EventBuffer}``.
 
-        Within each frame the parent emits events and every child consumes
-        the PREVIOUS frame's buffer (the reference's one-frame latency,
-        vfx_init.wgsl:123-129) — the pending dict rides the scan carry, so a
-        whole parent+child family advances K frames in ONE device dispatch.
-        Children inherit from event payloads, never from the live parent
-        pool, which is what makes the fused scan legal.
+        Within each frame every member consumes its parent's PREVIOUS-frame
+        buffer (the reference's one-frame latency, vfx_init.wgsl:123-129)
+        from the scan carry and contributes its own emissions back to it,
+        so an arbitrary-depth tree advances K frames in ONE device dispatch.
+        Members inherit from event payloads, never from live parent pools,
+        which is what makes the fused scan legal.
         """
-        child_fxs = tuple(c for c, _ in children)
-        chans = tuple(ch for _, ch in children)
+        fxs = tuple(m[0] for m in members)
+        parent_idx = tuple(m[1] for m in members)
+        chans = tuple(m[2] for m in members)
 
-        def fam_chunk(carry, parent_inputs, child_inputs, sims):
+        def fam_chunk(carry, member_inputs, sims):
             def body(c, per_frame):
-                ppool, cpools, pending = c
-                p_in, c_ins, sim = per_frame
-                new_ppool, ev_out = parent_fx._step(ppool, p_in, sim, None, None)
-                new_cpools = tuple(
-                    cfx._step(cp, cin, sim, pending[ch], None)[0]
-                    for cfx, ch, cp, cin in zip(child_fxs, chans, cpools, c_ins)
-                )
-                return (new_ppool, new_cpools, ev_out), None
+                pools, pendings = c
+                m_ins, sim = per_frame
+                new_pools, new_pendings = [], []
+                for i, fx in enumerate(fxs):
+                    ev_in = (
+                        None
+                        if parent_idx[i] is None
+                        else pendings[parent_idx[i]][chans[i]]
+                    )
+                    pool, ev_out = fx._step(pools[i], m_ins[i], sim, ev_in, None)
+                    new_pools.append(pool)
+                    new_pendings.append(ev_out)
+                return (tuple(new_pools), tuple(new_pendings)), None
 
-            (ppool, cpools, pending), _ = jax.lax.scan(
-                body, carry, (parent_inputs, child_inputs, sims)
-            )
-            return ppool, cpools, pending
+            (pools, pendings), _ = jax.lax.scan(body, carry, (member_inputs, sims))
+            return pools, pendings
 
         return jax.jit(fam_chunk, donate_argnums=(0,))
 

@@ -359,38 +359,34 @@ class HanabiScene:
 
     def update_chunk(self, frames: int, dt: float) -> None:
         """Advance ``frames`` frames with ONE device dispatch per effect
-        (or per parent+children family).
+        (or per event-linked effect tree).
 
         The production-serving path: spawner ticks for all frames are
         precomputed on the host and the jitted steps run under ``lax.scan``
         (≈12 ms dispatch latency amortized over the chunk). Event-linked
         effects are fused into family scans: the pending event buffers ride
-        the scan carry, so parent and children advance together in one
-        dispatch (children inherit from event payloads, never the live
-        parent pool). One level of parent→child nesting is supported;
-        deeper chains need :meth:`update`. A hidden WhenVisible parent
-        pauses its whole family for the chunk.
+        the scan carry, so a whole parent→child tree (any depth) advances
+        together in one dispatch (descendants inherit from event payloads,
+        never live parent pools). A hidden WhenVisible root pauses its
+        whole tree for the chunk.
         """
-        for inst in self._effects.values():
-            if inst.parent is not None:
-                p = self._effects[inst.parent]
-                if p.parent is not None or inst.asset.emits_gpu_spawn_events():
-                    raise ValueError(
-                        f"effect {inst.name!r}: update_chunk supports one "
-                        "level of parent→child nesting; use update()"
-                    )
         def paused(visible, asset):
             return (
                 not visible
                 and asset.simulation_condition is SimulationCondition.WHEN_VISIBLE
             )
 
+        def root_of(name: str) -> str:
+            inst = self._effects[name]
+            while inst.parent is not None:
+                inst = self._effects[inst.parent]
+            return inst.name
+
         # Visibility is constant across the chunk: WhenVisible + hidden means
         # the effect is not stepped at all (matching the per-frame path).
-        # Families (a parent + its event children) follow the parent.
+        # Event trees follow their root.
         def family_paused(name):
-            inst = self._effects[name]
-            root = self._effects[inst.parent] if inst.parent is not None else inst
+            root = self._effects[root_of(name)]
             return paused(root.visible, root.asset)
 
         active_effects = [n for n in self._order if not family_paused(n)]
@@ -400,28 +396,16 @@ class HanabiScene:
             if not paused(g["visible"], g["asset"])
         ]
 
-        # family root -> [(child name, channel)], sorted by channel
+        # event trees: root -> topologically ordered member names (scene
+        # _order keeps parents before children). Any effect that emits or
+        # consumes events belongs to a tree; childless emitters run as
+        # single-member trees so their last_events stay fresh.
         families: Dict[str, list] = {}
         for n in active_effects:
             inst = self._effects[n]
-            if inst.parent is not None:
-                families.setdefault(inst.parent, []).append(
-                    (n, inst.child_channel)
-                )
-        for kids in families.values():
-            kids.sort(key=lambda t: t[1])
-        # childless emitters still produce (discardable) event buffers; run
-        # them as zero-child families so last_events stays fresh
-        for n in active_effects:
-            inst = self._effects[n]
-            if (
-                inst.parent is None
-                and inst.fx.num_event_channels
-                and n not in families
-            ):
-                families[n] = []
-        family_members = {n for kids in families.values() for n, _ in kids}
-        family_members |= set(families)
+            if inst.parent is not None or inst.fx.num_event_channels:
+                families.setdefault(root_of(n), []).append(n)
+        family_members = {n for mem in families.values() for n in mem}
 
         sims = []
         per_effect_inputs = {n: [] for n in active_effects}
@@ -463,39 +447,45 @@ class HanabiScene:
             ii, ss = CompiledEffect.stack_frames(per_effect_inputs[name], sims)
             inst.pool = inst.fx.step_chunk(inst.pool, ii, ss)
 
-        # Event families: one fused scan per parent+children
-        for pname, kids in families.items():
-            parent = self._effects[pname]
-            key = (pname, tuple(n for n, _ in kids))
+        # Event trees: one fused scan per tree (members in topo order)
+        for rname, names in families.items():
+            insts = [self._effects[n] for n in names]
+            index = {n: i for i, n in enumerate(names)}
+            key = tuple(names)
             fam_fn = self._family_jit.get(key)
             if fam_fn is None:
                 fam_fn = CompiledEffect.make_family_chunk_step(
-                    parent.fx, [(self._effects[n].fx, ch) for n, ch in kids]
+                    [
+                        (
+                            inst.fx,
+                            index[inst.parent] if inst.parent is not None else None,
+                            inst.child_channel,
+                        )
+                        for inst in insts
+                    ]
                 )
                 self._family_jit[key] = fam_fn
-            p_ii, ss = CompiledEffect.stack_frames(per_effect_inputs[pname], sims)
-            c_iis = tuple(
-                CompiledEffect.stack_frames(per_effect_inputs[n], sims)[0]
-                for n, _ in kids
+            stacked = [
+                CompiledEffect.stack_frames(per_effect_inputs[n], sims)
+                for n in names
+            ]
+            member_inputs = tuple(ii for ii, _ in stacked)
+            ss = stacked[0][1]
+            pendings = tuple(
+                {
+                    ch: inst.last_events.get(ch)
+                    or EventBuffer.empty(
+                        inst.pool.capacity, inst.asset.particle_layout()
+                    )
+                    for ch in range(inst.fx.num_event_channels)
+                }
+                for inst in insts
             )
-            pending = {
-                ch: parent.last_events.get(ch)
-                or EventBuffer.empty(
-                    parent.pool.capacity, parent.asset.particle_layout()
-                )
-                for ch in range(parent.fx.num_event_channels)
-            }
-            carry = (
-                parent.pool,
-                tuple(self._effects[n].pool for n, _ in kids),
-                pending,
-            )
-            ppool, cpools, pending = fam_fn(carry, p_ii, c_iis, ss)
-            parent.pool = ppool
-            parent.last_events = pending
-            for (n, _), cp in zip(kids, cpools):
-                self._effects[n].pool = cp
-                self._effects[n].last_events = {}
+            carry = (tuple(inst.pool for inst in insts), pendings)
+            pools, pendings = fam_fn(carry, member_inputs, ss)
+            for inst, pool, pend in zip(insts, pools, pendings):
+                inst.pool = pool
+                inst.last_events = pend
         import jax
         import jax.numpy as _jnp
 

@@ -439,34 +439,58 @@ def test_update_chunk_firework_runs():
     assert np.isfinite(pos).all()
 
 
-def test_update_chunk_rejects_deep_event_chains():
+def test_update_chunk_depth2_event_chain_matches_per_frame():
+    """grandparent -> parent -> child event chains fuse into one scan and
+    reproduce the per-frame path exactly (deterministic assets)."""
     wp = ExprWriter()
     root = (
-        EffectAsset("r", 32, SpawnerSettings.once(1.0), wp.finish())
-        .init(SetAttributeModifier(A.LIFETIME, wp.lit(1.0).expr()))
+        EffectAsset("r", 32, SpawnerSettings.once(4.0), wp.finish())
+        .init(SetAttributeModifier(A.AGE, wp.lit(0.0).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, wp.lit(3.5 * DT).expr()))
+        .init(SetAttributeModifier(A.POSITION, wp.lit((5.0, 0.0, 0.0)).expr()))
         .update(
-            EmitSpawnEventModifier(EventEmitCondition.ON_DIE, wp.module.lit(1, None), 0)
+            EmitSpawnEventModifier(EventEmitCondition.ON_DIE, wp.module.lit(2, None), 0)
         )
     )
     wm = ExprWriter()
     mid = (
-        EffectAsset("m", 32, SpawnerSettings.once(0.0), wm.finish())
-        .init(SetAttributeModifier(A.LIFETIME, wm.lit(1.0).expr()))
+        EffectAsset("m", 64, SpawnerSettings.once(0.0), wm.finish())
+        .init(InheritAttributeModifier(A.POSITION))
+        .init(SetAttributeModifier(A.AGE, wm.lit(0.0).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, wm.lit(2.5 * DT).expr()))
         .update(
-            EmitSpawnEventModifier(EventEmitCondition.ON_DIE, wm.module.lit(1, None), 0)
+            EmitSpawnEventModifier(EventEmitCondition.ON_DIE, wm.module.lit(3, None), 0)
         )
     )
     wl = ExprWriter()
     leaf = (
-        EffectAsset("l", 32, SpawnerSettings.once(0.0), wl.finish())
-        .init(SetAttributeModifier(A.LIFETIME, wl.lit(1.0).expr()))
+        EffectAsset("l", 256, SpawnerSettings.once(0.0), wl.finish())
+        .init(InheritAttributeModifier(A.POSITION))
+        .init(SetAttributeModifier(A.LIFETIME, wl.lit(100.0).expr()))
     )
-    scene = HanabiScene()
-    scene.add(root, "r")
-    scene.add(mid, "m", parent="r")
-    scene.add(leaf, "l", parent="m")
-    with pytest.raises(ValueError):
-        scene.update_chunk(10, DT)
+
+    def build():
+        s = HanabiScene(seed=4)
+        s.add(root, "r")
+        s.add(mid, "m", parent="r")
+        s.add(leaf, "l", parent="m")
+        return s
+
+    a = build()
+    for _ in range(20):
+        a.update(DT)
+    b = build()
+    b.update_chunk(20, DT)
+    # 4 roots x 2 mids x 3 leaves = 24 grandchildren at (5,0,0)
+    assert a["l"].alive_count() == b["l"].alive_count() == 24
+    np.testing.assert_array_equal(
+        np.asarray(a["l"].pool.alive), np.asarray(b["l"].pool.alive)
+    )
+    np.testing.assert_allclose(
+        np.asarray(b["l"].pool.get("position"))[np.asarray(b["l"].pool.alive)],
+        np.tile([5.0, 0.0, 0.0], (24, 1)),
+        atol=1e-5,
+    )
 
 
 def test_screen_space_size_end_to_end():
