@@ -119,9 +119,32 @@ def bench_instanced(instances=256, cap=4096):
     return alive_mean * K / best, K / best, alive_mean
 
 
+def bench_firework_events(frames=240):
+    """Parent→child event tree (firework.rs + trails) via the fused family
+    scan: rockets emit OnDie spawn events, trails consume + inherit. Not the
+    headline (different workload) — reported in detail for the event path."""
+    from bevy_hanabi_tpu.models import firework_effect, firework_trail_effect
+    from bevy_hanabi_tpu.runtime import HanabiScene
+
+    scene = HanabiScene(seed=5)
+    scene.add(firework_effect(capacity=65536), "p")
+    scene.add(firework_trail_effect(capacity=262144), "c", parent="p")
+    scene.update_chunk(frames, DT)  # compile + steady-state
+    int(scene["c"].alive_count())
+    best = float("inf")
+    for _ in range(3):
+        int(scene["c"].alive_count())
+        t0 = time.perf_counter()
+        scene.update_chunk(frames, DT)
+        int(scene["c"].alive_count())
+        best = min(best, time.perf_counter() - t0)
+    return frames / best
+
+
 def main() -> None:
     s_pps, s_sps, s_alive = bench_single()
     i_pps, i_sps, i_alive = bench_instanced()
+    f_sps = bench_firework_events()
     pps = max(s_pps, i_pps)
     print(
         json.dumps(
@@ -141,6 +164,7 @@ def main() -> None:
                         "steps_per_sec": i_sps,
                         "alive_mean": i_alive,
                     },
+                    "firework_event_tree_64k_256k": {"steps_per_sec": f_sps},
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -117,3 +117,99 @@ def test_random_modifier_stacks_step_cleanly(seed):
         vals = np.asarray(pool.get(name))[alive]
         assert np.isfinite(vals).all(), f"{name} has non-finite values (seed {seed})"
     assert int(pool.counter) == min(total_spawned, 512) or int(pool.counter) <= total_spawned
+
+
+# ---------------------------------------------------------------------------
+# Chunked event trees: fuzz equivalence vs the per-frame path
+# ---------------------------------------------------------------------------
+
+from bevy_hanabi_tpu.modifiers import (
+    EmitSpawnEventModifier,
+    EventEmitCondition,
+    InheritAttributeModifier,
+)
+from bevy_hanabi_tpu.runtime import HanabiScene
+
+
+def _fuzz_tree_assets(rng: np.random.Generator):
+    """Random 2-3 level event tree with deterministic (rand-free) modifiers
+    so per-frame and chunked paths must agree bit-exactly."""
+    def emitter(name, cap, spawner, lifetime, pos, channels):
+        w = ExprWriter()
+        a = (
+            EffectAsset(name, cap, spawner, w.finish())
+            .init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
+            .init(SetAttributeModifier(A.LIFETIME, w.lit(float(lifetime)).expr()))
+            .init(SetAttributeModifier(A.POSITION, w.lit(tuple(map(float, pos))).expr()))
+        )
+        for ch in range(channels):
+            cond = (
+                EventEmitCondition.ON_DIE
+                if rng.integers(2)
+                else EventEmitCondition.ALWAYS
+            )
+            a.update(
+                EmitSpawnEventModifier(cond, w.module.lit(int(rng.integers(1, 3)), None), ch)
+            )
+        return a
+
+    def inheritor(name, cap, lifetime, channels):
+        w = ExprWriter()
+        a = (
+            EffectAsset(name, cap, SpawnerSettings.once(0.0), w.finish())
+            .init(InheritAttributeModifier(A.POSITION))
+            .init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
+            .init(SetAttributeModifier(A.LIFETIME, w.lit(float(lifetime)).expr()))
+        )
+        for ch in range(channels):
+            a.update(
+                EmitSpawnEventModifier(
+                    EventEmitCondition.ON_DIE, w.module.lit(int(rng.integers(1, 3)), None), ch
+                )
+            )
+        return a
+
+    n_children = int(rng.integers(1, 3))
+    root = emitter(
+        "root", 32,
+        SpawnerSettings.once(float(rng.integers(2, 6))),
+        rng.uniform(2, 6) * DT, rng.uniform(-3, 3, 3), n_children,
+    )
+    specs = [("root", root, None, 0)]
+    for c in range(n_children):
+        deep = rng.integers(2) == 0
+        mid = inheritor(f"mid{c}", 64, rng.uniform(2, 5) * DT, 1 if deep else 0)
+        specs.append((f"mid{c}", mid, "root", c))
+        if deep:
+            leaf = inheritor(f"leaf{c}", 128, 100.0, 0)
+            specs.append((f"leaf{c}", leaf, f"mid{c}", 0))
+    return specs
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_chunked_event_tree_matches_per_frame(seed):
+    rng = np.random.default_rng(100 + seed)
+    specs = _fuzz_tree_assets(rng)
+
+    def build():
+        s = HanabiScene(seed=seed)
+        for name, asset, parent, _ in specs:
+            s.add(asset, name, parent=parent)
+        return s
+
+    frames = int(rng.integers(8, 25))
+    a = build()
+    for _ in range(frames):
+        a.update(DT)
+    b = build()
+    b.update_chunk(frames, DT)
+    for name, _, _, _ in specs:
+        assert a[name].alive_count() == b[name].alive_count(), (name, seed)
+        np.testing.assert_array_equal(
+            np.asarray(a[name].pool.alive), np.asarray(b[name].pool.alive)
+        )
+        np.testing.assert_allclose(
+            np.asarray(a[name].pool.get("position")),
+            np.asarray(b[name].pool.get("position")),
+            atol=1e-6, err_msg=f"{name} seed {seed}",
+        )
