@@ -68,48 +68,63 @@ jax.tree_util.register_dataclass(
 )
 
 
-def look_at(eye, target, up=(0.0, 1.0, 0.0)) -> jnp.ndarray:
-    """Right-handed world→view matrix looking from ``eye`` at ``target``."""
-    eye = jnp.asarray(eye, jnp.float32)
-    target = jnp.asarray(target, jnp.float32)
-    up = jnp.asarray(up, jnp.float32)
+def look_at(eye, target, up=(0.0, 1.0, 0.0)) -> np.ndarray:
+    """Right-handed world→view matrix looking from ``eye`` at ``target``.
+
+    Host numpy: camera matrices are authored on the host and constant-fold
+    into jitted render programs (building them as device arrays costs a
+    tunnel round-trip per op and makes scene depth sorting read back).
+    """
+    eye = np.asarray(eye, np.float32)
+    target = np.asarray(target, np.float32)
+    up = np.asarray(up, np.float32)
     f = target - eye
-    f = f / jnp.linalg.norm(f)
-    r = jnp.cross(f, up)
-    r = r / jnp.linalg.norm(r)
-    u = jnp.cross(r, f)
+    f = f / np.linalg.norm(f)
+    r = np.cross(f, up)
+    r = r / np.linalg.norm(r)
+    u = np.cross(r, f)
     # camera looks down -Z in view space
-    rot = jnp.stack([r, u, -f], axis=0)
+    rot = np.stack([r, u, -f], axis=0)
     t = -rot @ eye
-    m = jnp.zeros((4, 4), jnp.float32)
-    m = m.at[:3, :3].set(rot).at[:3, 3].set(t).at[3, 3].set(1.0)
+    m = np.zeros((4, 4), np.float32)
+    m[:3, :3] = rot
+    m[:3, 3] = t
+    m[3, 3] = 1.0
     return m
 
 
-def perspective(fov_y: float, aspect: float, near: float, far: float) -> jnp.ndarray:
-    """Right-handed perspective projection, depth mapped to [0, 1]."""
+def perspective(fov_y: float, aspect: float, near: float, far: float) -> np.ndarray:
+    """Right-handed perspective projection, depth mapped to [0, 1].
+
+    ``fov_y`` is in RADIANS (like Bevy's PerspectiveProjection.fov).
+    """
+    if not 0.0 < fov_y < np.pi:
+        raise ValueError(
+            f"fov_y is in radians and must be in (0, pi); got {fov_y!r} — "
+            "for degrees use math.radians(...)"
+        )
     f = 1.0 / np.tan(fov_y / 2.0)
-    m = jnp.zeros((4, 4), jnp.float32)
-    m = m.at[0, 0].set(f / aspect)
-    m = m.at[1, 1].set(f)
-    m = m.at[2, 2].set(far / (near - far))
-    m = m.at[2, 3].set(near * far / (near - far))
-    m = m.at[3, 2].set(-1.0)
+    m = np.zeros((4, 4), np.float32)
+    m[0, 0] = f / aspect
+    m[1, 1] = f
+    m[2, 2] = far / (near - far)
+    m[2, 3] = near * far / (near - far)
+    m[3, 2] = -1.0
     return m
 
 
 def orthographic(
     left: float, right: float, bottom: float, top: float, near: float, far: float
-) -> jnp.ndarray:
+) -> np.ndarray:
     """Orthographic projection (2D camera analogue), depth to [0, 1]."""
-    m = jnp.zeros((4, 4), jnp.float32)
-    m = m.at[0, 0].set(2.0 / (right - left))
-    m = m.at[1, 1].set(2.0 / (top - bottom))
-    m = m.at[2, 2].set(1.0 / (near - far))
-    m = m.at[0, 3].set(-(right + left) / (right - left))
-    m = m.at[1, 3].set(-(top + bottom) / (top - bottom))
-    m = m.at[2, 3].set(near / (near - far))
-    m = m.at[3, 3].set(1.0)
+    m = np.zeros((4, 4), np.float32)
+    m[0, 0] = 2.0 / (right - left)
+    m[1, 1] = 2.0 / (top - bottom)
+    m[2, 2] = 1.0 / (near - far)
+    m[0, 3] = -(right + left) / (right - left)
+    m[1, 3] = -(top + bottom) / (top - bottom)
+    m[2, 3] = near / (near - far)
+    m[3, 3] = 1.0
     return m
 
 

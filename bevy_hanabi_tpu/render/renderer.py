@@ -19,7 +19,30 @@ from .camera import CameraParams
 from .extract import extract_draw_data
 from .raster import RasterConfig, rasterize
 
-__all__ = ["EffectRenderer"]
+__all__ = ["EffectRenderer", "composite_by_mode"]
+
+
+def composite_by_mode(img, framebuffer, alpha_mode: str):
+    """Composite a pre-rendered effect layer onto a framebuffer using the
+    effect's blend equation (the dst factors of asset.rs:212-240):
+
+    * ``add``: dst accumulates (src blended with ONE dst factor), so the
+      layer's premultiplied sums simply add; no dst attenuation.
+    * ``multiply``: the layer (rendered over a neutral WHITE transparent
+      background) is a per-pixel modulation factor for dst.
+    * everything else ("blend"/"premultiply"/"opaque"/"mask"): "over".
+    """
+    if alpha_mode == "add":
+        rgb = framebuffer[..., :3] + img[..., :3]
+        alpha = jnp.minimum(framebuffer[..., 3:4] + img[..., 3:4], 1.0)
+    elif alpha_mode == "multiply":
+        rgb = framebuffer[..., :3] * img[..., :3]
+        alpha = framebuffer[..., 3:4]
+    else:
+        a = img[..., 3:4]
+        rgb = img[..., :3] + framebuffer[..., :3] * (1.0 - a)
+        alpha = a + framebuffer[..., 3:4] * (1.0 - a)
+    return jnp.concatenate([rgb, alpha], axis=-1)
 
 
 class EffectRenderer:
@@ -106,10 +129,18 @@ class EffectRenderer:
             cutoff = jnp.mean(ctx.eval(self._mask_cutoff_handle))
         config = self.config
         if framebuffer is not None:
-            # Composite: render with transparent background, then "over".
+            # Composite against the existing framebuffer with the effect's
+            # own blend equation (asset.rs:212-240 blend-state mapping):
+            # additive contributions ADD onto dst (src·α + dst·1), multiply
+            # modulates it, everything else is "over".
             import dataclasses
 
-            config = dataclasses.replace(config, background=(0.0, 0.0, 0.0, 0.0))
+            neutral = (
+                (1.0, 1.0, 1.0, 0.0)
+                if self._alpha_mode == "multiply"
+                else (0.0, 0.0, 0.0, 0.0)
+            )
+            config = dataclasses.replace(config, background=neutral)
         img = rasterize(
             draw,
             camera,
@@ -119,10 +150,7 @@ class EffectRenderer:
             alpha_cutoff=cutoff,
         )
         if framebuffer is not None:
-            a = img[..., 3:4]
-            rgb = img[..., :3] + framebuffer[..., :3] * (1.0 - a)
-            alpha = a + framebuffer[..., 3:4] * (1.0 - a)
-            img = jnp.concatenate([rgb, alpha], axis=-1)
+            img = composite_by_mode(img, framebuffer, self._alpha_mode)
         return img
 
 

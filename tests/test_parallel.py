@@ -92,10 +92,10 @@ from bevy_hanabi_tpu.render.renderer import EffectRenderer
 from bevy_hanabi_tpu.runtime.pool import ParticlePool
 
 
-def _camera(size=64):
+def _camera(size=128):
     return CameraParams(
         view=look_at((0.0, 0.0, 6.0), (0.0, 0.0, 0.0)),
-        proj=perspective(60.0, 1.0, 0.1, 100.0),
+        proj=perspective(1.05, 1.0, 0.1, 100.0),
         viewport=(size, size),
     )
 
@@ -142,7 +142,7 @@ def test_sharded_render_psum_matches_single_device(dp, sp):
     mesh = make_mesh(jax.devices()[:8], dp=dp, sp=sp)
     fx, pools = _populated_sharded(asset, mesh)
     cam = _camera()
-    cfg = RasterConfig(background=(0.02, 0.0, 0.1, 1.0))
+    cfg = RasterConfig(background=(0.02, 0.0, 0.1, 1.0), max_entries_per_tile=512)
     sharded = ShardedRenderer(fx, cfg)
     assert sharded.mode == "psum"
     img_s = np.asarray(sharded.render(pools, cam))
@@ -162,7 +162,7 @@ def test_sharded_render_gather_matches_single_device():
     mesh = make_mesh(jax.devices()[:8], dp=4, sp=2)
     fx, pools = _populated_sharded(asset, mesh)
     cam = _camera()
-    cfg = RasterConfig(background=(0.0, 0.0, 0.0, 1.0))
+    cfg = RasterConfig(background=(0.0, 0.0, 0.0, 1.0), max_entries_per_tile=512)
     sharded = ShardedRenderer(fx, cfg)
     assert sharded.mode == "gather"
     img_s = np.asarray(sharded.render(pools, cam))

@@ -693,3 +693,93 @@ def test_random_color_per_particle():
     colors = np.asarray(draw.color)[np.asarray(scene["fx"].pool.alive)]
     # per-particle uniform draws -> distinct colors
     assert len(np.unique(colors[:, 0].round(4))) > 4
+
+
+def test_render_batching_matches_sequential_for_additive():
+    """Consecutive same-blend effects rasterize in one pass; for additive
+    blending (commutative) the result must equal sequential composites."""
+    from bevy_hanabi_tpu.asset import AlphaMode
+    from bevy_hanabi_tpu.render import perspective
+
+    def make(name, x):
+        w = ExprWriter()
+        return (
+            EffectAsset(name, 64, SpawnerSettings.once(16.0), w.finish())
+            .init(SetAttributeModifier(A.LIFETIME, w.lit(9.0).expr()))
+            .init(SetAttributeModifier(A.POSITION, w.lit((float(x), 0.0, 0.0)).expr()))
+            .render(SetSizeModifier((0.4, 0.4, 0.4)))
+            .with_alpha_mode(AlphaMode.ADD)
+        )
+
+    def build():
+        s = HanabiScene(seed=3)
+        for i, x in enumerate((-1.5, 0.0, 1.5)):
+            s.add(make(f"fx{i}", x), f"fx{i}", prng_seed=7 + i)
+        return s
+
+    cam = CameraParams(
+        look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        perspective(1.05, 1.0, 0.1, 50.0),
+        (96, 96),
+    )
+    cfg = RasterConfig(background=(0.01, 0.0, 0.02, 1.0))
+
+    a = build()
+    a.update(DT)
+    img_batched = np.asarray(a.render(cam, cfg))
+    assert len(a._batch_render_jit) == 1  # the batch path engaged, once
+
+    # sequential reference: render each effect alone and add contributions
+    from bevy_hanabi_tpu.render.renderer import EffectRenderer
+    import dataclasses
+
+    b = build()
+    b.update(DT)
+    cfg0 = dataclasses.replace(cfg, width=96, height=96, background=(0.0, 0.0, 0.0, 0.0))
+    acc = np.zeros((96, 96, 3), np.float32)
+    for i in range(3):
+        inst = b[f"fx{i}"]
+        img = np.asarray(
+            EffectRenderer(inst.asset, cfg0).render(
+                inst.pool, cam, sim=b.clock.sim_params(),
+                properties=inst.properties.as_dict(), transform=inst.transform,
+            )
+        )
+        acc += img[..., :3]
+    expected_rgb = np.asarray(cfg.background[:3], np.float32) + acc
+    np.testing.assert_allclose(img_batched[..., :3], expected_rgb, atol=2e-4)
+    assert img_batched[..., :3].max() > 0.05
+
+
+def test_render_batching_skips_incompatible_effects():
+    """Textured / mask / ribbon effects fall back to per-effect passes."""
+    from bevy_hanabi_tpu.asset import AlphaMode
+    from bevy_hanabi_tpu.models.texutils import make_circle_texture
+    from bevy_hanabi_tpu.modifiers import ParticleTextureModifier
+    from bevy_hanabi_tpu.render import perspective
+
+    w1 = ExprWriter()
+    plain = (
+        EffectAsset("plain", 32, SpawnerSettings.once(4.0), w1.finish())
+        .init(SetAttributeModifier(A.LIFETIME, w1.lit(9.0).expr()))
+        .with_alpha_mode(AlphaMode.ADD)
+    )
+    w2 = ExprWriter()
+    textured = (
+        EffectAsset("tex", 32, SpawnerSettings.once(4.0), w2.finish())
+        .init(SetAttributeModifier(A.LIFETIME, w2.lit(9.0).expr()))
+        .render(ParticleTextureModifier(0))
+        .with_alpha_mode(AlphaMode.ADD)
+    )
+    scene = HanabiScene(seed=1)
+    scene.add(plain, "a")
+    scene.add(textured, "b", textures=[make_circle_texture(16)])
+    scene.update(DT)
+    cam = CameraParams(
+        look_at((0.0, 0.0, 4.0), (0.0, 0.0, 0.0)),
+        perspective(1.05, 1.0, 0.1, 50.0),
+        (64, 64),
+    )
+    img = np.asarray(scene.render(cam, RasterConfig()))
+    assert np.isfinite(img).all()
+    assert len(scene._batch_render_jit) == 0  # no batch formed (sizes 1)
