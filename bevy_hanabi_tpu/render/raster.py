@@ -159,47 +159,48 @@ def rasterize(
     depths = jnp.concatenate(entry_depth)
 
     # ---- 3. sort by (tile asc, depth desc) => back-to-front per tile ----
+    # Both sort paths use a packed (tile | inverted-quantized-depth) uint32
+    # key: one sort operand instead of three (~17% faster lax.sort at 4M
+    # entries). Depth quantizes to the bits left under the tile id; ties
+    # blend in arbitrary order (only equal-depth overlaps are affected —
+    # the same tie behavior GPU rasterization has).
     num_raw = tile_ids.shape[0]
+    tile_bits = max(1, int(np.ceil(np.log2(nt + 2))))
+    # cap depth bits at 22 so the f32 quantization math stays exact
+    depth_bits = min(22, 32 - tile_bits)
+    finite = depths > -jnp.inf
+    dmin = jnp.min(jnp.where(finite, depths, jnp.inf))
+    dmax = jnp.max(jnp.where(finite, depths, -jnp.inf))
+    span_d = jnp.maximum(dmax - dmin, 1e-9)
+    scale = jnp.float32((1 << depth_bits) - 1)
+    dq = (jnp.clip((depths - dmin) / span_d, 0.0, 1.0) * scale).astype(jnp.uint32)
+    # back-to-front: larger depth first => invert quantized depth
+    key = (tile_ids.astype(jnp.uint32) << depth_bits) | (
+        scale.astype(jnp.uint32) - dq
+    )
     use_pallas = (
         config.use_pallas_sort
         and jax.default_backend() == "tpu"
         and _next_pow2(num_raw) <= VMEM_SORT_MAX
     )
     if use_pallas:
-        # Single-kernel VMEM bitonic sort on a packed (tile | quantized-depth)
-        # key: lax.sort's ~30-40ms of per-pass overhead collapses to <1ms.
-        # Depth quantizes to the bits left under the tile id; ties blend in
-        # arbitrary order (only equal-depth overlaps are affected).
-        tile_bits = max(1, int(np.ceil(np.log2(nt + 2))))
-        # cap depth bits at 22 so the f32 quantization math stays exact
-        depth_bits = min(22, 32 - tile_bits)
-        finite = depths > -jnp.inf
-        dmin = jnp.min(jnp.where(finite, depths, jnp.inf))
-        dmax = jnp.max(jnp.where(finite, depths, -jnp.inf))
-        span_d = jnp.maximum(dmax - dmin, 1e-9)
-        scale = jnp.float32((1 << depth_bits) - 1)
-        dq = (jnp.clip((depths - dmin) / span_d, 0.0, 1.0) * scale).astype(jnp.uint32)
-        # back-to-front: larger depth first => invert quantized depth
-        key = (tile_ids.astype(jnp.uint32) << depth_bits) | (
-            scale.astype(jnp.uint32) - dq
-        )
+        # Single-kernel VMEM bitonic sort: lax.sort's per-pass overhead
+        # collapses to <1ms (only wins below VMEM_SORT_MAX entries).
         n_pad = _next_pow2(num_raw)
         if n_pad != num_raw:
-            key = jnp.concatenate(
+            key_p = jnp.concatenate(
                 [key, jnp.full((n_pad - num_raw,), 0xFFFFFFFF, jnp.uint32)]
             )
             pidxs_p = jnp.concatenate(
                 [pidxs, jnp.zeros((n_pad - num_raw,), jnp.int32)]
             )
         else:
-            pidxs_p = pidxs
-        key_sorted, pidx_sorted = bitonic_sort_pairs(key, pidxs_p)
-        tile_sorted = (key_sorted >> depth_bits).astype(tile_ids.dtype)
-        tile_sorted = jnp.minimum(tile_sorted, nt)  # padding decodes past nt
+            key_p, pidxs_p = key, pidxs
+        key_sorted, pidx_sorted = bitonic_sort_pairs(key_p, pidxs_p)
     else:
-        tile_sorted, _negdepth_sorted, pidx_sorted = jax.lax.sort(
-            (tile_ids, -depths, pidxs), num_keys=2
-        )
+        key_sorted, pidx_sorted = jax.lax.sort((key, pidxs), num_keys=1)
+    tile_sorted = (key_sorted >> depth_bits).astype(tile_ids.dtype)
+    tile_sorted = jnp.minimum(tile_sorted, nt)  # padding decodes past nt
     starts = jnp.searchsorted(tile_sorted, jnp.arange(nt, dtype=tile_sorted.dtype))
     ends = jnp.searchsorted(
         tile_sorted, jnp.arange(1, nt + 1, dtype=tile_sorted.dtype)
