@@ -149,6 +149,10 @@ class EffectAsset:
         self.render_modifiers.append(modifier)
         return self
 
+    def with_spawner(self, spawner: SpawnerSettings) -> "EffectAsset":
+        self.spawner = spawner
+        return self
+
     def with_simulation_space(self, space: SimulationSpace) -> "EffectAsset":
         self.simulation_space = space
         return self

@@ -264,6 +264,21 @@ class UpdateContext(EvalContext):
     def kill(self, mask: jnp.ndarray) -> None:
         """Kill particles where ``mask`` is True (reference: is_alive=false)."""
         self.alive = jnp.logical_and(self.alive, jnp.logical_not(mask))
+        # IS_ALIVE builtin reads are memoized as side-effect-free; a later
+        # modifier reading is_alive must observe the post-kill mask. Drop
+        # memoized IS_ALIVE leaves and (conservatively) every non-leaf
+        # result that may depend on them — same sweep as set_attr.
+        stale = [
+            h
+            for h in self._memo
+            if (
+                self.module.get(h).kind == "builtin"
+                and self.module.get(h).builtin is BuiltInOp.IS_ALIVE
+            )
+            or self.module.get(h).args
+        ]
+        for h in stale:
+            del self._memo[h]
 
     def emit_events(self, channel: int, count: jnp.ndarray, condition: str) -> None:
         if condition == "always":

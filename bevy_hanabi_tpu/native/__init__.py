@@ -72,6 +72,7 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_float,
             ctypes.c_uint32,
             ctypes.c_int32,
+            ctypes.c_int32,
             ctypes.c_uint64,
         ]
         lib.hanabi_spawner_bank_destroy.argtypes = [ctypes.c_void_p]
@@ -136,6 +137,7 @@ class NativeSpawnerBank:
             float(p_hi),
             int(settings.cycle_count),
             1 if settings.starts_active else 0,
+            1 if settings.emit_on_start else 0,
             int(seed) & 0xFFFFFFFFFFFFFFFF,
         )
         if not self._handle:

@@ -78,6 +78,7 @@ void* hanabi_spawner_bank_create(
     float period_lo, float period_hi,
     uint32_t cycle_count,
     int32_t starts_active,
+    int32_t emit_on_start,
     uint64_t seed) {
     auto* b = new (std::nothrow) SpawnerBank();
     if (!b) return nullptr;
@@ -91,7 +92,12 @@ void* hanabi_spawner_bank_create(
     b->sampled_period.assign(n, 0.0);
     b->sampled_duration.assign(n, 0.0);
     b->sampled_count.assign(n, 0.0);
-    b->completed.assign(n, 0);
+    // emit_on_start=false starts finite-cycle spawners at their last cycle
+    // (nothing emits until reset); forever spawners ignore the flag
+    // (reference: spawn.rs:703-710).
+    uint32_t start_cycles =
+        (emit_on_start || cycle_count == 0) ? 0u : cycle_count;
+    b->completed.assign(n, start_cycles);
     b->active.assign(n, starts_active ? 1 : 0);
     b->rng.resize(n);
     for (int32_t i = 0; i < n; ++i) {
@@ -234,7 +240,9 @@ uint32_t hanabi_slab_alloc(void* handle, uint32_t size) {
 // Free a range, coalescing with neighbors. Returns 0 on success.
 int32_t hanabi_slab_free(void* handle, uint32_t offset, uint32_t size) {
     auto* s = static_cast<Slab*>(handle);
-    if (offset + size > s->capacity || size == 0) return -1;
+    // 64-bit sum: offset + size can wrap uint32 and slip past the check.
+    if ((uint64_t)offset + (uint64_t)size > (uint64_t)s->capacity || size == 0)
+        return -1;
     auto next = s->free_ranges.lower_bound(offset);
     // overlap checks
     if (next != s->free_ranges.end() && offset + size > next->first) return -2;

@@ -107,10 +107,23 @@ class HanabiScene:
                     f"parent {parent!r} has no EmitSpawnEventModifier"
                 )
             parent_layout = p.asset.particle_layout()
-            # Nth registered child reads event channel N (modifier/mod.rs:664)
-            child_channel = sum(
-                1 for e in self._effects.values() if e.parent == parent
-            )
+            # Children read distinct event channels (modifier/mod.rs:664).
+            # Take the lowest channel unused by surviving siblings, so a
+            # removed child's channel is recycled instead of duplicating a
+            # live sibling's (counting children would alias channels after
+            # remove+add).
+            used = {
+                e.child_channel
+                for e in self._effects.values()
+                if e.parent == parent
+            }
+            child_channel = next(c for c in range(len(used) + 1) if c not in used)
+            if child_channel >= p.asset.num_event_channels():
+                raise ValueError(
+                    f"parent {parent!r} emits on "
+                    f"{p.asset.num_event_channels()} event channel(s); "
+                    f"cannot attach a child on channel {child_channel}"
+                )
         fx = CompiledEffect.get(asset, parent_layout=parent_layout)
         pool = fx.create_pool(capacity)
         # asset.prng_seed pins the instance's random streams (asset.rs PRNG

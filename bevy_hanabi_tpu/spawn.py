@@ -133,12 +133,15 @@ class EffectSpawner:
         self.sampled_count = 0.0
         self.spawn_remainder = 0.0
         self.spawn_count = 0
-        self.completed_cycle_count = 0
+        # emit_on_start=False starts a finite-cycle spawner at its last
+        # cycle, so it emits nothing until reset(); forever spawners ignore
+        # the flag (spawn.rs:703-710).
+        self.completed_cycle_count = (
+            0
+            if settings.emit_on_start or settings.is_forever()
+            else settings.cycle_count
+        )
         self.active = settings.starts_active
-        if not settings.emit_on_start:
-            # Skip the t=0 emission: start just past the spawn window so the
-            # first cycle emits nothing; reset() re-arms it.
-            self.cycle_time = 1e-9
 
     # -- control (spawn.rs:762-835) ---------------------------------------
 
@@ -247,7 +250,11 @@ class SpawnerBank:
             self.spawn_duration = float(np.clip(s.spawn_duration.value, 0.0, self.period))
         self.cycle_time = np.zeros(num_instances, np.float64)
         self.remainder = np.zeros(num_instances, np.float64)
-        self.completed_cycles = np.zeros(num_instances, np.int64)
+        # Same emit_on_start rule as EffectSpawner (spawn.rs:703-710).
+        start_cycles = (
+            0 if s.emit_on_start or s.is_forever() else s.cycle_count
+        )
+        self.completed_cycles = np.full(num_instances, start_cycles, np.int64)
         self.active = np.full(num_instances, s.starts_active)
 
     def reset(self, idx=None) -> None:

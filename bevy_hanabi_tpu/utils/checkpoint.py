@@ -19,9 +19,21 @@ if TYPE_CHECKING:
 __all__ = ["save_scene_state", "load_scene_state"]
 
 
+def _rng_state(rng) -> dict:
+    """JSON-safe snapshot of a numpy Generator's bit-generator state."""
+    return rng.bit_generator.state
+
+
+def _restore_rng(rng, state: dict) -> None:
+    rng.bit_generator.state = state
+
+
 def save_scene_state(scene: "HanabiScene", path: str) -> None:
     arrays = {}
-    meta = {"effects": [], "clock": {
+    # RNG streams must be part of the checkpoint, or a resumed run diverges
+    # from an uninterrupted one (CpuValue resampling and per-frame seeds
+    # would draw differently).
+    meta = {"effects": [], "rng": {"scene": _rng_state(scene._rng)}, "clock": {
         "time": scene.clock._time,
         "virtual_time": scene.clock._virtual_time,
         "real_time": scene.clock._real_time,
@@ -31,6 +43,10 @@ def save_scene_state(scene: "HanabiScene", path: str) -> None:
     for inst in scene.effects():
         key = inst.name
         meta["effects"].append(key)
+        if inst.rng is not None:
+            meta["rng"][f"{key}/frame"] = _rng_state(inst.rng)
+        if inst.spawner is not None:
+            meta["rng"][f"{key}/spawner"] = _rng_state(inst.spawner.rng)
         for aname, arr in inst.pool.attrs.items():
             arrays[f"{key}/attr:{aname}"] = np.asarray(arr)
         arrays[f"{key}/alive"] = np.asarray(inst.pool.alive)
@@ -107,6 +123,13 @@ def load_scene_state(scene: "HanabiScene", path: str) -> None:
             sp.spawn_remainder = float(s[4])
             sp.completed_cycle_count = int(s[5])
             sp.active = bool(s[6])
+        rng_meta = meta.get("rng", {})
+        if inst.rng is not None and f"{key}/frame" in rng_meta:
+            _restore_rng(inst.rng, rng_meta[f"{key}/frame"])
+        if inst.spawner is not None and f"{key}/spawner" in rng_meta:
+            _restore_rng(inst.spawner.rng, rng_meta[f"{key}/spawner"])
+    if "rng" in meta and "scene" in meta["rng"]:
+        _restore_rng(scene._rng, meta["rng"]["scene"])
     clk = meta["clock"]
     scene.clock._time = clk["time"]
     scene.clock._virtual_time = clk["virtual_time"]

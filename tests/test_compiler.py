@@ -186,6 +186,32 @@ def test_is_alive_builtin_requires_update_ctx():
     assert np.asarray(ctx2.eval(e.expr())).all()
 
 
+def test_kill_invalidates_memoized_is_alive():
+    """A modifier reading is_alive after an earlier kill() must observe the
+    post-kill mask, not a memoized pre-kill read (ADVICE r1)."""
+    w = ExprWriter()
+    e = w.builtin(BuiltInOp.IS_ALIVE).expr()
+    particle = {
+        "position": jnp.zeros((N, 3), jnp.float32),
+        "velocity": jnp.zeros((N, 3), jnp.float32),
+        "age": jnp.zeros(N, jnp.float32),
+        "lifetime": jnp.ones(N, jnp.float32),
+    }
+    ctx = UpdateContext(
+        w.module,
+        particle,
+        jnp.arange(N, dtype=jnp.uint32),
+        alive=jnp.ones(N, jnp.bool_),
+        sim=SimParams(),
+    )
+    before = np.asarray(ctx.eval(e))
+    assert before.all()
+    kill_mask = jnp.arange(N) < 3
+    ctx.kill(kill_mask)
+    after = np.asarray(ctx.eval(e))
+    np.testing.assert_array_equal(after, ~np.asarray(kill_mask))
+
+
 def test_texture_sample_bilinear():
     w = ExprWriter()
     slot = w.module.add_texture_slot("tex")

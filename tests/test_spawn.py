@@ -147,7 +147,66 @@ def test_emit_on_start_false_skips_initial_burst():
     assert sp.tick(1 / 60) == 50
 
 
-def test_emit_on_start_false_burst_skips_only_first():
+def test_emit_on_start_false_emits_nothing_even_with_duration():
+    # Reference semantics (spawn.rs:703-710): a finite-cycle spawner with
+    # emit_on_start=false starts at its last cycle, so NOTHING emits until
+    # reset() — regardless of spawn_duration.
+    from bevy_hanabi_tpu.cpu_value import CpuValue
+
+    settings = SpawnerSettings(
+        count=CpuValue.single(120.0),
+        spawn_duration=CpuValue.single(1.0),
+        period=CpuValue.single(1.0),
+        cycle_count=1,
+    ).with_emit_on_start(False)
+    sp = EffectSpawner(settings)
+    assert sum(sp.tick(1 / 60) for _ in range(120)) == 0
+    sp.reset()
+    assert sum(sp.tick(1 / 60) for _ in range(60)) > 100
+
+
+def test_emit_on_start_ignored_for_forever_spawners():
+    # Forever spawners (cycle_count=0) always start at cycle #0; the flag
+    # has no effect (spawn.rs:703-705).
     sp = EffectSpawner(SpawnerSettings.burst(10.0, 0.5).with_emit_on_start(False))
-    total = sum(sp.tick(1 / 60) for _ in range(59))  # just under 1s
-    assert total == 10  # only the t=0.5 burst; t=0 skipped
+    counts = [sp.tick(1 / 60) for _ in range(59)]  # just under 1s
+    assert counts[0] == 10  # t=0 burst NOT suppressed
+    assert sum(counts) == 20  # t=0 and t=0.5 bursts
+
+
+def test_spawner_bank_emit_on_start_false():
+    import numpy as np
+
+    from bevy_hanabi_tpu.spawn import SpawnerBank
+
+    bank = SpawnerBank(
+        SpawnerSettings.once(50.0).with_emit_on_start(False), 4
+    )
+    assert (bank.tick(1 / 60) == 0).all()
+    assert (bank.tick(1 / 60) == 0).all()
+    bank.reset()
+    assert (bank.tick(1 / 60) == 50).all()
+    # Forever spawners ignore the flag.
+    bank2 = SpawnerBank(
+        SpawnerSettings.burst(10.0, 0.5).with_emit_on_start(False), 4
+    )
+    assert (bank2.tick(1 / 60) == 10).all()
+
+
+def test_native_bank_emit_on_start_false():
+    import pytest
+
+    from bevy_hanabi_tpu.native import NativeSpawnerBank, native_available
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    bank = NativeSpawnerBank(
+        SpawnerSettings.once(50.0).with_emit_on_start(False), 4
+    )
+    assert (bank.tick(1 / 60) == 0).all()
+    bank.reset()
+    assert (bank.tick(1 / 60) == 50).all()
+    bank2 = NativeSpawnerBank(
+        SpawnerSettings.burst(10.0, 0.5).with_emit_on_start(False), 4
+    )
+    assert (bank2.tick(1 / 60) == 10).all()

@@ -83,6 +83,46 @@ def test_scene_checkpoint_roundtrip(tmp_path):
     assert abs(scene2.clock.time - (t0 + DT)) < 1e-9
 
 
+def test_scene_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """A resumed run must continue the RNG streams: spawner CpuValue
+    resampling and per-frame seeds draw identically to a run that never
+    stopped (ADVICE r1: checkpoint previously dropped the rng states)."""
+    from bevy_hanabi_tpu.asset import EffectAsset
+    from bevy_hanabi_tpu.cpu_value import CpuValue
+    from bevy_hanabi_tpu.models import spawn_gravity_effect
+    from bevy_hanabi_tpu.spawn import SpawnerSettings
+
+    def build():
+        asset = spawn_gravity_effect(capacity=512, rate=120.0)
+        # Uniform count: exercises the spawner's numpy RNG each cycle.
+        asset = asset.with_spawner(
+            SpawnerSettings.burst(CpuValue.uniform(8.0, 32.0), 0.05)
+        )
+        s = HanabiScene(seed=29)
+        s.add(asset, "fx")
+        return s
+
+    scene = build()
+    for _ in range(30):
+        scene.update(DT)
+    path = str(tmp_path / "scene.npz")
+    save_scene_state(scene, path)
+
+    scene2 = build()
+    load_scene_state(scene2, path)
+    for _ in range(30):
+        scene.update(DT)
+        scene2.update(DT)
+    assert scene2["fx"].alive_count() == scene["fx"].alive_count()
+    np.testing.assert_array_equal(
+        np.asarray(scene2["fx"].pool.get("position")),
+        np.asarray(scene["fx"].pool.get("position")),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(scene2["fx"].pool.seed), np.asarray(scene["fx"].pool.seed)
+    )
+
+
 def test_scene_checkpoint_preserves_in_flight_events(tmp_path):
     """Events emitted last frame but not yet consumed must survive a
     save/load (they request next frame's child spawns); payloads included."""
