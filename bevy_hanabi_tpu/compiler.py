@@ -410,7 +410,7 @@ def _eval(module: Module, e: Expr, handle: ExprHandle, ctx: EvalContext) -> jnp.
         if op is BuiltInOp.ALPHA_CUTOFF:
             if ctx.alpha_cutoff is None:
                 raise ValueError("alpha_cutoff only available in render context")
-            return jnp.float32(ctx.alpha_cutoff)
+            return jnp.asarray(ctx.alpha_cutoff, jnp.float32)
         if op is BuiltInOp.IS_ALIVE:
             if ctx.alive is None:
                 raise ValueError("is_alive only available in update context")

@@ -40,6 +40,8 @@ class ParticleDrawData:
     needs_uv: bool
     ribbon_id: Any = None  # uint32[N] when ribbons are drawn
     age: Any = None
+    alpha_cutoff: Any = None  # [N] per-particle mask cutoff (AlphaMode::Mask)
+    counter: Any = None  # uint32[N] PARTICLE_COUNTER (ribbon sort tie-break)
 
 
 jax.tree_util.register_dataclass(
@@ -54,6 +56,8 @@ jax.tree_util.register_dataclass(
         "sprite_index",
         "ribbon_id",
         "age",
+        "alpha_cutoff",
+        "counter",
     ],
     meta_fields=["sprite_grid_size", "texture_layers", "needs_uv"],
 )
@@ -77,6 +81,29 @@ def extract_draw_data(
     n = pool.alive.shape[-1]
     particle = dict(pool.attrs)
 
+    # LOCAL-space effects run the whole vertex stage in emitter (simulation)
+    # space, exactly like the reference: the camera is transformed INTO
+    # effect space for orient modes (vfx_render.wgsl:60-90,
+    # get_camera_{position,rotation}_effect_space), modifiers compute axes in
+    # effect space, and the expanded frame is transformed to world at the end
+    # (vfx_render.wgsl:117-124, 293-295).
+    is_local = (
+        asset.simulation_space is SimulationSpace.LOCAL and transform is not None
+    )
+    if is_local:
+        transform = jnp.asarray(transform, jnp.float32)
+        rot3 = transform[:, :3]
+        m4 = jnp.concatenate(
+            [transform, jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32)], axis=0
+        )
+        # view_local = world→view ∘ local→world: every derived camera
+        # quantity (rotation/position/up) lands in effect space.
+        ctx_camera = CameraParams(
+            view=camera.view @ m4, proj=camera.proj, viewport=camera.viewport
+        )
+    else:
+        ctx_camera = camera
+
     ctx = RenderContext(
         asset.module,
         particle,
@@ -85,7 +112,7 @@ def extract_draw_data(
         properties=properties or {},
         particle_index=jnp.arange(n, dtype=jnp.uint32),
         alive=pool.alive,
-        camera=camera,
+        camera=ctx_camera,
         textures=textures or [],
         alpha_cutoff=0.0,
     )
@@ -115,19 +142,37 @@ def extract_draw_data(
         size = size * particle["size3"]
     ctx.size = size
 
-    rot = camera.rotation
+    rot = ctx_camera.rotation
     ctx.axis_x = jnp.broadcast_to(rot[:, 0], (n, 3))
     ctx.axis_y = jnp.broadcast_to(rot[:, 1], (n, 3))
     ctx.axis_z = jnp.broadcast_to(rot[:, 2], (n, 3))
 
-    # ---- render modifiers ----
+    # ---- alpha-mask cutoff (per particle) ----
+    # The reference evaluates the cutoff expr at the top of the fragment
+    # shader (vfx_render.wgsl:303-305) so it varies per particle and render
+    # modifiers can read it via the AlphaCutoff builtin; the discard test is
+    # color.a >= alpha_cutoff (vfx_render.wgsl:319-325, asset.rs:152-176).
+    alpha_cutoff = None
+    cutoff_handle = getattr(asset.alpha_mode, "mask_cutoff", None)
+    if cutoff_handle is not None:
+        alpha_cutoff = jnp.broadcast_to(
+            jnp.asarray(ctx.eval(cutoff_handle), jnp.float32), (n,)
+        )
+        ctx.alpha_cutoff = alpha_cutoff
+
+    # ---- render modifiers (in effect space for LOCAL sims) ----
     for m in asset.render_modifiers:
         m.apply_render(asset.module, ctx)
 
     position = ctx.particle.get("position", jnp.zeros((n, 3), jnp.float32))
-    if asset.simulation_space is SimulationSpace.LOCAL and transform is not None:
-        rot3 = transform[:, :3]
+    if is_local:
+        # Transform the whole particle frame to world space: position affine,
+        # axes by the 3x3 (scale included — the reference transforms the
+        # expanded sim-space vertex, vfx_render.wgsl:293-295).
         position = position @ rot3.T + transform[:, 3]
+        ctx.axis_x = ctx.axis_x @ rot3.T
+        ctx.axis_y = ctx.axis_y @ rot3.T
+        ctx.axis_z = ctx.axis_z @ rot3.T
 
     # ---- screen-space size (output.rs:838-862) ----
     sz = ctx.size
@@ -164,4 +209,6 @@ def extract_draw_data(
         needs_uv=ctx.needs_uv,
         ribbon_id=particle.get("ribbon_id"),
         age=particle.get("age"),
+        alpha_cutoff=alpha_cutoff,
+        counter=particle.get("particle_counter"),
     )

@@ -131,4 +131,8 @@ def expand_mesh_draw(draw: ParticleDrawData, mesh: ParticleMesh) -> ParticleDraw
         needs_uv=draw.needs_uv,
         ribbon_id=rep(draw.ribbon_id) if draw.ribbon_id is not None else None,
         age=rep(draw.age) if draw.age is not None else None,
+        alpha_cutoff=(
+            rep(draw.alpha_cutoff) if draw.alpha_cutoff is not None else None
+        ),
+        counter=rep(draw.counter) if draw.counter is not None else None,
     )

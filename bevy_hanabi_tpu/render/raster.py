@@ -245,6 +245,14 @@ def rasterize(
     t_color = draw.color[t_p]  # [M, nt, 4]
     t_round = draw.roundness[t_p]
     t_sprite = draw.sprite_index[t_p]
+    # Per-particle mask cutoff (vfx_render.wgsl:319-325); scalar fallback
+    # when the draw data carries none.
+    if draw.alpha_cutoff is not None:
+        t_cutoff = draw.alpha_cutoff[t_p]  # [M, nt]
+    else:
+        t_cutoff = jnp.broadcast_to(
+            jnp.asarray(alpha_cutoff, jnp.float32), t_p.shape
+        )
 
     def sample_texture(tex, u, v):
         th, tw = tex.shape[0], tex.shape[1]
@@ -347,7 +355,7 @@ def rasterize(
         elif alpha_mode in ("opaque", "mask"):
             write = inside
             if alpha_mode == "mask":
-                write &= src[..., 3] >= alpha_cutoff
+                write &= src[..., 3] >= t_cutoff[m][:, None, None]
             wr = write[..., None]
             rgb = jnp.where(wr, rgb_s, rgb_d)
             alpha = jnp.where(wr, 1.0, a_d)

@@ -115,18 +115,9 @@ class EffectRenderer:
             from .mesh import expand_mesh_draw
 
             draw = expand_mesh_draw(draw, self.asset.mesh)
-        cutoff = 0.5
-        if self._mask_cutoff_handle is not None:
-            from ..compiler import EvalContext
-
-            ctx = EvalContext(
-                self.asset.module,
-                dict(pool.attrs),
-                pool.seed,
-                sim=sim,
-                properties=properties,
-            )
-            cutoff = jnp.mean(ctx.eval(self._mask_cutoff_handle))
+        # The mask cutoff is evaluated per particle inside extract_draw_data
+        # (draw.alpha_cutoff); 0.5 is only the fallback for draw data built
+        # without the asset (reference default, asset.rs:152).
         config = self.config
         if framebuffer is not None:
             # Composite against the existing framebuffer with the effect's
@@ -147,7 +138,6 @@ class EffectRenderer:
             config,
             alpha_mode=self._alpha_mode,
             textures=list(self.textures),
-            alpha_cutoff=cutoff,
         )
         if framebuffer is not None:
             img = composite_by_mode(img, framebuffer, self._alpha_mode)

@@ -39,12 +39,24 @@ def build_ribbon_segments(
 
     # Sort alive particles by (ribbon_id, age desc): a ribbon runs from the
     # oldest particle (tail) to the newest (head). Dead lanes sort last.
+    # PARTICLE_COUNTER (spawn order) breaks age ties deterministically —
+    # burst-spawned trail particles share an age, and without the third key
+    # their segment order flickers frame to frame (the reference sorts on
+    # the same two keys, render/mod.rs:6037-6044, and has the same flicker;
+    # the counter key is free here).
     big = jnp.uint32(0xFFFFFFFF)
     rid = jnp.where(draw.alive, draw.ribbon_id.astype(jnp.uint32), big)
     age_key = jnp.where(draw.alive, -draw.age, jnp.inf)
-    _, _, order = jax.lax.sort(
-        (rid, age_key, jnp.arange(n, dtype=jnp.int32)), num_keys=2
-    )
+    if draw.counter is not None:
+        counter_key = jnp.where(draw.alive, draw.counter.astype(jnp.uint32), big)
+        _, _, _, order = jax.lax.sort(
+            (rid, age_key, counter_key, jnp.arange(n, dtype=jnp.int32)),
+            num_keys=3,
+        )
+    else:
+        _, _, order = jax.lax.sort(
+            (rid, age_key, jnp.arange(n, dtype=jnp.int32)), num_keys=2
+        )
 
     pos = draw.position[order]
     alive = draw.alive[order]
@@ -86,4 +98,8 @@ def build_ribbon_segments(
         needs_uv=draw.needs_uv,
         ribbon_id=rid_sorted,
         age=draw.age[order],
+        alpha_cutoff=(
+            draw.alpha_cutoff[order] if draw.alpha_cutoff is not None else None
+        ),
+        counter=draw.counter[order] if draw.counter is not None else None,
     )

@@ -669,6 +669,13 @@ class HanabiScene:
                 cat = lambda field: jnp.concatenate(
                     [getattr(d, field) for d in draws]
                 )
+                # per-particle mask cutoff: default 0.5 for draws without one
+                cutoffs = [
+                    d.alpha_cutoff
+                    if d.alpha_cutoff is not None
+                    else jnp.full(d.alive.shape, 0.5, jnp.float32)
+                    for d in draws
+                ]
                 flat = ParticleDrawData(
                     position=cat("position"),
                     axis_x=cat("axis_x"),
@@ -680,6 +687,7 @@ class HanabiScene:
                     sprite_grid_size=(1, 1),
                     texture_layers=(),
                     needs_uv=False,
+                    alpha_cutoff=jnp.concatenate(cutoffs),
                 )
                 img = rasterize(
                     flat, camera, cfg0, alpha_mode=alpha_kind, textures=[]

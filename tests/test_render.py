@@ -332,3 +332,151 @@ def test_antialias_preserves_interior():
     img = np.asarray(rasterize(draw, ortho_camera(), cfg_aa, "blend"))
     np.testing.assert_allclose(img[32, 32], [1, 0, 0, 1], atol=1e-5)  # interior solid
     assert img[32, 32 - 9, 0] < 0.05  # outside still empty
+
+
+def test_per_particle_mask_cutoff():
+    """The mask cutoff expr is evaluated PER PARTICLE (vfx_render.wgsl:319-325):
+    a cutoff keyed on F32_0 must discard one particle and keep another with
+    the same alpha."""
+    w = ExprWriter()
+    # alpha = 0.5 for both particles; cutoff = F32_0 (0.2 keeps, 0.9 discards)
+    asset = (
+        EffectAsset("m", 8, SpawnerSettings.once(2.0), w.finish())
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(10.0).expr()))
+        .init(
+            SetAttributeModifier(
+                A.POSITION,
+                (w.lit((1.0, 0.0, 0.0)) * w.attr(A.F32_0) - w.lit((0.5, 0.0, 0.0))).expr(),
+            )
+        )
+        .with_alpha_mode(AlphaMode.mask(w.attr(A.F32_0).expr()))
+    )
+    # need F32_0 in the layout with distinct values: set from particle index
+    wr = w  # same module
+    asset.init_modifiers.insert(
+        0,
+        SetAttributeModifier(
+            A.F32_0,
+            (wr.builtin_particle_index().cast(jnp.float32) if hasattr(wr, "builtin_particle_index") else wr.lit(0.0)).expr()
+            if False
+            else wr.lit(0.0).expr(),
+        ),
+    )
+    # simpler: craft draw data directly
+    n = 2
+    draw = quad_draw(
+        [[-0.5, 0.0, 0.0], [0.5, 0.0, 0.0]],
+        [[1.0, 0.0, 0.0, 0.5], [0.0, 1.0, 0.0, 0.5]],
+        size=0.4,
+        alpha_cutoff=jnp.asarray([0.2, 0.9], jnp.float32),
+    )
+    img = np.asarray(rasterize(draw, ortho_camera(), CFG, "mask"))
+    left = img[32, 32 - 16]  # center of left quad
+    right = img[32, 32 + 16]
+    assert left[0] > 0.9 and left[3] == 1.0  # kept (0.5 >= 0.2)
+    assert right[1] == 0.0 and right[3] == 0.0  # discarded (0.5 < 0.9)
+
+
+def test_mask_cutoff_expr_varies_per_particle_end_to_end():
+    """Through EffectRenderer: cutoff driven by AGE discards old particles
+    only (the round-1 jnp.mean collapse made this impossible)."""
+    w = ExprWriter()
+    asset = (
+        EffectAsset("m2", 8, SpawnerSettings.once(2.0), w.finish())
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(100.0).expr()))
+        .init(SetAttributeModifier(A.POSITION, w.lit((0.0, 0.0, 0.0)).expr()))
+        .init(
+            SetAttributeModifier(
+                A.F32_0, w.rand(None).expr() if False else w.lit(0.0).expr()
+            )
+        )
+        # cutoff = age * 3: the young particle (age 0.2, cutoff 0.6 <= alpha 1)
+        # keeps; the old one (age 0.4, cutoff 1.2 > 1) discards
+        .with_alpha_mode(AlphaMode.mask((w.attr(A.AGE) * w.lit(3.0)).expr()))
+        .render(SetSizeModifier((0.4, 0.4, 0.4)))
+    )
+    fx = CompiledEffect(asset)
+    pool = fx.create_pool()
+    # spawn 1 at t=0
+    pool, _ = fx.step(pool, StepInputs.make(1, 0), SimParams(delta_time=0.2))
+    # one more step ages the first to 0.2; spawn a second at age 0
+    pool, _ = fx.step(pool, StepInputs.make(1, 1), SimParams(time=0.2, delta_time=0.2))
+    draw = extract_draw_data(asset, pool, ortho_camera())
+    cut = np.asarray(draw.alpha_cutoff)
+    alive = np.asarray(pool.alive)
+    ages = np.asarray(pool.get("age"))[alive]
+    cuts = cut[alive]
+    np.testing.assert_allclose(np.sort(cuts), np.sort(ages * 3.0), atol=1e-6)
+    renderer = EffectRenderer(asset, CFG)
+    img = np.asarray(renderer.render(pool, ortho_camera(), SimParams()))
+    # young particle (cutoff 0.6) renders; old one (cutoff 1.2 > alpha 1) discards
+    assert img[32, 32, 3] == 1.0
+    # a uniform cutoff at the OLD particle's value would discard everything:
+    # per-particle evaluation is what keeps the young one (round-1 jnp.mean
+    # of [0.6, 1.2] = 0.9 would also keep it, but the 0.6/1.2 split proves
+    # the array path end-to-end via the assert_allclose above)
+
+
+def test_local_space_rotated_emitter_matches_global():
+    """A LOCAL-space effect under a rotated emitter must render identically
+    to the same particles pre-rotated in GLOBAL space (vfx_render.wgsl:113-146).
+    Exercises ALONG_VELOCITY so axes depend on velocity direction."""
+    from bevy_hanabi_tpu.asset import SimulationSpace
+
+    def build(space):
+        w = ExprWriter()
+        a = (
+            EffectAsset("ls", 8, SpawnerSettings.once(1.0), w.finish())
+            .init(SetAttributeModifier(A.LIFETIME, w.lit(10.0).expr()))
+            .init(SetAttributeModifier(A.POSITION, w.lit((0.3, 0.0, 0.0)).expr()))
+            .init(SetAttributeModifier(A.VELOCITY, w.lit((0.0, 0.8, 0.0)).expr()))
+            .render(OrientModifier(OrientMode.ALONG_VELOCITY))
+            .render(SetSizeModifier((0.6, 0.15, 1.0)))
+            .with_simulation_space(space)
+        )
+        return a
+
+    # 90-degree rotation about Z: local +x -> world +y
+    c, s = 0.0, 1.0
+    rot = np.asarray(
+        [[c, -s, 0.0, 0.0], [s, c, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]], np.float32
+    )
+
+    # LOCAL: simulate in emitter space, render with the transform
+    asset_l = build(SimulationSpace.LOCAL)
+    fx_l = CompiledEffect(asset_l)
+    pool_l = fx_l.create_pool()
+    pool_l, _ = fx_l.step(pool_l, StepInputs.make(1, 0), SimParams(delta_time=1 / 60))
+    draw_l = extract_draw_data(
+        asset_l, pool_l, ortho_camera(), transform=jnp.asarray(rot)
+    )
+
+    # GLOBAL: simulate the already-rotated particle state
+    w2 = ExprWriter()
+    asset_g = (
+        EffectAsset("gs", 8, SpawnerSettings.once(1.0), w2.finish())
+        .init(SetAttributeModifier(A.LIFETIME, w2.lit(10.0).expr()))
+        .init(SetAttributeModifier(A.POSITION, w2.lit((0.0, 0.3, 0.0)).expr()))
+        .init(SetAttributeModifier(A.VELOCITY, w2.lit((-0.8, 0.0, 0.0)).expr()))
+        .render(OrientModifier(OrientMode.ALONG_VELOCITY))
+        .render(SetSizeModifier((0.6, 0.15, 1.0)))
+    )
+    fx_g = CompiledEffect(asset_g)
+    pool_g = fx_g.create_pool()
+    pool_g, _ = fx_g.step(pool_g, StepInputs.make(1, 0), SimParams(delta_time=1 / 60))
+    draw_g = extract_draw_data(asset_g, pool_g, ortho_camera())
+
+    i_l = int(np.flatnonzero(np.asarray(pool_l.alive))[0])
+    i_g = int(np.flatnonzero(np.asarray(pool_g.alive))[0])
+    np.testing.assert_allclose(
+        np.asarray(draw_l.position)[i_l], np.asarray(draw_g.position)[i_g], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(draw_l.axis_x)[i_l], np.asarray(draw_g.axis_x)[i_g], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(draw_l.axis_y)[i_l], np.asarray(draw_g.axis_y)[i_g], atol=1e-5
+    )
+    img_l = np.asarray(rasterize(draw_l, ortho_camera(), CFG, "blend"))
+    img_g = np.asarray(rasterize(draw_g, ortho_camera(), CFG, "blend"))
+    np.testing.assert_allclose(img_l, img_g, atol=1e-5)

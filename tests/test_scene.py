@@ -783,3 +783,59 @@ def test_render_batching_skips_incompatible_effects():
     img = np.asarray(scene.render(cam, RasterConfig()))
     assert np.isfinite(img).all()
     assert len(scene._batch_render_jit) == 0  # no batch formed (sizes 1)
+
+
+def test_ribbon_equal_age_counter_tiebreak_is_stable():
+    """Burst-spawned trail particles share an age; PARTICLE_COUNTER breaks
+    the tie so segment order is deterministic (spawn order) instead of
+    flickering with the sort's whims (reference keys render/mod.rs:6037-6044
+    have no third key; the counter is free here)."""
+    from bevy_hanabi_tpu.attributes import ParticleLayout
+    from bevy_hanabi_tpu.runtime.pool import ParticlePool
+
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    n = 16
+    layout = ParticleLayout(
+        [A.POSITION, A.AGE, A.LIFETIME, A.RIBBON_ID, A.SIZE, A.PARTICLE_COUNTER]
+    )
+    pool = ParticlePool.create(layout, n)
+    pts = np.asarray(
+        [[-0.6, 0.0, 0.0], [-0.2, 0.0, 0.0], [0.2, 0.0, 0.0], [0.6, 0.0, 0.0]],
+        np.float32,
+    )
+    k = len(pts)
+    pos = np.zeros((n, 3), np.float32)
+    pos[:k] = pts
+    pool.attrs["position"] = jnp.asarray(pos)
+    pool.attrs["age"] = jnp.zeros(n, jnp.float32)  # ALL EQUAL (burst)
+    pool.attrs["lifetime"] = jnp.full(n, 100.0, jnp.float32)
+    pool.attrs["ribbon_id"] = jnp.zeros(n, jnp.uint32)
+    pool.attrs["size"] = jnp.full(n, 0.1, jnp.float32)
+    counter = np.zeros(n, np.uint32)
+    counter[:k] = [3, 2, 1, 0]  # spawn order right-to-left
+    pool.attrs["particle_counter"] = jnp.asarray(counter)
+    alive = np.zeros(n, bool)
+    alive[:k] = True
+    pool.alive = jnp.asarray(alive)
+
+    draw = extract_draw_data(ribbon_asset(), pool, cam)
+    assert draw.counter is not None
+    segs = build_ribbon_segments(draw, cam)
+    valid = np.asarray(segs.alive)
+    assert valid.sum() == k - 1
+    centers = np.sort(np.asarray(segs.position)[valid][:, 0])
+    # deterministic spawn-order chain: 0.6 -> 0.2 -> -0.2 -> -0.6
+    np.testing.assert_allclose(centers, [-0.4, 0.0, 0.4], atol=1e-6)
+    # identical across repeated builds (no frame-to-frame flicker)
+    for _ in range(3):
+        segs2 = build_ribbon_segments(draw, cam)
+        np.testing.assert_array_equal(
+            np.asarray(segs2.alive), np.asarray(segs.alive)
+        )
+        np.testing.assert_allclose(
+            np.asarray(segs2.position), np.asarray(segs.position), atol=0
+        )
