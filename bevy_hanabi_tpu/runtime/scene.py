@@ -52,6 +52,8 @@ class EffectInstance:
     # events emitted by this instance's LAST step, per channel
     last_events: Dict[int, EventBuffer] = field(default_factory=dict)
     renderer: Any = None
+    # asset signature captured at add() time (drift detection, lib.rs:1796)
+    compiled_signature: Any = None
 
     def alive_count(self) -> int:
         return int(self.pool.alive_count())
@@ -156,6 +158,7 @@ class HanabiScene:
             parent=parent,
             child_channel=child_channel,
             rng=np.random.default_rng(inst_seed + 1),
+            compiled_signature=asset.signature(),
         )
         self._effects[name] = inst
         self._new_effect_added = True
@@ -290,10 +293,14 @@ class HanabiScene:
     # -- per-frame update (≈ tick_spawners + simulate()) ---------------------
 
     def update(self, dt: float) -> None:
+        import time as _time
+
+        _t0 = _time.perf_counter()
         self.debug.on_frame_start(self._new_effect_added)
         self._new_effect_added = False
         sim = self.clock.advance(dt)
         self._frame += 1
+        self._check_footguns()
         # Children consume events emitted by their parent's PREVIOUS step.
         prev_events: Dict[str, Dict[int, EventBuffer]] = {
             n: dict(e.last_events) for n, e in self._effects.items()
@@ -371,6 +378,92 @@ class HanabiScene:
             )
             g["pools"], _ = g["fx"].step(g["pools"], inputs, sim)
         self.debug.on_frame_end()
+        self.last_frame_ms = (_time.perf_counter() - _t0) * 1000.0
+
+    # -- diagnostics (≈ bevy_log warnings, reference lib.rs:1796) ------------
+
+    def _check_footguns(self) -> None:
+        """Cheap periodic checks for the classic perf footguns.
+
+        1. Asset drift: mutating a live instance's EffectAsset after add()
+           does NOT recompile here (the reference invalidates + recompiles
+           and warns, lib.rs:1796); warn so the silent no-op is visible.
+        2. Jit-cache churn: a new compiled variant appearing frame after
+           frame means something in a render/step signature changes every
+           frame — each entry is a multi-second XLA compile on TPU.
+        """
+        from ..utils.diag import warn_once
+
+        if self._frame % 30 == 0:
+            for name, inst in self._effects.items():
+                if inst.compiled_signature is None:
+                    continue
+                if inst.asset.signature() != inst.compiled_signature:
+                    warn_once(
+                        f"asset-drift:{name}",
+                        f"effect {name!r}: EffectAsset was modified after "
+                        "add(); the compiled effect still runs the OLD "
+                        "definition. Remove and re-add the instance to "
+                        "apply changes (reference recompiles here, "
+                        "lib.rs:1796).",
+                    )
+        cache_size = len(self._family_jit) + len(self._batch_render_jit)
+        prev = getattr(self, "_jit_cache_size", 0)
+        if cache_size > prev:
+            streak = getattr(self, "_jit_growth_streak", 0) + 1
+            self._jit_growth_streak = streak
+            if streak >= 3:
+                warn_once(
+                    "jit-churn",
+                    f"a new jitted variant was compiled {streak} frames in "
+                    "a row — a step/render signature is changing every "
+                    "frame (shape, asset, or config); each variant is a "
+                    "fresh XLA compile (seconds on TPU).",
+                )
+        else:
+            self._jit_growth_streak = 0
+        self._jit_cache_size = cache_size
+
+    def stats(self) -> dict:
+        """Scene observability snapshot (readbacks: call off the hot path).
+
+        Returns per-effect alive counts, event-buffer fill levels (warns
+        once when a channel saturates — saturated buffers silently drop
+        spawn events, like the reference's capacity-capped append,
+        lib.rs:984-987), group totals, and the last update() wall time.
+        """
+        from ..utils.diag import warn_once
+
+        effects = {}
+        for name, inst in self._effects.items():
+            events = {}
+            for chan, ev in (inst.last_events or {}).items():
+                num = int(ev.num_events)
+                cap = int(ev.parent_slot.shape[-1])
+                events[chan] = {"events": num, "capacity": cap}
+                if num >= cap:
+                    warn_once(
+                        f"event-saturation:{name}:{chan}",
+                        f"effect {name!r} event channel {chan} is full "
+                        f"({num}/{cap}): further spawn events this frame "
+                        "were dropped. Raise the parent's event capacity.",
+                    )
+            effects[name] = {
+                "alive": inst.alive_count(),
+                "capacity": int(inst.pool.capacity),
+                "events": events,
+            }
+        groups = {
+            name: {"alive": self.group_alive(name)} for name in self._groups
+        }
+        return {
+            "frame": self._frame,
+            "time": self.clock.time,
+            "last_frame_ms": getattr(self, "last_frame_ms", None),
+            "total_alive": self.total_alive(),
+            "effects": effects,
+            "groups": groups,
+        }
 
     def update_chunk(self, frames: int, dt: float) -> None:
         """Advance ``frames`` frames with ONE device dispatch per effect

@@ -839,3 +839,35 @@ def test_ribbon_equal_age_counter_tiebreak_is_stable():
         np.testing.assert_allclose(
             np.asarray(segs2.position), np.asarray(segs.position), atol=0
         )
+
+
+def test_scene_stats_and_diagnostics(caplog):
+    """scene.stats() reports alive/event counts; footgun warnings fire."""
+    import logging
+
+    from bevy_hanabi_tpu.models import firework_effect, firework_trail_effect
+    from bevy_hanabi_tpu.utils.diag import reset_warn_once
+
+    reset_warn_once()
+    scene = HanabiScene(seed=4)
+    scene.add(firework_effect(capacity=256), "rocket")
+    scene.add(firework_trail_effect(capacity=1024), "trail", parent="rocket")
+    for _ in range(5):
+        scene.update(1 / 60)
+    s = scene.stats()
+    assert s["frame"] == 5
+    assert s["last_frame_ms"] is not None and s["last_frame_ms"] > 0
+    assert set(s["effects"]) == {"rocket", "trail"}
+    assert s["effects"]["rocket"]["capacity"] == 256
+    assert s["total_alive"] == sum(e["alive"] for e in s["effects"].values())
+
+    # asset drift: mutate the live asset -> warning at the next 30th frame
+    with caplog.at_level(logging.WARNING, logger="bevy_hanabi_tpu"):
+        scene["rocket"].asset.with_simulation_space(
+            scene["rocket"].asset.simulation_space
+        )
+        scene["rocket"].asset.capacity = 512  # drift!
+        for _ in range(31):
+            scene.update(1 / 60)
+    assert any("modified after" in r.message for r in caplog.records)
+    reset_warn_once()
