@@ -32,7 +32,7 @@ class ParticleDrawData:
     axis_y: Any  # [N,3] world, scaled by size.y
     color: Any  # [N,4] linear RGBA (HDR allowed)
     alive: Any  # bool[N]
-    roundness: Any  # [N] 0=quad .. 1=ellipse
+    roundness: Any  # [N] 0=quad .. 1=ellipse, or None when no RoundModifier
     sprite_index: Any  # int32[N] flipbook frame
     # static (non-traced) draw state
     sprite_grid_size: Tuple[int, int]
@@ -184,12 +184,11 @@ def extract_draw_data(
         denom = jnp.minimum(wpx * camera.proj_scale[0], hpx * camera.proj_scale[1])
         sz = sz * (w_cs[:, None] * 2.0) / denom
 
-    roundness = (
-        ctx.roundness
-        if ctx.roundness is not None
-        else jnp.zeros((n,), jnp.float32)
-    )
-    roundness = jnp.broadcast_to(roundness, (n,))
+    # None (not zeros) when no RoundModifier ran: the rasterizer statically
+    # skips the squircle pow() — ~10x on the blend loop's per-entry cost.
+    roundness = ctx.roundness
+    if roundness is not None:
+        roundness = jnp.broadcast_to(roundness, (n,))
     sprite_index = (
         particle["sprite_index"].astype(jnp.int32)
         if "sprite_index" in particle

@@ -124,7 +124,7 @@ def expand_mesh_draw(draw: ParticleDrawData, mesh: ParticleMesh) -> ParticleDraw
         axis_y=jnp.concatenate(axy, axis=0),
         color=rep(draw.color),
         alive=rep(draw.alive),
-        roundness=rep(draw.roundness),
+        roundness=rep(draw.roundness) if draw.roundness is not None else None,
         sprite_index=rep(draw.sprite_index),
         sprite_grid_size=draw.sprite_grid_size,
         texture_layers=draw.texture_layers,

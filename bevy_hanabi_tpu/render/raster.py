@@ -243,7 +243,7 @@ def rasterize(
     t_h2x = h2[t_p, 0]
     t_h2y = h2[t_p, 1]
     t_color = draw.color[t_p]  # [M, nt, 4]
-    t_round = draw.roundness[t_p]
+    t_round = draw.roundness[t_p] if draw.roundness is not None else None
     t_sprite = draw.sprite_index[t_p]
     # Per-particle mask cutoff (vfx_render.wgsl:319-325); scalar fallback
     # when the draw data carries none.
@@ -279,7 +279,6 @@ def rasterize(
         m = jnp.minimum(m, M - 1)
         has = t_has[m] & in_range
         col = t_color[m]  # [nt,4]
-        rnd = t_round[m]
         dx = px - t_cx[m][:, None, None]  # [nt,T,T]
         dy = py - t_cy[m][:, None, None]
         a1x, a1y = t_h1x[m], t_h1y[m]
@@ -304,14 +303,18 @@ def rasterize(
         v01 = v * 0.5 + 0.5
 
         # squircle rounding (output.rs:899-918): discard where
-        # |1-2u|^nexp + |1-2v|^nexp > 1
-        nexp = (2.0 / jnp.maximum(rnd, 1e-6))[:, None, None]
-        squircle = jnp.power(jnp.abs(1.0 - 2.0 * u01), nexp) + jnp.power(
-            jnp.abs(1.0 - 2.0 * v01), nexp
-        )
-        sq_ok = (rnd[:, None, None] <= 0.0) | (squircle <= 1.0)
-        inside &= sq_ok
-        coverage = coverage * sq_ok.astype(jnp.float32)
+        # |1-2u|^nexp + |1-2v|^nexp > 1. Statically skipped when no
+        # RoundModifier ran: the two pow() transcendentals per pixel are
+        # ~10x the rest of the blend math.
+        if t_round is not None:
+            rnd = t_round[m]
+            nexp = (2.0 / jnp.maximum(rnd, 1e-6))[:, None, None]
+            squircle = jnp.power(jnp.abs(1.0 - 2.0 * u01), nexp) + jnp.power(
+                jnp.abs(1.0 - 2.0 * v01), nexp
+            )
+            sq_ok = (rnd[:, None, None] <= 0.0) | (squircle <= 1.0)
+            inside &= sq_ok
+            coverage = coverage * sq_ok.astype(jnp.float32)
 
         src = jnp.broadcast_to(col[:, None, None, :], (nt, T, T, 4))
         if draw.texture_layers:

@@ -91,7 +91,7 @@ def build_ribbon_segments(
         axis_y=side * width[:, None],
         color=draw.color[order],
         alive=seg_valid,
-        roundness=jnp.zeros((n,), jnp.float32),
+        roundness=None,
         sprite_index=draw.sprite_index[order],
         sprite_grid_size=draw.sprite_grid_size,
         texture_layers=draw.texture_layers,

@@ -769,13 +769,26 @@ class HanabiScene:
                     else jnp.full(d.alive.shape, 0.5, jnp.float32)
                     for d in draws
                 ]
+                # roundness stays None (squircle statically skipped) unless
+                # some batched effect actually uses a RoundModifier
+                if any(d.roundness is not None for d in draws):
+                    roundness = jnp.concatenate(
+                        [
+                            d.roundness
+                            if d.roundness is not None
+                            else jnp.zeros(d.alive.shape, jnp.float32)
+                            for d in draws
+                        ]
+                    )
+                else:
+                    roundness = None
                 flat = ParticleDrawData(
                     position=cat("position"),
                     axis_x=cat("axis_x"),
                     axis_y=cat("axis_y"),
                     color=cat("color"),
                     alive=cat("alive"),
-                    roundness=cat("roundness"),
+                    roundness=roundness,
                     sprite_index=cat("sprite_index"),
                     sprite_grid_size=(1, 1),
                     texture_layers=(),
