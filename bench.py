@@ -119,6 +119,63 @@ def bench_instanced(instances=256, cap=4096):
     return alive_mean * K / best, K / best, alive_mean
 
 
+def bench_stepped_rendered():
+    """BASELINE headline: 1M alive particles stepped AND rendered per frame.
+
+    The reference frame is always compute + draw (render/mod.rs:6942 +
+    :6607-6846), so the headline config runs the full per-frame pipeline —
+    fused step, render-modifier extraction, and the 512^2 tile rasterizer —
+    inside one lax.scan chunk (gradient.rs analogue at 1M capacity)."""
+    from bevy_hanabi_tpu.models import gradient_effect
+    from bevy_hanabi_tpu.render.camera import CameraParams, look_at, perspective
+    from bevy_hanabi_tpu.render.raster import RasterConfig
+    import math
+
+    asset = gradient_effect(capacity=CAPACITY)
+    fx = CompiledEffect(asset)
+    pool = fx.create_pool()
+    spawner = EffectSpawner(asset.spawner, rng=np.random.default_rng(0))
+    cam = CameraParams(
+        view=look_at(
+            np.array([0.0, 0.0, 26.0]), np.zeros(3), np.array([0.0, 1.0, 0.0])
+        ),
+        proj=perspective(math.radians(60.0), 1.0, 0.1, 200.0),
+        viewport=(512, 512),
+    )
+    # tile_slots=2: corner + dominant-spill binning (see RasterConfig) — the
+    # dense-small-particle fast path; halves the (tile, depth) sort size.
+    config = RasterConfig(width=512, height=512, tile_slots=2)
+    frame = 0
+
+    def chunk(frame):
+        inputs, sims = [], []
+        for j in range(K):
+            inputs.append(StepInputs.make(spawner.tick(DT), frame + j))
+            sims.append(SimParams(time=(frame + j) * DT, delta_time=DT))
+        return fx.stack_frames(inputs, sims)
+
+    # gradient lifetime is 5 s: run past it so the pool is in steady churn
+    warmup_chunks = (int(5.0 / DT) + K) // K + 1
+    for _ in range(warmup_chunks):
+        ii, ss = chunk(frame)
+        frame += K
+        pool, img, sums = fx.step_render_chunk(pool, ii, ss, cam, config)
+    alive_before = int(pool.alive_count())
+    best = float("inf")
+    checksum = 0.0
+    for _ in range(3):
+        ii, ss = chunk(frame)
+        frame += K
+        int(pool.alive_count())
+        t0 = time.perf_counter()
+        pool, img, sums = fx.step_render_chunk(pool, ii, ss, cam, config)
+        alive_after = int(pool.alive_count())  # readback = true barrier
+        best = min(best, time.perf_counter() - t0)
+        checksum = float(jnp.sum(sums))
+    alive_mean = 0.5 * (alive_before + alive_after)
+    return alive_mean * K / best, K / best, alive_mean, checksum
+
+
 def bench_firework_events(frames=240):
     """Parent→child event tree (firework.rs + trails) via the fused family
     scan: rockets emit OnDie spawn events, trails consume + inherit. Not the
@@ -142,24 +199,30 @@ def bench_firework_events(frames=240):
 
 
 def main() -> None:
+    r_pps, r_fps, r_alive, r_checksum = bench_stepped_rendered()
     s_pps, s_sps, s_alive = bench_single()
     i_pps, i_sps, i_alive = bench_instanced()
     f_sps = bench_firework_events()
-    pps = max(s_pps, i_pps)
     print(
         json.dumps(
             {
-                "metric": "alive particles stepped/sec/chip at 1M pool",
-                "value": pps,
+                "metric": "alive particles stepped+rendered/sec/chip at 1M pool, 512^2",
+                "value": r_pps,
                 "unit": "particles/s",
-                "vs_baseline": pps / BASELINE_PARTICLES_PER_SEC,
+                "vs_baseline": r_pps / BASELINE_PARTICLES_PER_SEC,
                 "detail": {
-                    "single_1M_pool": {
+                    "stepped_and_rendered_1M_512sq": {
+                        "particles_per_sec": r_pps,
+                        "frames_per_sec": r_fps,
+                        "alive_mean": r_alive,
+                        "framebuffer_checksum": r_checksum,
+                    },
+                    "step_only_single_1M_pool": {
                         "particles_per_sec": s_pps,
                         "steps_per_sec": s_sps,
                         "alive_mean": s_alive,
                     },
-                    "instanced_256x4096": {
+                    "step_only_instanced_256x4096": {
                         "particles_per_sec": i_pps,
                         "steps_per_sec": i_sps,
                         "alive_mean": i_alive,

@@ -42,6 +42,10 @@ class ParticleDrawData:
     age: Any = None
     alpha_cutoff: Any = None  # [N] per-particle mask cutoff (AlphaMode::Mask)
     counter: Any = None  # uint32[N] PARTICLE_COUNTER (ribbon sort tie-break)
+    # [N] 1.0 where the entry is a TRIANGLE (axis_x/axis_y are then the full
+    # A->B / A->C edges x2 and position is vertex A; inside test is
+    # barycentric). None = all quads. Set by mesh expansion (mesh.py).
+    tri: Any = None
 
 
 jax.tree_util.register_dataclass(
@@ -58,6 +62,7 @@ jax.tree_util.register_dataclass(
         "age",
         "alpha_cutoff",
         "counter",
+        "tri",
     ],
     meta_fields=["sprite_grid_size", "texture_layers", "needs_uv"],
 )

@@ -50,6 +50,15 @@ class RasterConfig:
     # than tile_span*tile_size pixels are cropped (raise tile_span for big
     # quads, at linear memory cost in bin entries).
     tile_span: int = 2
+    # Bin-entry slots per particle. 0 (default) = tile_span^2, fully exact.
+    # 2 emits the bbox-corner tile plus the dominant-spill neighbor: exact
+    # whenever a splat crosses at most one tile boundary (the overwhelming
+    # case for particles smaller than a tile); a splat straddling BOTH axes
+    # keeps its corner tile + largest spill and loses the remaining
+    # sub-splat slivers (<2% of particles at typical sizes). The
+    # (tile, depth) sort is the render bottleneck and scales linearly with
+    # slots: 2 slots is ~1.4x faster end-to-end at 1M small particles.
+    tile_slots: int = 0
     # Blend budget per tile: entries beyond this (back-to-front) are dropped.
     max_entries_per_tile: int = 64
     # Entries composited per loop iteration: XLA fuses the unrolled chain into
@@ -130,6 +139,12 @@ def rasterize(
     valid = jnp.logical_and(draw.alive, w > 1e-4)
     rx = jnp.abs(h1[:, 0]) + jnp.abs(h2[:, 0])
     ry = jnp.abs(h1[:, 1]) + jnp.abs(h2[:, 1])
+    if draw.tri is not None:
+        # triangle entries span |u|,|v| <= 0.5 around their midpoint anchor
+        # (mesh.py) — half the quad extent
+        half = jnp.where(draw.tri > 0.5, 0.5, 1.0)
+        rx = rx * half
+        ry = ry * half
     valid &= (center[:, 0] + rx > 0) & (center[:, 0] - rx < config.width)
     valid &= (center[:, 1] + ry > 0) & (center[:, 1] - ry < config.height)
     valid &= (rx > 1e-6) & (ry > 1e-6)
@@ -144,16 +159,44 @@ def rasterize(
     entry_pidx = []
     entry_depth = []
     pidx = jnp.arange(n, dtype=jnp.int32)
-    for dy in range(span):
-        for dx in range(span):
-            tx = tx0 + dx
-            ty = ty0 + dy
-            ok = valid & (tx <= tx1) & (ty <= ty1)
-            ok &= (tx >= 0) & (tx < ntx) & (ty >= 0) & (ty < nty)
-            tile = jnp.where(ok, ty * ntx + tx, nt)  # nt = sentinel bin
-            entry_tile.append(tile)
-            entry_pidx.append(pidx)
-            entry_depth.append(jnp.where(ok, depth, -jnp.inf))
+    if config.tile_slots == 2:
+        # Two slots per particle: the (screen-clamped) bbox-corner tile and
+        # the dominant-spill neighbor. Exact unless a splat straddles both a
+        # vertical and a horizontal tile boundary (then only the largest
+        # spill is kept); halves the entry count the sort sees vs span^2.
+        tcx = jnp.clip(tx0, 0, ntx - 1)
+        tcy = jnp.clip(ty0, 0, nty - 1)
+        ok0 = valid & (tcx <= tx1) & (tcy <= ty1)
+        tile0 = jnp.where(ok0, tcy * ntx + tcx, nt)
+        # spill extents (px) past the corner tile's right/bottom edges
+        sx = (tx1 > tcx) & (tcx + 1 < ntx)
+        sy = (ty1 > tcy) & (tcy + 1 < nty)
+        spill_x = (center[:, 0] + rx) - (tcx + 1).astype(jnp.float32) * T
+        spill_y = (center[:, 1] + ry) - (tcy + 1).astype(jnp.float32) * T
+        use_x = sx & (jnp.logical_not(sy) | (spill_x >= spill_y))
+        ok1 = valid & (sx | sy)
+        tile1 = jnp.where(
+            ok1,
+            jnp.where(use_x, tile0 + 1, tile0 + ntx),
+            nt,
+        )
+        entry_tile = [tile0, tile1]
+        entry_pidx = [pidx, pidx]
+        entry_depth = [
+            jnp.where(ok0, depth, -jnp.inf),
+            jnp.where(ok1, depth, -jnp.inf),
+        ]
+    else:
+        for dy in range(span):
+            for dx in range(span):
+                tx = tx0 + dx
+                ty = ty0 + dy
+                ok = valid & (tx <= tx1) & (ty <= ty1)
+                ok &= (tx >= 0) & (tx < ntx) & (ty >= 0) & (ty < nty)
+                tile = jnp.where(ok, ty * ntx + tx, nt)  # nt = sentinel bin
+                entry_tile.append(tile)
+                entry_pidx.append(pidx)
+                entry_depth.append(jnp.where(ok, depth, -jnp.inf))
     tile_ids = jnp.concatenate(entry_tile)
     pidxs = jnp.concatenate(entry_pidx)
     depths = jnp.concatenate(entry_depth)
@@ -254,6 +297,9 @@ def rasterize(
     if draw.roundness is not None:
         i_round = len(cols)
         cols.append(draw.roundness)
+    if draw.tri is not None:
+        i_tri = len(cols)
+        cols.append(draw.tri)
     need_sprite = draw.texture_layers and draw.sprite_grid_size != (1, 1)
     if need_sprite:
         i_sprite = len(cols)
@@ -272,6 +318,7 @@ def rasterize(
     t_h2y = rows[..., 5]
     t_color = rows[..., 6:10]  # [M, nt, 4]
     t_round = rows[..., i_round] if draw.roundness is not None else None
+    t_tri = rows[..., i_tri] if draw.tri is not None else None
     t_sprite = rows[..., i_sprite].astype(jnp.int32) if need_sprite else None
     # Per-particle mask cutoff (vfx_render.wgsl:319-325); scalar fallback
     # when the draw data carries none.
@@ -316,6 +363,14 @@ def rasterize(
         u = (a2y[:, None, None] * dx - a2x[:, None, None] * dy) / det
         v = (-a1y[:, None, None] * dx + a1x[:, None, None] * dy) / det
         inside = (jnp.abs(u) <= 1.0) & (jnp.abs(v) <= 1.0)
+        if t_tri is not None:
+            # Triangle entries (mesh.py): position is the midpoint (B+C)/2
+            # and h1/h2 are the screen-space edges AB/AC, so barycentric
+            # coords are (u+0.5, v+0.5): inside iff u>=-0.5, v>=-0.5,
+            # u+v<=0 (and |u|,|v|<=0.5, within the quad bbox).
+            is_tri = (t_tri[m] > 0.5)[:, None, None]
+            tri_inside = (u >= -0.5) & (v >= -0.5) & (u + v <= 0.0)
+            inside = jnp.where(is_tri, tri_inside, inside)
         inside &= has[:, None, None]
         if config.antialias:
             # fractional coverage: ramp width = one pixel at the quad edge
@@ -324,6 +379,11 @@ def rasterize(
             cov_u = jnp.clip((1.0 - jnp.abs(u)) * eu + 0.5, 0.0, 1.0)
             cov_v = jnp.clip((1.0 - jnp.abs(v)) * ev + 0.5, 0.0, 1.0)
             coverage = cov_u * cov_v * has[:, None, None]
+            if t_tri is not None:
+                # triangles keep a binary edge (no analytic ramp yet)
+                coverage = jnp.where(
+                    is_tri, inside.astype(jnp.float32), coverage
+                )
             inside = coverage > 0.0
         else:
             coverage = inside.astype(jnp.float32)
@@ -341,6 +401,8 @@ def rasterize(
                 jnp.abs(1.0 - 2.0 * v01), nexp
             )
             sq_ok = (rnd[:, None, None] <= 0.0) | (squircle <= 1.0)
+            if t_tri is not None:
+                sq_ok |= is_tri  # rounding is a quad-space concept
             inside &= sq_ok
             coverage = coverage * sq_ok.astype(jnp.float32)
 

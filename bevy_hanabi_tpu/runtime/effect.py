@@ -140,6 +140,7 @@ class CompiledEffect:
         # HBM (no copy of a potentially multi-GB pool).
         self._jit_step = jax.jit(self._step, donate_argnums=(0,))
         self._jit_step_chunk = jax.jit(self._step_chunk, donate_argnums=(0,))
+        self._jit_render_chunk: Dict[Any, Any] = {}
 
     # -- pool ------------------------------------------------------------
 
@@ -184,6 +185,84 @@ class CompiledEffect:
 
         pool, _ = jax.lax.scan(body, pool, (inputs_stacked, sims_stacked))
         return pool
+
+    def step_render_chunk(
+        self,
+        pool: ParticlePool,
+        inputs_stacked: StepInputs,
+        sims_stacked,
+        camera,
+        config,
+        textures=(),
+    ):
+        """Advance K frames AND render each one, all in ONE device dispatch.
+
+        The full reference frame is compute + draw (render/mod.rs:6942 then
+        :6607-6846); this is its chunked TPU analogue: ``lax.scan`` over K
+        frames where every iteration steps the pool, runs the render
+        modifiers (extract), and rasterizes. Returns
+        ``(pool, last_image, checksums)`` where ``checksums`` is a [K] array
+        of per-frame framebuffer sums — each frame's raster feeds an output,
+        so XLA cannot elide any per-frame draw.
+        """
+        if self.num_event_channels or self.consumes_events:
+            raise ValueError(
+                "step_render_chunk does not support event-linked effects"
+            )
+        fn = self._jit_render_chunk.get(config)
+        if fn is None:
+            from ..render.extract import extract_draw_data
+            from ..render.raster import rasterize
+
+            alpha_mode = self.asset.alpha_mode.kind
+            has_ribbons = self.layout.contains("ribbon_id")
+            mesh = self.asset.mesh
+
+            def chunk(pool, ins, sims, camera, texs):
+                def render(p, inputs, sim):
+                    draw = extract_draw_data(
+                        self.asset,
+                        p,
+                        camera,
+                        sim=sim,
+                        properties=inputs.properties,
+                        textures=list(texs),
+                        transform=inputs.transform,
+                    )
+                    if has_ribbons:
+                        from ..render.ribbon import build_ribbon_segments
+
+                        draw = build_ribbon_segments(draw, camera)
+                    elif mesh is not None:
+                        from ..render.mesh import expand_mesh_draw
+
+                        draw = expand_mesh_draw(draw, mesh)
+                    return rasterize(
+                        draw,
+                        camera,
+                        config,
+                        alpha_mode=alpha_mode,
+                        textures=list(texs),
+                    )
+
+                def body(carry, per_frame):
+                    p, _ = carry
+                    inputs, sim = per_frame
+                    new_pool, _ = self._step(p, inputs, sim, None, None)
+                    img = render(new_pool, inputs, sim)
+                    return (new_pool, img), jnp.sum(img)
+
+                img0 = jnp.zeros(
+                    (config.height, config.width, 4), jnp.float32
+                )
+                (pool, img), sums = jax.lax.scan(
+                    body, (pool, img0), (ins, sims)
+                )
+                return pool, img, sums
+
+            fn = jax.jit(chunk, donate_argnums=(0,))
+            self._jit_render_chunk[config] = fn
+        return fn(pool, inputs_stacked, sims_stacked, camera, tuple(textures))
 
     @staticmethod
     def make_family_chunk_step(members):

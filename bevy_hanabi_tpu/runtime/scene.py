@@ -782,6 +782,8 @@ class HanabiScene:
                     )
                 else:
                     roundness = None
+                # (mesh/ribbon effects are never batched — see _batch_key —
+                # so draw.tri is always None here)
                 flat = ParticleDrawData(
                     position=cat("position"),
                     axis_x=cat("axis_x"),

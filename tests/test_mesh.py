@@ -90,3 +90,53 @@ def test_mesh_serde_via_asset():
     back = EffectAsset.from_json(asset.to_json())
     assert back.mesh is not None and back.mesh.num_quads == 2
     assert back.to_json() == asset.to_json()
+
+
+def test_triangle_exact_coverage():
+    """A single right triangle covers exactly the expected half-quad pixels.
+
+    Reference parity: arbitrary triangle meshes per particle
+    (/root/reference/src/lib.rs:745, draw path render/mod.rs:6622-6758).
+    """
+    # triangle A=(-0.5,-0.5), B=(0.5,-0.5), C=(-0.5,0.5) in world units on
+    # the z=0 plane; ortho [-1,1]^2 over 64px -> 32px legs
+    mesh = ParticleMesh.from_triangles(
+        [[-0.5, -0.5, 0.0], [0.5, -0.5, 0.0], [-0.5, 0.5, 0.0]],
+        [[0, 1, 2]],
+    )
+    asset = one_particle_asset(mesh, size=1.0)
+    img = render_one(asset)
+    cov = img[..., 3] > 0.5
+    # screen: x = (wx+1)*32, y = (1-wy)*32 -> A=(16,48), B=(48,48), C=(16,16)
+    ys, xs = np.mgrid[0:H, 0:W]
+    px, py = xs + 0.5, ys + 0.5
+    expect = (px >= 16) & (py <= 48) & ((px - 16) + (48 - py) <= 32)
+    # allow one-pixel boundary differences
+    diff = cov != expect
+    assert diff.mean() < 0.02, (cov.sum(), expect.sum(), diff.sum())
+    # interior & exterior exact
+    assert cov[40, 20] and cov[44, 40]          # inside
+    assert not cov[20, 40] and not cov[10, 10]  # outside hypotenuse / bbox
+
+
+def test_triangle_mesh_union_with_quads():
+    # a quad + a triangle render together; union coverage > quad alone
+    quad = ParticleMesh.quad()
+    union = ParticleMesh(
+        offsets=[[0, 0, 0]], axes_x=[[1, 0, 0]], axes_y=[[0, 1, 0]],
+        vertices=[[0.6, 0.6, 0.0], [1.4, 0.6, 0.0], [0.6, 1.4, 0.0]],
+        indices=[[0, 1, 2]],
+    )
+    img_q = render_one(one_particle_asset(quad, size=0.5))
+    img_u = render_one(one_particle_asset(union, size=0.5))
+    assert (img_u[..., 3] > 0).sum() > (img_q[..., 3] > 0).sum()
+
+
+def test_tetrahedron_mesh_renders_and_serde():
+    tet = ParticleMesh.tetrahedron()
+    assert tet.num_triangles == 4 and tet.num_quads == 0
+    rt = ParticleMesh.from_json(tet.to_json())
+    np.testing.assert_array_equal(rt.vertices, tet.vertices)
+    np.testing.assert_array_equal(rt.indices, tet.indices)
+    img = render_one(one_particle_asset(tet, size=0.6))
+    assert (img[..., 3] > 0).sum() > 50  # silhouette has real coverage

@@ -480,3 +480,38 @@ def test_local_space_rotated_emitter_matches_global():
     img_l = np.asarray(rasterize(draw_l, ortho_camera(), CFG, "blend"))
     img_g = np.asarray(rasterize(draw_g, ortho_camera(), CFG, "blend"))
     np.testing.assert_allclose(img_l, img_g, atol=1e-5)
+
+
+def test_tile_slots2_matches_exact_for_small_splats():
+    # Many small random quads, none larger than a tile: the 2-slot binning
+    # must agree with the exact span^2 path except on the (rare) splats that
+    # straddle both a vertical and a horizontal tile boundary.
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    n = 512
+    pos = rng.uniform(-0.95, 0.95, (n, 3)).astype(np.float32)
+    pos[:, 2] = rng.uniform(-0.5, 0.5, n)
+    cols = rng.uniform(0.1, 1.0, (n, 4)).astype(np.float32)
+    draw = quad_draw(pos.tolist(), cols.tolist(), size=0.06)
+    cfg4 = dataclasses.replace(CFG, max_entries_per_tile=64)
+    cfg2 = dataclasses.replace(cfg4, tile_slots=2)
+    img4 = np.asarray(rasterize(draw, ortho_camera(), cfg4, "blend"))
+    img2 = np.asarray(rasterize(draw, ortho_camera(), cfg2, "blend"))
+    # identical on >=97% of pixels; differing pixels are corner slivers
+    same = np.isclose(img4, img2, atol=1e-6).all(axis=-1)
+    assert same.mean() > 0.97, same.mean()
+    # every splat still renders: per-quad coverage present in both
+    assert (img2[..., 3] > 0).sum() >= 0.95 * (img4[..., 3] > 0).sum()
+
+
+def test_tile_slots2_single_axis_straddle_exact():
+    # A quad crossing exactly one tile boundary renders identically.
+    import dataclasses
+
+    # tile boundary at x=16px => world x=-0.5; center the quad on it
+    draw = quad_draw([[-0.5, 0.25, 0.0]], [[0.0, 1.0, 0.0, 1.0]], size=0.2)
+    cfg2 = dataclasses.replace(CFG, tile_slots=2)
+    img4 = np.asarray(rasterize(draw, ortho_camera(), CFG, "blend"))
+    img2 = np.asarray(rasterize(draw, ortho_camera(), cfg2, "blend"))
+    np.testing.assert_allclose(img2, img4, atol=1e-6)
