@@ -102,6 +102,25 @@ class ShardedEffect(InstancedEffect):
             lambda x: jax.device_put(jnp.asarray(x), self._input_spec_fn(x)), inputs
         )
 
+    def shard_inputs_stacked(self, inputs_stacked: StepInputs) -> StepInputs:
+        """Shard K-frame stacked inputs: leaves are [K, I, ...], I over dp."""
+
+        def spec(x):
+            x = jnp.asarray(x)
+            extra = (None,) * (x.ndim - 2)
+            return NamedSharding(self.mesh, jax.sharding.PartitionSpec(None, "dp", *extra))
+
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), spec(x)), inputs_stacked
+        )
+
     def step(self, pools: ParticlePool, inputs: StepInputs, sim: SimParams):
         with self.mesh:
             return self._jit_step(pools, inputs, sim)
+
+    def step_chunk(self, pools: ParticlePool, inputs_stacked, sims_stacked):
+        """K frames in one dispatch with pools left sharded on the mesh."""
+        with self.mesh:
+            return super().step_chunk(
+                pools, self.shard_inputs_stacked(inputs_stacked), sims_stacked
+            )

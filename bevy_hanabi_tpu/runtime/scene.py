@@ -218,6 +218,68 @@ class HanabiScene:
         self._new_effect_added = True
         return name
 
+    def add_sharded_group(
+        self,
+        asset: EffectAsset,
+        count: int,
+        name: Optional[str] = None,
+        mesh=None,
+        dp: Optional[int] = None,
+        sp: Optional[int] = None,
+        transforms: Optional[Any] = None,
+        capacity: Optional[int] = None,
+        textures: Sequence[Any] = (),
+        render_mode: str = "auto",
+    ) -> str:
+        """Add a group whose pools shard across a ``jax.sharding.Mesh``.
+
+        A mixed scene can place its biggest pool across chips while other
+        effects stay single-device (SURVEY.md §2e: pool-axis sharding;
+        the render gather/psum is the only cross-shard op). Instances shard
+        over the mesh's ``dp`` axis and each pool's particle axis over
+        ``sp``; stepping inserts only the spawn-ranking scan + alive-count
+        collectives, and rendering uses :class:`ShardedRenderer`
+        (psum compositing for additive blending, all_gather otherwise —
+        pick with ``render_mode``). Pass ``mesh`` or ``dp``/``sp`` factors
+        of the device count.
+        """
+        from ..parallel.mesh import ShardedEffect, make_mesh
+        from ..spawn import make_spawner_bank
+
+        if asset.emits_gpu_spawn_events():
+            raise ValueError("event-emitting assets cannot be grouped; use add()")
+        if asset.simulation_space is not SimulationSpace.GLOBAL:
+            raise ValueError("instanced groups require GLOBAL simulation space")
+        if mesh is None:
+            mesh = make_mesh(dp=dp, sp=sp)
+        name = name or f"{asset.name}[sharded]#{len(self._groups)}"
+        if name in self._groups or name in self._effects:
+            raise ValueError(f"effect {name!r} already exists")
+        fx = ShardedEffect(asset, count, mesh, capacity)
+        if transforms is None:
+            tfs = np.broadcast_to(identity_transform(), (count, 3, 4))
+        else:
+            tfs = np.asarray(transforms, np.float32).reshape(count, 3, 4)
+        self._groups[name] = {
+            "asset": asset,
+            "fx": fx,
+            "pools": fx.create_pools(),
+            "bank": make_spawner_bank(
+                asset.spawner, count, seed=int(self._rng.integers(0, 2**63))
+            ),
+            "transforms": tfs,
+            "properties": EffectProperties(
+                [Property(n, v) for n, v in asset.module.properties().items()]
+            ),
+            "visible": True,
+            "textures": tuple(textures),
+            "renderer": None,
+            "sharded": True,
+            "render_mode": render_mode,
+        }
+        self._new_effect_added = True
+        return name
+
     def group_alive(self, name: str) -> int:
         g = self._groups[name]
         return int(g["fx"].total_alive(g["pools"]))
@@ -376,6 +438,8 @@ class HanabiScene:
             inputs = g["fx"].make_inputs(
                 counts, seeds, g["transforms"], g["properties"].as_dict()
             )
+            if g.get("sharded"):
+                inputs = g["fx"].shard_inputs(inputs)
             g["pools"], _ = g["fx"].step(g["pools"], inputs, sim)
         self.debug.on_frame_end()
         self.last_frame_ms = (_time.perf_counter() - _t0) * 1000.0
@@ -710,6 +774,9 @@ class HanabiScene:
         for g in self._groups.values():
             if not g["visible"]:
                 continue
+            if g.get("sharded"):
+                fb = self._render_sharded_group(g, camera, config, sim, fb)
+                continue
             if g["renderer"] is None or g["renderer"].config != config:
                 g["renderer"] = EffectRenderer(
                     g["asset"], config, textures=g["textures"]
@@ -722,6 +789,31 @@ class HanabiScene:
                 framebuffer=fb,
             )
         return fb
+
+    def _render_sharded_group(self, g, camera, config, sim, fb):
+        """Rasterize a sharded group on its mesh, then composite the
+        replicated image onto the scene framebuffer with the effect's blend
+        equation (the one cross-shard op of the frame)."""
+        import dataclasses
+
+        from ..parallel.render import ShardedRenderer
+        from ..render.renderer import composite_by_mode
+
+        alpha_kind = g["asset"].alpha_mode.kind
+        neutral = (
+            (1.0, 1.0, 1.0, 0.0) if alpha_kind == "multiply" else (0.0, 0.0, 0.0, 0.0)
+        )
+        cfg = dataclasses.replace(config, background=neutral)
+        r = g["renderer"]
+        if not isinstance(r, ShardedRenderer) or r.config != cfg:
+            r = ShardedRenderer(
+                g["fx"], cfg, textures=g["textures"], mode=g["render_mode"]
+            )
+            g["renderer"] = r
+        img = r.render(
+            g["pools"], camera, sim=sim, properties=g["properties"].as_dict()
+        )
+        return composite_by_mode(img, fb, alpha_kind)
 
     def _render_batch(self, insts, alpha_kind, camera, config, sim, fb):
         """Rasterize several same-blend-state effects in one pass (one

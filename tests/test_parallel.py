@@ -182,3 +182,62 @@ def test_sharded_render_validation():
         ShardedRenderer(fx, RasterConfig(), mode="psum")
     with pytest.raises(ValueError, match="unknown mode"):
         ShardedRenderer(fx, RasterConfig(), mode="banana")
+
+
+@needs_devices(8)
+def test_scene_mixed_sharded_and_plain():
+    """A mixed scene steps + renders sharded and unsharded effects together
+    (VERDICT round-1 item 8: scene-level multi-chip)."""
+    import math
+
+    from bevy_hanabi_tpu.models import gradient_effect, spawn_gravity_effect
+    from bevy_hanabi_tpu.render import CameraParams, RasterConfig, look_at, perspective
+    from bevy_hanabi_tpu.runtime import HanabiScene
+
+    scene = HanabiScene(seed=11)
+    scene.add(gradient_effect(capacity=512), "plain")
+    gname = scene.add_sharded_group(
+        spawn_gravity_effect(capacity=256, rate=2000.0),
+        count=8,
+        dp=4,
+        sp=2,
+        name="big",
+    )
+    for _ in range(12):
+        scene.update(DT)
+    assert scene["plain"].alive_count() > 0
+    assert scene.group_alive(gname) > 0
+
+    cam = CameraParams(
+        view=look_at(np.array([0.0, 0.0, 8.0]), np.zeros(3), np.array([0.0, 1.0, 0.0])),
+        proj=perspective(math.radians(60.0), 1.0, 0.1, 100.0),
+        viewport=(64, 64),
+    )
+    img = np.asarray(scene.render(cam, RasterConfig(width=64, height=64)))
+    assert img.shape == (64, 64, 4)
+    assert np.isfinite(img).all()
+    assert (img[..., :3].sum(axis=-1) > 0).sum() > 4  # both effects drew
+
+    # render must match the same group stepped+rendered single-device
+    ref = HanabiScene(seed=11)
+    ref.add(gradient_effect(capacity=512), "plain")
+    ref.add_group(
+        spawn_gravity_effect(capacity=256, rate=2000.0), count=8, name="big"
+    )
+    for _ in range(12):
+        ref.update(DT)
+    img_ref = np.asarray(ref.render(cam, RasterConfig(width=64, height=64)))
+    np.testing.assert_allclose(img, img_ref, atol=2e-4)
+
+
+@needs_devices(8)
+def test_scene_sharded_group_update_chunk():
+    from bevy_hanabi_tpu.models import spawn_gravity_effect
+    from bevy_hanabi_tpu.runtime import HanabiScene
+
+    scene = HanabiScene(seed=4)
+    g = scene.add_sharded_group(
+        spawn_gravity_effect(capacity=128, rate=600.0), count=8, dp=8, sp=1
+    )
+    scene.update_chunk(10, DT)
+    assert scene.group_alive(g) > 0
