@@ -1,1 +1,1 @@
-"""TPU compute primitives: RNG, compaction, sort, rasterization kernels."""
+"""TPU compute primitives: RNG, compaction, step kernels."""

@@ -10,7 +10,7 @@ are: **bin → sort → bounded per-tile blend**, all with static shapes:
 3. one ``lax.sort`` orders all (tile, depth) entries back-to-front per tile —
    this also replaces the reference's per-view transparent-phase sorting;
 4. a bounded ``fori_loop`` blends up to ``max_entries_per_tile`` entries into
-   每 tile's [T, T, 4] block held in registers/VMEM (carry of a scan), which
+   each tile's [T, T, 4] block held in registers/VMEM (carry of a scan), which
    XLA fuses into one pass per entry step.
 
 Alpha modes follow the reference's blend-state mapping (asset.rs:212-240):
@@ -28,13 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.sort import VMEM_SORT_MAX, bitonic_sort_pairs
 from .camera import CameraParams
 from .extract import ParticleDrawData
-
-
-def _next_pow2(n: int) -> int:
-    return 1 << (n - 1).bit_length()
 
 __all__ = ["RasterConfig", "rasterize"]
 
@@ -68,10 +63,6 @@ class RasterConfig:
     # binary inside tests — sub-pixel particles fade smoothly instead of
     # popping (the reference gets this from MSAA + texture filtering).
     antialias: bool = False
-    # Experimental: single-kernel VMEM bitonic sort for the (tile, depth)
-    # entry ordering (ops/sort.py). Currently no faster than lax.sort on
-    # v5e (pltpu.roll serializes) — off by default.
-    use_pallas_sort: bool = False
     background: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
 
     @property
@@ -207,7 +198,6 @@ def rasterize(
     # entries). Depth quantizes to the bits left under the tile id; ties
     # blend in arbitrary order (only equal-depth overlaps are affected —
     # the same tie behavior GPU rasterization has).
-    num_raw = tile_ids.shape[0]
     tile_bits = max(1, int(np.ceil(np.log2(nt + 2))))
     # cap depth bits at 22 so the f32 quantization math stays exact
     depth_bits = min(22, 32 - tile_bits)
@@ -221,27 +211,11 @@ def rasterize(
     key = (tile_ids.astype(jnp.uint32) << depth_bits) | (
         scale.astype(jnp.uint32) - dq
     )
-    use_pallas = (
-        config.use_pallas_sort
-        and jax.default_backend() == "tpu"
-        and _next_pow2(num_raw) <= VMEM_SORT_MAX
-    )
-    if use_pallas:
-        # Single-kernel VMEM bitonic sort: lax.sort's per-pass overhead
-        # collapses to <1ms (only wins below VMEM_SORT_MAX entries).
-        n_pad = _next_pow2(num_raw)
-        if n_pad != num_raw:
-            key_p = jnp.concatenate(
-                [key, jnp.full((n_pad - num_raw,), 0xFFFFFFFF, jnp.uint32)]
-            )
-            pidxs_p = jnp.concatenate(
-                [pidxs, jnp.zeros((n_pad - num_raw,), jnp.int32)]
-            )
-        else:
-            key_p, pidxs_p = key, pidxs
-        key_sorted, pidx_sorted = bitonic_sort_pairs(key_p, pidxs_p)
-    else:
-        key_sorted, pidx_sorted = jax.lax.sort((key, pidxs), num_keys=1)
+    # lax.sort is the measured optimum here: every hand-rolled alternative
+    # (VMEM bitonic with roll/matmul exchanges, streaming matmul compaction,
+    # scatter/radix placement) lost to it at every size — see docs/PERF.md
+    # "Sorting & compaction: measured dead ends".
+    key_sorted, pidx_sorted = jax.lax.sort((key, pidxs), num_keys=1)
     tile_sorted = (key_sorted >> depth_bits).astype(tile_ids.dtype)
     tile_sorted = jnp.minimum(tile_sorted, nt)  # padding decodes past nt
     starts = jnp.searchsorted(tile_sorted, jnp.arange(nt, dtype=tile_sorted.dtype))
