@@ -481,11 +481,16 @@ class LambertianLightingModifier(Modifier):
 
 
 def example_puffs() -> EffectAsset:
-    """examples/puffs.rs: smoke puffs with custom Lambertian shading."""
+    """examples/puffs.rs: smoke puffs with custom Lambertian shading, drawn
+    as an icosphere TRIANGLE MESH per particle (puffs.rs:101-110 builds a
+    SphereKind::Ico mesh and attaches it via EffectMesh)."""
+    from ..render.mesh import ParticleMesh
+
     w = ExprWriter()
     size = (w.rand(FLOAT) * 2.0 + 0.5).expr()
     return (
         EffectAsset("puffs", 4096, SpawnerSettings.burst(16.0, 0.45), w.finish())
+        .with_mesh(ParticleMesh.icosphere(0.5, subdivisions=1))
         .init(
             SetPositionCircleModifier(
                 w.module.lit((0.0, 0.0, 0.0)),

@@ -99,6 +99,48 @@ class ParticleMesh:
         return ParticleMesh(vertices=vertices, indices=indices)
 
     @staticmethod
+    def icosphere(radius: float = 0.5, subdivisions: int = 1) -> "ParticleMesh":
+        """Subdivided icosahedron (the reference's puffs.rs mesh,
+        SphereMeshBuilder SphereKind::Ico). 20*4^subdivisions triangles —
+        every triangle becomes one raster entry per particle, so keep
+        subdivisions small for large pools."""
+        phi = (1.0 + np.sqrt(5.0)) / 2.0
+        verts = np.array(
+            [
+                [-1, phi, 0], [1, phi, 0], [-1, -phi, 0], [1, -phi, 0],
+                [0, -1, phi], [0, 1, phi], [0, -1, -phi], [0, 1, -phi],
+                [phi, 0, -1], [phi, 0, 1], [-phi, 0, -1], [-phi, 0, 1],
+            ],
+            np.float64,
+        )
+        faces = [
+            (0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+            (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+            (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+            (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1),
+        ]
+        verts = [v / np.linalg.norm(v) for v in verts]
+        cache = {}
+
+        def midpoint(i, j):
+            key = (min(i, j), max(i, j))
+            if key not in cache:
+                m = verts[i] + verts[j]
+                verts.append(m / np.linalg.norm(m))
+                cache[key] = len(verts) - 1
+            return cache[key]
+
+        for _ in range(subdivisions):
+            nxt = []
+            for a, b, c in faces:
+                ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+                nxt += [(a, ab, ca), (b, bc, ab), (c, ca, bc), (ab, bc, ca)]
+            faces = nxt
+        return ParticleMesh.from_triangles(
+            np.asarray(verts, np.float32) * radius, faces
+        )
+
+    @staticmethod
     def tetrahedron(size: float = 1.0) -> "ParticleMesh":
         """A regular tetrahedron — the smallest closed triangle mesh."""
         s = size / 2.0

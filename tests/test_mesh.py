@@ -140,3 +140,20 @@ def test_tetrahedron_mesh_renders_and_serde():
     np.testing.assert_array_equal(rt.indices, tet.indices)
     img = render_one(one_particle_asset(tet, size=0.6))
     assert (img[..., 3] > 0).sum() > 50  # silhouette has real coverage
+
+
+def test_icosphere_mesh():
+    ico = ParticleMesh.icosphere(0.5, subdivisions=0)
+    assert ico.num_triangles == 20
+    ico1 = ParticleMesh.icosphere(0.5, subdivisions=1)
+    assert ico1.num_triangles == 80
+    # all vertices on the sphere
+    np.testing.assert_allclose(
+        np.linalg.norm(ico1.vertices, axis=1), 0.5, atol=1e-6
+    )
+    # renders with a round silhouette: coverage close to a disc's area
+    img = render_one(one_particle_asset(ico1, size=1.2))
+    cov = (img[..., 3] > 0).sum()
+    r_px = 0.6 * 32  # radius 0.5*1.2 world = 0.6 -> 19.2 px
+    disc = np.pi * r_px * r_px
+    assert 0.8 * disc < cov < 1.1 * disc, (cov, disc)
