@@ -247,13 +247,14 @@ def rasterize(
     # per field (random-row HBM traffic is row-count-bound, not byte-bound),
     # and the gather dominates the whole blend phase.
     M = config.max_entries_per_tile
-    idx = jnp.minimum(
-        starts[None, :] + jnp.arange(M, dtype=starts.dtype)[:, None],
-        num_entries - 1,
-    )  # [M, nt]
-    t_has = (starts[None, :] + jnp.arange(M)[:, None] < ends[None, :]) & (
-        tile_sorted[idx] < nt
-    )
+    # Overflowing tiles keep the NEAREST M entries (the window at the END of
+    # the back-to-front run): the viewer sees the front of a deep stack, so
+    # dropping must trim the far tail, not the near head. Order inside the
+    # window stays back-to-front, so "over" compositing remains correct.
+    base = jnp.maximum(ends - M, starts)  # [nt]
+    raw = base[None, :] + jnp.arange(M, dtype=starts.dtype)[:, None]
+    idx = jnp.minimum(raw, num_entries - 1)  # [M, nt]
+    t_has = (raw < ends[None, :]) & (tile_sorted[idx] < nt)
     t_p = pidx_sorted[idx]  # [M, nt]
 
     cols = [

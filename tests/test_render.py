@@ -515,3 +515,27 @@ def test_tile_slots2_single_axis_straddle_exact():
     img4 = np.asarray(rasterize(draw, ortho_camera(), CFG, "blend"))
     img2 = np.asarray(rasterize(draw, ortho_camera(), cfg2, "blend"))
     np.testing.assert_allclose(img2, img4, atol=1e-6)
+
+
+def test_tile_budget_keeps_nearest_entries():
+    # Three stacked quads at different depths with a per-tile budget of 2:
+    # the NEAREST two must survive (the far tail is what gets dropped).
+    import dataclasses
+
+    draw = quad_draw(
+        [[0.0, 0.0, -0.5], [0.0, 0.0, 0.0], [0.0, 0.0, 0.5]],
+        [
+            [1.0, 0.0, 0.0, 1.0],  # farthest (camera at +z looks -z)
+            [0.0, 1.0, 0.0, 1.0],
+            [0.0, 0.0, 1.0, 1.0],  # nearest
+        ],
+        size=0.4,
+    )
+    cfg = dataclasses.replace(CFG, max_entries_per_tile=2)
+    img = np.asarray(rasterize(draw, ortho_camera(), cfg, "opaque"))
+    # opaque back-to-front = nearest wins; with budget 2 the red (farthest)
+    # quad is dropped and blue (nearest) still lands on top
+    np.testing.assert_allclose(img[32, 32, :3], [0.0, 0.0, 1.0], atol=1e-6)
+    # and with blend, the result composites green under blue (no red)
+    imgb = np.asarray(rasterize(draw, ortho_camera(), cfg, "blend"))
+    assert imgb[32, 32, 0] < 1e-6 and imgb[32, 32, 2] > 0.5
