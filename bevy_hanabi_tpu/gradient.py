@@ -126,14 +126,35 @@ class Gradient:
     def sample_jax(self, x: jnp.ndarray) -> jnp.ndarray:
         """Vectorized device sampling; ``x`` any shape, returns ``x.shape + (D,)``.
 
-        Equivalent of the generated WGSL if/else chain (lib.rs:1567-1688) but
-        branch-free: searchsorted over the baked ratio array + lerp.
+        Equivalent of the generated WGSL if/else chain (lib.rs:1567-1688):
+        a fused elementwise ``where`` chain over the (static, few) segments.
+        A gather/searchsorted formulation is used only for very many keys —
+        per-key gathers cost ~1.9 ms per million particles on TPU (plus a
+        layout copy), while the where-chain is fused and ~free.
         """
-        ratios, values = self.bake()
-        k = ratios.shape[0]
+        k = len(self._ratios)
         if k == 1:
+            values = jnp.asarray(np.stack(self._values, axis=0))
             return jnp.broadcast_to(values[0], x.shape + (values.shape[1],))
         x = jnp.asarray(x, jnp.float32)
+        if k <= 16:
+            # host-constant keys fold into the program; out-of-range clamps
+            # fall out of the chain (below r0 -> v0; above r_last -> t=1)
+            r = np.asarray(self._ratios, np.float32)
+            v = [np.asarray(vi, np.float32) for vi in self._values]
+            out = jnp.broadcast_to(
+                jnp.asarray(v[0]), x.shape + (v[0].shape[0],)
+            )
+            for i in range(k - 1):
+                span = float(r[i + 1] - r[i])
+                if span > 0.0:
+                    t = jnp.clip((x - float(r[i])) / span, 0.0, 1.0)
+                    seg = v[i] + (v[i + 1] - v[i]) * t[..., None]
+                else:  # step discontinuity: value jumps at r[i]
+                    seg = jnp.asarray(v[i + 1])
+                out = jnp.where((x >= float(r[i]))[..., None], seg, out)
+            return out
+        ratios, values = self.bake()
         # index of the right key of the surrounding segment
         hi = jnp.clip(jnp.searchsorted(ratios, x, side="right"), 1, k - 1)
         lo = hi - 1
