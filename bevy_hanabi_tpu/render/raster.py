@@ -63,6 +63,14 @@ class RasterConfig:
     # binary inside tests — sub-pixel particles fade smoothly instead of
     # popping (the reference gets this from MSAA + texture filtering).
     antialias: bool = False
+    # ADD and MULTIPLY blending commute, so those modes only need per-tile
+    # grouping, not depth ordering (the reference still depth-sorts them in
+    # the transparent phase, but the result is order-invariant). When the
+    # key bits fit, the rasterizer then sorts ONE packed u32
+    # (tile | entry-index) instead of (key, payload): half the sort bytes
+    # and one fewer window gather. Deterministic (entry-index order within
+    # a tile). Disable to force the ordered path (testing).
+    order_independent_fast: bool = True
     background: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
 
     @property
@@ -193,36 +201,65 @@ def rasterize(
     depths = jnp.concatenate(entry_depth)
 
     # ---- 3. sort by (tile asc, depth desc) => back-to-front per tile ----
-    # Both sort paths use a packed (tile | inverted-quantized-depth) uint32
-    # key: one sort operand instead of three (~17% faster lax.sort at 4M
-    # entries). Depth quantizes to the bits left under the tile id; ties
-    # blend in arbitrary order (only equal-depth overlaps are affected —
-    # the same tie behavior GPU rasterization has).
-    tile_bits = max(1, int(np.ceil(np.log2(nt + 2))))
-    # cap depth bits at 22 so the f32 quantization math stays exact
-    depth_bits = min(22, 32 - tile_bits)
-    finite = depths > -jnp.inf
-    dmin = jnp.min(jnp.where(finite, depths, jnp.inf))
-    dmax = jnp.max(jnp.where(finite, depths, -jnp.inf))
-    span_d = jnp.maximum(dmax - dmin, 1e-9)
-    scale = jnp.float32((1 << depth_bits) - 1)
-    dq = (jnp.clip((depths - dmin) / span_d, 0.0, 1.0) * scale).astype(jnp.uint32)
-    # back-to-front: larger depth first => invert quantized depth
-    key = (tile_ids.astype(jnp.uint32) << depth_bits) | (
-        scale.astype(jnp.uint32) - dq
-    )
-    # lax.sort is the measured optimum here: every hand-rolled alternative
-    # (VMEM bitonic with roll/matmul exchanges, streaming matmul compaction,
-    # scatter/radix placement) lost to it at every size — see docs/PERF.md
-    # "Sorting & compaction: measured dead ends".
-    key_sorted, pidx_sorted = jax.lax.sort((key, pidxs), num_keys=1)
-    tile_sorted = (key_sorted >> depth_bits).astype(tile_ids.dtype)
-    tile_sorted = jnp.minimum(tile_sorted, nt)  # padding decodes past nt
-    starts = jnp.searchsorted(tile_sorted, jnp.arange(nt, dtype=tile_sorted.dtype))
-    ends = jnp.searchsorted(
-        tile_sorted, jnp.arange(1, nt + 1, dtype=tile_sorted.dtype)
-    )
     num_entries = tile_ids.shape[0]
+    tile_bits = max(1, int(np.ceil(np.log2(nt + 2))))
+    idx_bits = max(1, int(np.ceil(np.log2(max(num_entries, 2)))))
+    fast = (
+        config.order_independent_fast
+        and alpha_mode in ("add", "multiply")
+        and tile_bits + idx_bits <= 32
+    )
+    if fast:
+        # ADD/MULTIPLY blending commutes (saturating alpha-add included), so
+        # the sort only has to GROUP entries per tile, not order them by
+        # depth. Pack (tile | entry-index) into one u32: lax.sort moves half
+        # the bytes of the (key, payload) pair, the entry index recovers the
+        # particle id arithmetically (entries are slot-concatenated pidx
+        # repeats), and the in-tile order is deterministic by construction.
+        key = (tile_ids.astype(jnp.uint32) << idx_bits) | jnp.arange(
+            num_entries, dtype=jnp.uint32
+        )
+        (key_sorted,) = jax.lax.sort((key,), num_keys=1)
+        # All keys of tile t lie in [t << idx_bits, (t+1) << idx_bits).
+        bound = jnp.arange(nt + 1, dtype=jnp.uint32) << idx_bits
+        starts = jnp.searchsorted(key_sorted, bound[:-1])
+        ends = jnp.searchsorted(key_sorted, bound[1:])
+        pidx_sorted = None  # windows decode pidx from key_sorted directly
+    else:
+        # The ordered path packs (tile | inverted-quantized-depth) into a
+        # uint32 key: one sort operand instead of three (~17% faster
+        # lax.sort at 4M entries). Depth quantizes to the bits left under
+        # the tile id; ties blend in arbitrary order (only equal-depth
+        # overlaps are affected — the same tie behavior GPU rasterization
+        # has).
+        # cap depth bits at 22 so the f32 quantization math stays exact
+        depth_bits = min(22, 32 - tile_bits)
+        finite = depths > -jnp.inf
+        dmin = jnp.min(jnp.where(finite, depths, jnp.inf))
+        dmax = jnp.max(jnp.where(finite, depths, -jnp.inf))
+        span_d = jnp.maximum(dmax - dmin, 1e-9)
+        scale = jnp.float32((1 << depth_bits) - 1)
+        dq = (jnp.clip((depths - dmin) / span_d, 0.0, 1.0) * scale).astype(
+            jnp.uint32
+        )
+        # back-to-front: larger depth first => invert quantized depth
+        key = (tile_ids.astype(jnp.uint32) << depth_bits) | (
+            scale.astype(jnp.uint32) - dq
+        )
+        # lax.sort is the measured optimum here: every hand-rolled
+        # alternative (VMEM bitonic with roll/matmul exchanges, streaming
+        # matmul compaction, scatter/radix placement) lost to it at every
+        # size — see docs/PERF.md "Sorting & compaction: measured dead
+        # ends".
+        key_sorted, pidx_sorted = jax.lax.sort((key, pidxs), num_keys=1)
+        tile_sorted = (key_sorted >> depth_bits).astype(tile_ids.dtype)
+        tile_sorted = jnp.minimum(tile_sorted, nt)  # padding decodes past nt
+        starts = jnp.searchsorted(
+            tile_sorted, jnp.arange(nt, dtype=tile_sorted.dtype)
+        )
+        ends = jnp.searchsorted(
+            tile_sorted, jnp.arange(1, nt + 1, dtype=tile_sorted.dtype)
+        )
 
     # ---- 4. bounded per-tile blend ----
     tile_row = jnp.arange(nt, dtype=jnp.int32) // ntx
@@ -251,11 +288,24 @@ def rasterize(
     # the back-to-front run): the viewer sees the front of a deep stack, so
     # dropping must trim the far tail, not the near head. Order inside the
     # window stays back-to-front, so "over" compositing remains correct.
-    base = jnp.maximum(ends - M, starts)  # [nt]
+    # (On the order-independent fast path the window instead keeps the FIRST
+    # M entries in entry order: slot-0 corner entries — full splats — come
+    # before slot-1 spill slivers, so the kept subset carries the most
+    # coverage; for commutative blends any M-subset is a valid truncation.)
+    base = starts if fast else jnp.maximum(ends - M, starts)  # [nt]
     raw = base[None, :] + jnp.arange(M, dtype=starts.dtype)[:, None]
     idx = jnp.minimum(raw, num_entries - 1)  # [M, nt]
-    t_has = (raw < ends[None, :]) & (tile_sorted[idx] < nt)
-    t_p = pidx_sorted[idx]  # [M, nt]
+    if fast:
+        # One window gather of the packed key; tile membership is implied by
+        # the searchsorted bounds and pidx = entry_index mod n (entries are
+        # slot-concatenated repeats of arange(n)).
+        k_win = key_sorted[idx]
+        t_has = raw < ends[None, :]
+        entry_win = (k_win & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
+        t_p = jnp.remainder(entry_win, n)
+    else:
+        t_has = (raw < ends[None, :]) & (tile_sorted[idx] < nt)
+        t_p = pidx_sorted[idx]  # [M, nt]
 
     cols = [
         center[:, 0],

@@ -539,3 +539,41 @@ def test_tile_budget_keeps_nearest_entries():
     # and with blend, the result composites green under blue (no red)
     imgb = np.asarray(rasterize(draw, ortho_camera(), cfg, "blend"))
     assert imgb[32, 32, 0] < 1e-6 and imgb[32, 32, 2] > 0.5
+
+
+def test_order_independent_fast_path_matches_ordered():
+    # ADD and MULTIPLY commute, so the packed single-key fast sort must
+    # produce the same image as the ordered (tile, depth) path. Budget is
+    # large enough that no tile overflows (the two paths may keep different
+    # M-subsets on overflow).
+    import dataclasses
+
+    rng = np.random.default_rng(11)
+    n = 256
+    pos = rng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32)
+    cols = rng.uniform(0.05, 0.6, (n, 4)).astype(np.float32)
+    draw = quad_draw(pos.tolist(), cols.tolist(), size=0.15)
+    for slots in (0, 2):
+        cfg_fast = dataclasses.replace(
+            CFG, max_entries_per_tile=256, tile_slots=slots
+        )
+        cfg_slow = dataclasses.replace(cfg_fast, order_independent_fast=False)
+        for mode in ("add", "multiply"):
+            fastimg = np.asarray(rasterize(draw, ortho_camera(), cfg_fast, mode))
+            slowimg = np.asarray(rasterize(draw, ortho_camera(), cfg_slow, mode))
+            np.testing.assert_allclose(fastimg, slowimg, atol=1e-5)
+
+
+def test_order_independent_fast_path_respects_budget():
+    # Overflowing tiles still blend exactly M entries on the fast path.
+    import dataclasses
+
+    draw = quad_draw(
+        [[0.0, 0.0, 0.1 * i] for i in range(4)],
+        [[0.25, 0.0, 0.0, 1.0]] * 4,
+        size=0.4,
+    )
+    cfg = dataclasses.replace(CFG, max_entries_per_tile=2)
+    img = np.asarray(rasterize(draw, ortho_camera(), cfg, "add"))
+    # additive with budget 2: exactly two 0.25-red quads accumulate
+    np.testing.assert_allclose(img[32, 32, 0], 0.5, atol=1e-6)
