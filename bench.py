@@ -176,6 +176,94 @@ def bench_stepped_rendered():
     return alive_mean * K / best, K / best, alive_mean, checksum
 
 
+def bench_force_field(cap=100_000):
+    """BASELINE config 3 (force_field.rs): 100k particles, conform-to-sphere
+    attractor + linear drag + kill-AABB, steady churn, step throughput."""
+    from bevy_hanabi_tpu.models import force_field_effect
+
+    asset = force_field_effect(capacity=cap)
+    fx = CompiledEffect(asset)
+    pool = fx.create_pool()
+    spawner = EffectSpawner(asset.spawner, rng=np.random.default_rng(0))
+    frame = 0
+
+    def chunk(frame):
+        inputs, sims = [], []
+        for j in range(K):
+            inputs.append(StepInputs.make(spawner.tick(DT), frame + j))
+            sims.append(SimParams(time=(frame + j) * DT, delta_time=DT))
+        return fx.stack_frames(inputs, sims)
+
+    warmup_chunks = (int(4.0 / DT) + K) // K + 1
+    for _ in range(warmup_chunks):
+        ii, ss = chunk(frame)
+        frame += K
+        pool = fx.step_chunk(pool, ii, ss)
+    alive_before = int(pool.alive_count())
+    best = float("inf")
+    for _ in range(3):
+        ii, ss = chunk(frame)
+        frame += K
+        int(pool.alive_count())
+        t0 = time.perf_counter()
+        pool = fx.step_chunk(pool, ii, ss)
+        alive_after = int(pool.alive_count())
+        best = min(best, time.perf_counter() - t0)
+    alive_mean = 0.5 * (alive_before + alive_after)
+    return alive_mean * K / best, K / best, alive_mean
+
+
+def bench_ribbons():
+    """BASELINE config 5, ribbon half: 1M particles chained into 4096
+    ribbons, stepped AND rendered (sorted segment adjacency + additive
+    raster). The reference's own perf cliff is this path — its ribbon sort
+    is a single-threaded GPU insertion sort (vfx_sort.wgsl:33-39)."""
+    import math
+
+    from bevy_hanabi_tpu.models import ribbon_bench_effect
+    from bevy_hanabi_tpu.render.camera import CameraParams, look_at, perspective
+    from bevy_hanabi_tpu.render.raster import RasterConfig
+
+    asset = ribbon_bench_effect(capacity=CAPACITY, num_ribbons=4096)
+    fx = CompiledEffect(asset)
+    pool = fx.create_pool()
+    spawner = EffectSpawner(asset.spawner, rng=np.random.default_rng(0))
+    cam = CameraParams(
+        view=look_at(
+            np.array([0.0, 0.0, 10.0]), np.zeros(3), np.array([0.0, 1.0, 0.0])
+        ),
+        proj=perspective(math.radians(60.0), 1.0, 0.1, 200.0),
+        viewport=(512, 512),
+    )
+    config = RasterConfig(width=512, height=512, tile_slots=2)
+    frame = 0
+
+    def chunk(frame):
+        inputs, sims = [], []
+        for j in range(K):
+            inputs.append(StepInputs.make(spawner.tick(DT), frame + j))
+            sims.append(SimParams(time=(frame + j) * DT, delta_time=DT))
+        return fx.stack_frames(inputs, sims)
+
+    warmup_chunks = (int(4.0 / DT) + K) // K + 1
+    for _ in range(warmup_chunks):
+        ii, ss = chunk(frame)
+        frame += K
+        pool, img, sums = fx.step_render_chunk(pool, ii, ss, cam, config)
+    alive_before = int(pool.alive_count())
+    best = float("inf")
+    for _ in range(3):
+        ii, ss = chunk(frame)
+        frame += K
+        int(pool.alive_count())
+        t0 = time.perf_counter()
+        pool, img, sums = fx.step_render_chunk(pool, ii, ss, cam, config)
+        alive_after = int(pool.alive_count())
+        best = min(best, time.perf_counter() - t0)
+    alive_mean = 0.5 * (alive_before + alive_after)
+    return alive_mean * K / best, K / best, alive_mean
+
+
 def bench_firework_events(frames=240):
     """Parent→child event tree (firework.rs + trails) via the fused family
     scan: rockets emit OnDie spawn events, trails consume + inherit. Not the
@@ -203,6 +291,8 @@ def main() -> None:
     s_pps, s_sps, s_alive = bench_single()
     i_pps, i_sps, i_alive = bench_instanced()
     f_sps = bench_firework_events()
+    rb_pps, rb_fps, rb_alive = bench_ribbons()
+    ff_pps, ff_sps, ff_alive = bench_force_field()
     print(
         json.dumps(
             {
@@ -228,6 +318,16 @@ def main() -> None:
                         "alive_mean": i_alive,
                     },
                     "firework_event_tree_64k_256k": {"steps_per_sec": f_sps},
+                    "ribbons_1M_4096trails_512sq": {
+                        "particles_per_sec": rb_pps,
+                        "frames_per_sec": rb_fps,
+                        "alive_mean": rb_alive,
+                    },
+                    "force_field_100k": {
+                        "particles_per_sec": ff_pps,
+                        "steps_per_sec": ff_sps,
+                        "alive_mean": ff_alive,
+                    },
                     "device": str(jax.devices()[0]),
                 },
             }

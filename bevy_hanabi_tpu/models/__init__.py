@@ -11,5 +11,6 @@ from .benchmarks import (  # noqa: F401
     force_field_effect,
     gradient_effect,
     instancing_effect,
+    ribbon_bench_effect,
     spawn_gravity_effect,
 )

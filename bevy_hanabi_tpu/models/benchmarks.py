@@ -25,11 +25,13 @@ from ..modifiers import (
     OrientModifier,
     SetAttributeModifier,
     SetPositionSphereModifier,
+    SetSizeModifier,
     SetVelocitySphereModifier,
     ShapeDimension,
     SizeOverLifetimeModifier,
 )
 from ..spawn import SpawnerSettings
+from ..values import FLOAT, UINT
 
 __all__ = [
     "spawn_gravity_effect",
@@ -37,6 +39,7 @@ __all__ = [
     "force_field_effect",
     "firework_effect",
     "instancing_effect",
+    "ribbon_bench_effect",
 ]
 
 
@@ -190,6 +193,45 @@ def firework_trail_effect(capacity: int = 262144) -> EffectAsset:
         )
         .render(ColorOverLifetimeModifier(color))
         .render(SizeOverLifetimeModifier(Gradient.linear((0.02,), (0.0,))))
+        .with_alpha_mode(AlphaMode.ADD)
+    )
+
+
+def ribbon_bench_effect(
+    capacity: int = 1 << 20, num_ribbons: int = 4096
+) -> EffectAsset:
+    """BASELINE config 5, ribbon half (examples/ribbon.rs at scale): a
+    steady-churn pool whose particles chain into ``num_ribbons`` trails.
+
+    Each spawn joins ribbon ``PARTICLE_COUNTER % num_ribbons``; ribbons fan
+    out from a circle and drift, so segments exercise the real sorted
+    (RIBBON_ID, AGE, COUNTER) adjacency path the reference implements with
+    a single-threaded GPU insertion sort (vfx_sort.wgsl:33-39) — its one
+    self-declared perf cliff."""
+    import math
+
+    w = ExprWriter()
+    rid = w.attr(A.PARTICLE_COUNTER) % w.lit(num_ribbons, UINT)
+    angle = rid.cast(FLOAT) * (2.0 * math.pi / num_ribbons)
+    origin = (angle.cos() * 3.0).vec3(angle.sin() * 3.0, w.lit(0.0))
+    return (
+        EffectAsset(
+            "ribbon_bench",
+            capacity,
+            SpawnerSettings.rate(capacity / 4.0 * 1.05),
+            w.finish(),
+        )
+        .init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(4.0).expr()))
+        .init(SetAttributeModifier(A.RIBBON_ID, rid.expr()))
+        .init(SetAttributeModifier(A.POSITION, origin.expr()))
+        .init(
+            SetAttributeModifier(
+                A.VELOCITY,
+                ((w.rand(VEC3F) * 2.0 - w.lit((1.0, 1.0, 1.0))) * 0.4).expr(),
+            )
+        )
+        .render(SetSizeModifier((0.04, 0.04, 0.04)))
         .with_alpha_mode(AlphaMode.ADD)
     )
 

@@ -143,3 +143,47 @@ def test_custom_modifier_registered_for_serde():
     back = modifier_from_json(m.to_json())
     assert isinstance(back, LambertianLightingModifier)
     assert back.band == 0.5
+
+
+def test_ribbon_bench_effect_chains_and_renders():
+    """BASELINE config 5 (ribbon half) at toy scale: counter-keyed ribbon
+    ids chain spawns into trails that survive the full render path."""
+    import math
+
+    from bevy_hanabi_tpu.compiler import SimParams
+    from bevy_hanabi_tpu.models import ribbon_bench_effect
+    from bevy_hanabi_tpu.render import (
+        CameraParams,
+        RasterConfig,
+        look_at,
+        perspective,
+    )
+    from bevy_hanabi_tpu.runtime import CompiledEffect, StepInputs
+    from bevy_hanabi_tpu.spawn import EffectSpawner
+
+    asset = ribbon_bench_effect(capacity=2048, num_ribbons=32)
+    fx = CompiledEffect(asset)
+    pool = fx.create_pool()
+    sp = EffectSpawner(asset.spawner, rng=np.random.default_rng(0))
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 10.0), (0.0, 0.0, 0.0)),
+        proj=perspective(math.radians(60.0), 1.0, 0.1, 100.0),
+        viewport=(64, 64),
+    )
+    cfg = RasterConfig(width=64, height=64)
+    K = 16
+    frame = 0
+    for _ in range(4):
+        ins, sims = [], []
+        for j in range(K):
+            ins.append(StepInputs.make(sp.tick(1 / 60), frame + j))
+            sims.append(SimParams(time=(frame + j) / 60, delta_time=1 / 60))
+        ii, ss = fx.stack_frames(ins, sims)
+        frame += K
+        pool, img, sums = fx.step_render_chunk(pool, ii, ss, cam, cfg)
+    alive = np.asarray(pool.alive)
+    rids = np.asarray(pool.get("ribbon_id"))[alive]
+    assert alive.sum() > 500
+    assert len(np.unique(rids)) == 32  # every ribbon populated
+    assert (np.asarray(img)[..., 3] > 0).sum() > 50  # trails visible
+    assert float(np.asarray(sums)[-1]) > 0
