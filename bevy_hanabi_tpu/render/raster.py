@@ -120,12 +120,36 @@ def rasterize(
     alpha_mode: str = "blend",
     textures: Sequence[Any] = (),
     alpha_cutoff: Any = 0.5,
+    scene_depth: Any = None,
+    return_depth: bool = False,
 ) -> jnp.ndarray:
-    """Render particles to a [height, width, 4] float32 image."""
+    """Render particles to a [height, width, 4] float32 image.
+
+    Draw integration with surrounding scene geometry (the reference gets
+    this from the game's depth buffer — its draws are depth-tested against
+    Bevy's Opaque3d depth and its opaque/mask phases write depth,
+    render/mod.rs:6607-6846):
+
+    * ``scene_depth``: optional [height, width] float32 view-axis distance
+      of existing scene geometry (+inf where empty). Fragments behind it
+      are discarded (depth test ``LessEqual``), for every alpha mode.
+    * ``return_depth``: if True, returns ``(image, depth)`` where ``depth``
+      is the [height, width] view-axis distance of the nearest surviving
+      fragment, seeded from ``scene_depth`` (or +inf). Only ``opaque`` and
+      ``mask`` modes write depth, like the reference's Opaque3d/AlphaMask3d
+      phases; transparent modes raise (they are read-only depth clients).
+    """
     n = draw.position.shape[0]
     T = config.tile_size
     span = config.tile_span
     ntx, nty, nt = config.tiles_x, config.tiles_y, config.num_tiles
+    if return_depth and alpha_mode not in ("opaque", "mask"):
+        raise ValueError(
+            "return_depth requires an opaque or mask alpha mode (transparent"
+            " modes are read-only depth clients, like the reference's"
+            " Transparent3d phase)"
+        )
+    need_depth = scene_depth is not None or return_depth
 
     # ---- 1. project centers and half-axes ----
     center, w, _ = _project(camera, draw.position)
@@ -276,6 +300,23 @@ def rasterize(
     bg = jnp.asarray(config.background, jnp.float32)
     fb0 = jnp.broadcast_to(bg, (nt, T, T, 4)).astype(jnp.float32)
 
+    # Tiled scene-depth plane, [nt, T, T] (pad = +inf: no geometry there).
+    if need_depth:
+        if scene_depth is not None:
+            sd = jnp.asarray(scene_depth, jnp.float32)
+            sd = jnp.pad(
+                sd,
+                ((0, nty * T - config.height), (0, ntx * T - config.width)),
+                constant_values=jnp.inf,
+            )
+        else:
+            sd = jnp.full((nty * T, ntx * T), jnp.inf, jnp.float32)
+        sd_tiles = sd.reshape(nty, T, ntx, T).transpose(0, 2, 1, 3).reshape(
+            nt, T, T
+        )
+    else:
+        sd_tiles = None
+
     grid_cols, grid_rows = draw.sprite_grid_size
 
     # ---- pre-gather entry tables [M, nt] ----
@@ -333,6 +374,9 @@ def rasterize(
     if need_cutoff and draw.alpha_cutoff is not None:
         i_cutoff = len(cols)
         cols.append(draw.alpha_cutoff)
+    if need_depth:
+        i_depth = len(cols)
+        cols.append(depth)
     rows = jnp.stack(cols, axis=1)[t_p]  # [M, nt, F]
 
     t_cx = rows[..., 0]
@@ -353,6 +397,7 @@ def rasterize(
         t_cutoff = jnp.broadcast_to(
             jnp.asarray(alpha_cutoff, jnp.float32), t_p.shape
         )
+    t_fragd = rows[..., i_depth] if need_depth else None
 
     def sample_texture(tex, u, v):
         th, tw = tex.shape[0], tex.shape[1]
@@ -374,7 +419,7 @@ def rasterize(
         bot = t10 + (t11 - t10) * fu
         return top + (bot - top) * fv
 
-    def blend_one(m, fb):
+    def blend_one(m, fb, dbuf):
         in_range = m < M
         m = jnp.minimum(m, M - 1)
         has = t_has[m] & in_range
@@ -412,6 +457,14 @@ def rasterize(
             inside = coverage > 0.0
         else:
             coverage = inside.astype(jnp.float32)
+        if need_depth:
+            # depth test LessEqual against scene geometry (and, when this
+            # pass writes depth, against fragments written so far — back-to-
+            # front order makes the two equivalent within the pass)
+            frag_d = t_fragd[m][:, None, None]
+            vis = frag_d <= (dbuf if dbuf is not None else sd_tiles)
+            inside &= vis
+            coverage = coverage * vis.astype(jnp.float32)
         u01 = u * 0.5 + 0.5
         v01 = v * 0.5 + 0.5
 
@@ -477,21 +530,30 @@ def rasterize(
             wr = write[..., None]
             rgb = jnp.where(wr, rgb_s, rgb_d)
             alpha = jnp.where(wr, 1.0, a_d)
+            if dbuf is not None:
+                dbuf = jnp.where(write, frag_d, dbuf)
         else:
             raise ValueError(f"unknown alpha mode {alpha_mode!r}")
-        return jnp.concatenate([rgb, alpha], axis=-1)
+        return jnp.concatenate([rgb, alpha], axis=-1), dbuf
 
     unroll = max(1, min(config.blend_unroll, config.max_entries_per_tile))
     n_outer = -(-config.max_entries_per_tile // unroll)
 
-    def body(o, fb):
+    def body(o, carry):
+        fb, db = carry
         for j in range(unroll):
-            fb = blend_one(o * unroll + j, fb)
-        return fb
+            fb, db = blend_one(o * unroll + j, fb, db)
+        return fb, db
 
-    fb = jax.lax.fori_loop(0, n_outer, body, fb0)
+    db0 = sd_tiles if return_depth else None
+    fb, db = jax.lax.fori_loop(0, n_outer, body, (fb0, db0))
 
     # ---- 5. untile to the image ----
     img = fb.reshape(nty, ntx, T, T, 4).transpose(0, 2, 1, 3, 4)
     img = img.reshape(nty * T, ntx * T, 4)
-    return img[: config.height, : config.width]
+    img = img[: config.height, : config.width]
+    if return_depth:
+        dimg = db.reshape(nty, ntx, T, T).transpose(0, 2, 1, 3)
+        dimg = dimg.reshape(nty * T, ntx * T)
+        return img, dimg[: config.height, : config.width]
+    return img

@@ -71,8 +71,13 @@ class EffectRenderer:
         properties: Optional[Dict[str, Any]] = None,
         transform: Optional[Any] = None,
         framebuffer: Optional[jnp.ndarray] = None,
+        scene_depth: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Rasterize the pool; optionally composite over ``framebuffer``.
+
+        ``scene_depth`` ([H, W] view-axis distances) occludes fragments
+        behind existing scene geometry — the analogue of the reference
+        depth-testing its draws against the game's depth buffer.
 
         The raster grid follows the camera viewport: a ``RasterConfig`` whose
         width/height disagree with ``camera.viewport`` is aligned to it on
@@ -95,9 +100,13 @@ class EffectRenderer:
             properties or {},
             transform,
             framebuffer,
+            scene_depth,
         )
 
-    def _render(self, pool, camera, sim, properties, transform, framebuffer):
+    def _render(
+        self, pool, camera, sim, properties, transform, framebuffer,
+        scene_depth=None,
+    ):
         draw = extract_draw_data(
             self.asset,
             pool,
@@ -138,6 +147,7 @@ class EffectRenderer:
             config,
             alpha_mode=self._alpha_mode,
             textures=list(self.textures),
+            scene_depth=scene_depth,
         )
         if framebuffer is not None:
             img = composite_by_mode(img, framebuffer, self._alpha_mode)

@@ -683,6 +683,7 @@ class HanabiScene:
         camera,
         config=None,
         background: Optional[Tuple[float, float, float, float]] = None,
+        scene_depth=None,
     ) -> jnp.ndarray:
         """Composite all visible effects back-to-front by emitter distance
         (≈ Transparent3d phase sorting) / z_layer_2d for 2D ties.
@@ -692,6 +693,12 @@ class HanabiScene:
         to the viewport (a mismatch only ever crops or pads the image).
         The clear color is ``background`` if given, else
         ``config.background``, else opaque black.
+
+        ``scene_depth`` ([H, W] view-axis distances of surrounding scene
+        geometry, +inf where empty) occludes particles behind it in every
+        pass — the analogue of the reference depth-testing its draws
+        against the game's depth buffer (sharded groups currently ignore
+        it and warn).
         """
         import dataclasses
 
@@ -756,7 +763,9 @@ class HanabiScene:
 
         for k, insts in runs:
             if k is not None and len(insts) > 1:
-                fb = self._render_batch(insts, k, camera, config, sim, fb)
+                fb = self._render_batch(
+                    insts, k, camera, config, sim, fb, scene_depth
+                )
                 continue
             for inst in insts:
                 if inst.renderer is None or inst.renderer.config != config:
@@ -770,11 +779,20 @@ class HanabiScene:
                     properties=inst.properties.as_dict(),
                     transform=inst.transform,
                     framebuffer=fb,
+                    scene_depth=scene_depth,
                 )
         for g in self._groups.values():
             if not g["visible"]:
                 continue
             if g.get("sharded"):
+                if scene_depth is not None:
+                    from ..utils.diag import warn_once
+
+                    warn_once(
+                        "sharded-group-scene-depth",
+                        "scene_depth is not applied to sharded groups yet; "
+                        "group %r renders unoccluded" % g.get("name", "?"),
+                    )
                 fb = self._render_sharded_group(g, camera, config, sim, fb)
                 continue
             if g["renderer"] is None or g["renderer"].config != config:
@@ -787,6 +805,7 @@ class HanabiScene:
                 sim=sim,
                 properties=g["properties"].as_dict(),
                 framebuffer=fb,
+                scene_depth=scene_depth,
             )
         return fb
 
@@ -815,7 +834,9 @@ class HanabiScene:
         )
         return composite_by_mode(img, fb, alpha_kind)
 
-    def _render_batch(self, insts, alpha_kind, camera, config, sim, fb):
+    def _render_batch(
+        self, insts, alpha_kind, camera, config, sim, fb, scene_depth=None
+    ):
         """Rasterize several same-blend-state effects in one pass (one
         (tile, depth) sort for the whole batch)."""
         import dataclasses
@@ -843,7 +864,7 @@ class HanabiScene:
             )
             cfg0 = dataclasses.replace(config, background=neutral)
 
-            def render_fn(pools, transforms, props, camera, sim, fb):
+            def render_fn(pools, transforms, props, camera, sim, fb, sd):
                 draws = [
                     extract_draw_data(
                         a, p, camera, sim=sim, properties=pr,
@@ -890,7 +911,8 @@ class HanabiScene:
                     alpha_cutoff=jnp.concatenate(cutoffs),
                 )
                 img = rasterize(
-                    flat, camera, cfg0, alpha_mode=alpha_kind, textures=[]
+                    flat, camera, cfg0, alpha_mode=alpha_kind, textures=[],
+                    scene_depth=sd,
                 )
                 return composite_by_mode(img, fb, alpha_kind)
 
@@ -903,6 +925,7 @@ class HanabiScene:
             camera,
             sim,
             fb,
+            scene_depth,
         )
 
     def total_alive(self) -> int:

@@ -577,3 +577,77 @@ def test_order_independent_fast_path_respects_budget():
     img = np.asarray(rasterize(draw, ortho_camera(), cfg, "add"))
     # additive with budget 2: exactly two 0.25-red quads accumulate
     np.testing.assert_allclose(img[32, 32, 0], 0.5, atol=1e-6)
+
+
+def test_scene_depth_occludes_fragments():
+    # A wall at view distance 4.75 covering the left half of the screen:
+    # the quad at distance 5.0 (z=0, camera at z=5) is occluded there, and
+    # visible on the right half where the wall is at +inf.
+    depth = np.full((H, W), np.inf, np.float32)
+    depth[:, : W // 2] = 4.75
+    draw = quad_draw([[0.0, 0.0, 0.0]], [[0.0, 1.0, 0.0, 1.0]], size=0.9)
+    for mode in ("blend", "add", "opaque"):
+        img = np.asarray(
+            rasterize(draw, ortho_camera(), CFG, mode, scene_depth=jnp.asarray(depth))
+        )
+        assert img[32, 20, 3] == 0.0, mode  # behind the wall
+        assert img[32, 44, 3] > 0.0, mode  # open half
+    # a wall BEHIND the particle hides nothing
+    far = np.full((H, W), 6.0, np.float32)
+    img = np.asarray(
+        rasterize(draw, ortho_camera(), CFG, "blend", scene_depth=jnp.asarray(far))
+    )
+    assert img[32, 20, 3] > 0.0 and img[32, 44, 3] > 0.0
+
+
+def test_return_depth_writes_nearest_opaque():
+    # Two opaque quads at view distances 4.5 (z=0.5) and 5.5 (z=-0.5);
+    # where they overlap the depth buffer must hold the nearest (4.5).
+    draw = quad_draw(
+        [[0.0, 0.0, 0.5], [0.3, 0.0, -0.5]],
+        [[1.0, 0.0, 0.0, 1.0], [0.0, 0.0, 1.0, 1.0]],
+        size=0.4,
+    )
+    img, depth = rasterize(draw, ortho_camera(), CFG, "opaque", return_depth=True)
+    img, depth = np.asarray(img), np.asarray(depth)
+    np.testing.assert_allclose(depth[32, 32], 4.5, atol=1e-5)  # overlap: nearest
+    # blue-only region: blue spans px ~35-48, red ends at px ~38.4
+    np.testing.assert_allclose(depth[32, 46], 5.5, atol=1e-5)
+    assert np.isinf(depth[2, 2])  # empty pixel keeps +inf
+    # transparent modes refuse to write depth
+    with pytest.raises(ValueError):
+        rasterize(draw, ortho_camera(), CFG, "blend", return_depth=True)
+
+
+def test_return_depth_seeds_from_scene_depth():
+    wall = np.full((H, W), 4.0, np.float32)  # nearer than the particle
+    draw = quad_draw([[0.0, 0.0, 0.0]], [[1.0, 1.0, 1.0, 1.0]], size=0.5)
+    img, depth = rasterize(
+        draw,
+        ortho_camera(),
+        CFG,
+        "opaque",
+        scene_depth=jnp.asarray(wall),
+        return_depth=True,
+    )
+    # particle (dist 5.0) fails the test everywhere; depth stays the wall's
+    np.testing.assert_allclose(np.asarray(depth), 4.0, atol=1e-6)
+    assert np.asarray(img)[32, 32, 3] == 0.0
+
+
+def test_scene_render_threads_scene_depth():
+    from bevy_hanabi_tpu.runtime import HanabiScene
+    from bevy_hanabi_tpu.models import spawn_gravity_effect
+
+    scene = HanabiScene(seed=0)
+    scene.add(spawn_gravity_effect(capacity=512, rate=2000.0), "fx")
+    for _ in range(20):
+        scene.update(1 / 60)
+    cam = ortho_camera()
+    blocked = jnp.zeros((H, W), jnp.float32)  # geometry at distance 0
+    img_open = np.asarray(scene.render(cam, background=(0, 0, 0, 0)))
+    img_hid = np.asarray(
+        scene.render(cam, background=(0, 0, 0, 0), scene_depth=blocked)
+    )
+    assert img_open[..., 3].sum() > 0
+    assert img_hid[..., 3].sum() == 0.0
