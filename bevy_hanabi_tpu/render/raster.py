@@ -73,6 +73,14 @@ class RasterConfig:
     order_independent_fast: bool = True
     background: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
 
+    def __post_init__(self):
+        if self.tile_slots not in (0, 2):
+            raise ValueError(
+                "tile_slots must be 0 (exact span^2 binning) or 2 "
+                "(corner + dominant-spill fast binning); got "
+                f"{self.tile_slots}"
+            )
+
     @property
     def tiles_x(self) -> int:
         return -(-self.width // self.tile_size)

@@ -60,7 +60,6 @@ class EffectRenderer:
         self.textures = tuple(jnp.asarray(t, jnp.float32) for t in textures)
         mode = asset.alpha_mode.kind
         self._alpha_mode = mode
-        self._mask_cutoff_handle = asset.alpha_mode.mask_cutoff
         self._jit_render = jax.jit(self._render)
 
     def render(

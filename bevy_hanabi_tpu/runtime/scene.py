@@ -458,10 +458,15 @@ class HanabiScene:
         """
         from ..utils.diag import warn_once
 
-        if self._frame % 30 == 0:
-            for name, inst in self._effects.items():
-                if inst.compiled_signature is None:
-                    continue
+        if self._frame % 30 == 0 and self._effects:
+            # round-robin: ONE effect per check — signature() re-serializes
+            # the whole asset (json.dumps over the module tree), so checking
+            # every effect each time would put ~1 ms of host work per effect
+            # on the exact hot path this module instruments
+            names = list(self._effects)
+            name = names[(self._frame // 30) % len(names)]
+            inst = self._effects[name]
+            if inst.compiled_signature is not None:
                 if inst.asset.signature() != inst.compiled_signature:
                     warn_once(
                         f"asset-drift:{name}",
@@ -781,7 +786,7 @@ class HanabiScene:
                     framebuffer=fb,
                     scene_depth=scene_depth,
                 )
-        for g in self._groups.values():
+        for gname, g in self._groups.items():
             if not g["visible"]:
                 continue
             if g.get("sharded"):
@@ -791,7 +796,7 @@ class HanabiScene:
                     warn_once(
                         "sharded-group-scene-depth",
                         "scene_depth is not applied to sharded groups yet; "
-                        "group %r renders unoccluded" % g.get("name", "?"),
+                        "group %r renders unoccluded" % gname,
                     )
                 fb = self._render_sharded_group(g, camera, config, sim, fb)
                 continue
@@ -875,13 +880,8 @@ class HanabiScene:
                 cat = lambda field: jnp.concatenate(
                     [getattr(d, field) for d in draws]
                 )
-                # per-particle mask cutoff: default 0.5 for draws without one
-                cutoffs = [
-                    d.alpha_cutoff
-                    if d.alpha_cutoff is not None
-                    else jnp.full(d.alive.shape, 0.5, jnp.float32)
-                    for d in draws
-                ]
+                # (mask-mode effects are never batched — see batch_key — so
+                # no alpha_cutoff concat is needed here)
                 # roundness stays None (squircle statically skipped) unless
                 # some batched effect actually uses a RoundModifier
                 if any(d.roundness is not None for d in draws):
@@ -908,7 +908,6 @@ class HanabiScene:
                     sprite_grid_size=(1, 1),
                     texture_layers=(),
                     needs_uv=False,
-                    alpha_cutoff=jnp.concatenate(cutoffs),
                 )
                 img = rasterize(
                     flat, camera, cfg0, alpha_mode=alpha_kind, textures=[],

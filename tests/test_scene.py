@@ -867,7 +867,9 @@ def test_scene_stats_and_diagnostics(caplog):
             scene["rocket"].asset.simulation_space
         )
         scene["rocket"].asset.capacity = 512  # drift!
-        for _ in range(31):
+        # drift checks are round-robin (one effect per 30th frame), so run
+        # two check windows to be sure "rocket" gets its turn
+        for _ in range(61):
             scene.update(1 / 60)
     assert any("modified after" in r.message for r in caplog.records)
     reset_warn_once()
