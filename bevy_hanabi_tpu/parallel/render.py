@@ -109,7 +109,7 @@ class ShardedRenderer:
 
     # -- device-local body (runs under shard_map) --------------------------
 
-    def _local(self, pool, camera, sim, properties):
+    def _local(self, pool, camera, sim, properties, scene_depth):
         texs = list(self.textures)
         draw = jax.vmap(
             lambda p: extract_draw_data(
@@ -123,7 +123,8 @@ class ShardedRenderer:
                 self.config, background=(0.0, 0.0, 0.0, 0.0)
             )
             img = rasterize(
-                flat, camera, cfg, alpha_mode="add", textures=texs
+                flat, camera, cfg, alpha_mode="add", textures=texs,
+                scene_depth=scene_depth,
             )
             img = jax.lax.psum(img, ("dp", "sp"))
             bg = jnp.asarray(self.config.background, jnp.float32)
@@ -142,6 +143,7 @@ class ShardedRenderer:
         return rasterize(
             flat, camera, self.config,
             alpha_mode=self._alpha_mode, textures=texs,
+            scene_depth=scene_depth,
         )
 
     def render(
@@ -150,8 +152,14 @@ class ShardedRenderer:
         camera,
         sim: SimParams = None,
         properties: Optional[Dict[str, Any]] = None,
+        scene_depth=None,
     ) -> jnp.ndarray:
-        """Rasterize the sharded pools to one replicated [H, W, 4] image."""
+        """Rasterize the sharded pools to one replicated [H, W, 4] image.
+
+        ``scene_depth`` ([H, W], replicated) occludes fragments behind
+        external scene geometry on every shard — the depth test is
+        per-fragment, so psum partial images stay exact under it.
+        """
         sim = sim if sim is not None else SimParams()
         properties = properties or {}
         vw, vh = camera.viewport
@@ -159,10 +167,14 @@ class ShardedRenderer:
             # raster grid follows the camera viewport (see EffectRenderer)
             self.config = dataclasses.replace(self.config, width=vw, height=vh)
             self._jit_render = None
-        if self._jit_render is None:
+        had_depth = getattr(self, "_had_depth", None)
+        if self._jit_render is None or had_depth != (scene_depth is not None):
+            self._had_depth = scene_depth is not None
             in_specs = (
                 jax.tree_util.tree_map(_pool_pspec, pools),
-                jax.tree_util.tree_map(lambda _: P(), (camera, sim, properties)),
+                jax.tree_util.tree_map(
+                    lambda _: P(), (camera, sim, properties, scene_depth)
+                ),
             )
             fn = _shard_map(
                 lambda pool, rest: self._local(pool, *rest),
@@ -173,4 +185,4 @@ class ShardedRenderer:
             )
             self._jit_render = jax.jit(fn)
         with self.mesh:
-            return self._jit_render(pools, (camera, sim, properties))
+            return self._jit_render(pools, (camera, sim, properties, scene_depth))

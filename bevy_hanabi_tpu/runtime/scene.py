@@ -701,9 +701,8 @@ class HanabiScene:
 
         ``scene_depth`` ([H, W] view-axis distances of surrounding scene
         geometry, +inf where empty) occludes particles behind it in every
-        pass — the analogue of the reference depth-testing its draws
-        against the game's depth buffer (sharded groups currently ignore
-        it and warn).
+        pass, sharded groups included — the analogue of the reference
+        depth-testing its draws against the game's depth buffer.
         """
         import dataclasses
 
@@ -790,15 +789,9 @@ class HanabiScene:
             if not g["visible"]:
                 continue
             if g.get("sharded"):
-                if scene_depth is not None:
-                    from ..utils.diag import warn_once
-
-                    warn_once(
-                        "sharded-group-scene-depth",
-                        "scene_depth is not applied to sharded groups yet; "
-                        "group %r renders unoccluded" % gname,
-                    )
-                fb = self._render_sharded_group(g, camera, config, sim, fb)
+                fb = self._render_sharded_group(
+                    g, camera, config, sim, fb, scene_depth
+                )
                 continue
             if g["renderer"] is None or g["renderer"].config != config:
                 g["renderer"] = EffectRenderer(
@@ -814,7 +807,9 @@ class HanabiScene:
             )
         return fb
 
-    def _render_sharded_group(self, g, camera, config, sim, fb):
+    def _render_sharded_group(
+        self, g, camera, config, sim, fb, scene_depth=None
+    ):
         """Rasterize a sharded group on its mesh, then composite the
         replicated image onto the scene framebuffer with the effect's blend
         equation (the one cross-shard op of the frame)."""
@@ -835,7 +830,11 @@ class HanabiScene:
             )
             g["renderer"] = r
         img = r.render(
-            g["pools"], camera, sim=sim, properties=g["properties"].as_dict()
+            g["pools"],
+            camera,
+            sim=sim,
+            properties=g["properties"].as_dict(),
+            scene_depth=scene_depth,
         )
         return composite_by_mode(img, fb, alpha_kind)
 

@@ -241,3 +241,34 @@ def test_scene_sharded_group_update_chunk():
     )
     scene.update_chunk(10, DT)
     assert scene.group_alive(g) > 0
+
+
+@needs_devices(8)
+def test_sharded_render_scene_depth_matches_single_device():
+    """A replicated scene-depth plane occludes identically on the mesh and
+    on one device, for both composite strategies."""
+    cam = _camera()
+    depth = np.full((128, 128), np.inf, np.float32)
+    depth[:, :64] = 1.0  # near wall over the left half
+    depth_j = jnp.asarray(depth)
+    for alpha, expected_mode in ((AlphaMode.ADD, "psum"), (AlphaMode.BLEND, "gather")):
+        asset = _small(
+            spawn_gravity_effect(capacity=512, rate=0.0).with_alpha_mode(alpha)
+        )
+        mesh = make_mesh(jax.devices()[:8], dp=4, sp=2)
+        fx, pools = _populated_sharded(asset, mesh)
+        cfg = RasterConfig(background=(0.0, 0.0, 0.0, 1.0), max_entries_per_tile=512)
+        sharded = ShardedRenderer(fx, cfg)
+        assert sharded.mode == expected_mode
+        img_s = np.asarray(sharded.render(pools, cam, scene_depth=depth_j))
+        img_f = np.asarray(
+            EffectRenderer(asset, cfg).render(
+                _flatten_pools(pools), cam, scene_depth=depth_j
+            )
+        )
+        open_img = np.asarray(sharded.render(pools, cam))
+        np.testing.assert_allclose(img_s, img_f, atol=1e-4)
+        # the wall actually occludes something on the left half
+        assert np.abs(open_img[:, :64] - img_s[:, :64]).max() > 0.01
+        # and the open half is unaffected
+        np.testing.assert_allclose(img_s[:, 64:], open_img[:, 64:], atol=1e-4)
