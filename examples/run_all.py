@@ -100,6 +100,15 @@ def _instancing(scene):
     scene.add_group(asset, 25, "grid", transforms=np.stack(grid))
 
 
+def _pillar_depth(size):
+    """Scene-depth plane: a vertical pillar at view distance 5.5 (between
+    the camera at z=6 and the particle cloud around z=0) covering the
+    middle third of the screen."""
+    d = np.full((size, size), np.inf, np.float32)
+    d[:, size // 3 : 2 * size // 3] = 5.5
+    return d
+
+
 def build_gallery_specs():
     reg = examples_registry()
     sheet = make_anim_sprite_sheet(frames=8, size=32)
@@ -129,6 +138,16 @@ def build_gallery_specs():
         "gradient_bench": (_single(lambda: gradient_effect(16384)), 120, (0, 0, 6), (0, 0, 0)),
         "force_field_bench": (_single(lambda: force_field_effect(20000)), 150, (0, 0, 8), (0, 0, 0)),
         "spawn_bench": (_single(lambda: spawn_gravity_effect(16384, 4096.0)), 120, (0, -1, 8), (0, -1, 0)),
+        # scene-depth integration: an (invisible) pillar of near geometry
+        # occludes the particles behind it — the analogue of the reference's
+        # draws being depth-tested against the game's depth buffer
+        "depth_occlusion": (
+            _single(lambda: gradient_effect(16384)),
+            120,
+            (0, 0, 6),
+            (0, 0, 0),
+            _pillar_depth,
+        ),
     }
 
 
@@ -148,7 +167,7 @@ def main() -> None:
     if args.only:
         specs = {k: v for k, v in specs.items() if k in args.only}
 
-    for name, (make, frames, eye, target) in specs.items():
+    for name, (make, frames, eye, target, *extra) in specs.items():
         scene = HanabiScene(seed=hash(name) % 100000)
         make(scene)
         for _ in range(frames):
@@ -158,8 +177,13 @@ def main() -> None:
             proj=perspective(0.9, 1.0, 0.1, 200.0),
             viewport=(args.size, args.size),
         )
-        img = np.asarray(scene.render(cam, cfg))
+        depth = extra[0](args.size) if extra else None
+        img = np.asarray(scene.render(cam, cfg, scene_depth=depth))
         rgb = img[..., :3]
+        if depth is not None:
+            # paint the occluding geometry dim gray so the cutout reads
+            geo = (np.isfinite(depth))[..., None]
+            rgb = np.where(geo & (img[..., 3:4] < 0.05), 0.08, rgb)
         ldr = np.clip(rgb / (1.0 + rgb) * 1.6, 0.0, 1.0)  # reinhard-ish
         path = os.path.join(args.out, f"{name}.png")
         try:
