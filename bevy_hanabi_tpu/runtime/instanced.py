@@ -109,6 +109,100 @@ class InstancedEffect:
             )
         return self._jit_chunk(pools, inputs_stacked, sims_stacked)
 
+    def step_render_chunk(
+        self,
+        pools: ParticlePool,
+        inputs_stacked,
+        sims_stacked,
+        camera,
+        config,
+        textures=(),
+    ):
+        """K frames x I instances stepped AND rendered in ONE dispatch.
+
+        Mirrors :meth:`CompiledEffect.step_render_chunk` for the
+        instance-blocked layout (which steps ~1.6x faster than one flat
+        pool — the [I, N] tiling suits the VPU): each scan iteration runs
+        the vmapped step, flattens the pools to one [I*N] draw set, and
+        rasterizes all instances in a single pass (the render analogue of
+        the reference batching N instances into one draw, batch.rs:92).
+
+        GLOBAL simulation space only: world-space positions are already
+        final, so flattening loses nothing. (LOCAL-space instances would
+        each need their own emitter transform at render time.)
+        """
+        from ..asset import SimulationSpace
+        from ..render.extract import extract_draw_data
+        from ..render.raster import rasterize
+
+        if self.effect.num_event_channels or self.effect.consumes_events:
+            raise ValueError(
+                "step_render_chunk does not support event-linked effects"
+            )
+        if self.asset.simulation_space == SimulationSpace.LOCAL:
+            raise ValueError(
+                "instanced step_render_chunk supports GLOBAL simulation "
+                "space only (LOCAL instances need per-instance render "
+                "transforms)"
+            )
+        if not hasattr(self, "_jit_render_chunk"):
+            self._jit_render_chunk = {}
+        fn = self._jit_render_chunk.get(config)
+        if fn is None:
+            alpha_mode = self.asset.alpha_mode.kind
+            if self.effect.layout.contains("ribbon_id") or self.asset.mesh:
+                raise ValueError(
+                    "instanced step_render_chunk renders quad billboards "
+                    "only (ribbons/meshes: render per instance)"
+                )
+
+            def flat_pool(p):
+                merge = lambda x: x.reshape((-1,) + x.shape[2:])
+                return ParticlePool(
+                    {k: merge(v) for k, v in p.attrs.items()},
+                    merge(p.alive),
+                    merge(p.seed),
+                    jnp.sum(p.counter),
+                )
+
+            def chunk(pools, ins, sims, camera, texs):
+                vm = jax.vmap(
+                    lambda pool, inputs, sim: self.effect._step(
+                        pool, inputs, sim, None, None
+                    ),
+                    in_axes=(0, 0, None),
+                )
+
+                def body(carry, per_frame):
+                    p, _ = carry
+                    inputs, sim = per_frame
+                    new_p, _ = vm(p, inputs, sim)
+                    draw = extract_draw_data(
+                        self.asset,
+                        flat_pool(new_p),
+                        camera,
+                        sim=sim,
+                        properties=jax.tree_util.tree_map(
+                            lambda x: x[0], inputs.properties
+                        ),
+                        textures=list(texs),
+                    )
+                    img = rasterize(
+                        draw, camera, config,
+                        alpha_mode=alpha_mode, textures=list(texs),
+                    )
+                    return (new_p, img), jnp.sum(img)
+
+                img0 = jnp.zeros((config.height, config.width, 4), jnp.float32)
+                (pools, img), sums = jax.lax.scan(
+                    body, (pools, img0), (ins, sims)
+                )
+                return pools, img, sums
+
+            fn = jax.jit(chunk, static_argnums=(), donate_argnums=(0,))
+            self._jit_render_chunk[config] = fn
+        return fn(pools, inputs_stacked, sims_stacked, camera, tuple(textures))
+
     def alive_counts(self, pools: ParticlePool) -> jnp.ndarray:
         return jnp.sum(pools.alive, axis=-1, dtype=jnp.int32)
 

@@ -272,3 +272,59 @@ def test_sharded_render_scene_depth_matches_single_device():
         assert np.abs(open_img[:, :64] - img_s[:, :64]).max() > 0.01
         # and the open half is unaffected
         np.testing.assert_allclose(img_s[:, 64:], open_img[:, 64:], atol=1e-4)
+
+
+def test_instanced_step_render_chunk_matches_flat_render():
+    """The fused instanced step+render chunk equals stepping the instances
+    then rendering the manually flattened pool (GLOBAL space)."""
+    from bevy_hanabi_tpu.models import gradient_effect
+    from bevy_hanabi_tpu.spawn import make_spawner_bank
+
+    I, CAP, K = 4, 128, 6
+    asset = gradient_effect(capacity=CAP)
+
+    def stacked_inputs(fx):
+        bank = make_spawner_bank(asset.spawner, I, seed=3)
+        rng = np.random.default_rng(7)
+        iis, sss = [], []
+        for j in range(K):
+            iis.append(
+                fx.make_inputs(
+                    bank.tick(DT), rng.integers(0, 2**32, I, dtype=np.uint32)
+                )
+            )
+            sss.append(SimParams(time=j * DT, delta_time=DT))
+        ii = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *iis)
+        ss = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x, jnp.float32) for x in xs]),
+            *sss,
+        )
+        return ii, ss
+
+    cam = _camera()
+    cfg = RasterConfig(width=128, height=128, max_entries_per_tile=256)
+    fx = InstancedEffect(asset, I, CAP)
+    ii, ss = stacked_inputs(fx)
+    _, img, sums = fx.step_render_chunk(
+        fx.create_pools(), ii, ss, cam, cfg
+    )
+
+    fx2 = InstancedEffect(asset, I, CAP)
+    ii2, ss2 = stacked_inputs(fx2)
+    pools = fx2.step_chunk(fx2.create_pools(), ii2, ss2)
+    ref = EffectRenderer(asset, cfg).render(
+        _flatten_pools(pools), cam, sim=SimParams(time=(K - 1) * DT, delta_time=DT)
+    )
+    assert float(np.abs(np.asarray(ref)).max()) > 0, "empty reference image"
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-5)
+    assert np.asarray(sums).shape == (K,)
+
+    # LOCAL-space assets are rejected (per-instance render transforms)
+    from bevy_hanabi_tpu.asset import SimulationSpace
+
+    local = gradient_effect(capacity=CAP).with_simulation_space(
+        SimulationSpace.LOCAL
+    )
+    lfx = InstancedEffect(local, I, CAP)
+    with pytest.raises(ValueError):
+        lfx.step_render_chunk(lfx.create_pools(), ii, ss, cam, cfg)
