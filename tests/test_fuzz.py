@@ -213,3 +213,115 @@ def test_fuzz_chunked_event_tree_matches_per_frame(seed):
             np.asarray(b[name].pool.get("position")),
             atol=1e-6, err_msg=f"{name} seed {seed}",
         )
+
+
+# ---------------------------------------------------------------------------
+# Render-stack fuzz: random render modifiers must rasterize to finite images
+# ---------------------------------------------------------------------------
+
+from bevy_hanabi_tpu.asset import AlphaMode
+from bevy_hanabi_tpu.gradient import Gradient
+from bevy_hanabi_tpu.modifiers import (
+    ColorOverLifetimeModifier,
+    FlipbookModifier,
+    OrientMode,
+    OrientModifier,
+    ParticleTextureModifier,
+    RoundModifier,
+    ScreenSpaceSizeModifier,
+    SetColorModifier,
+    SetSizeModifier,
+    SizeOverLifetimeModifier,
+)
+from bevy_hanabi_tpu.render import CameraParams, RasterConfig, look_at, perspective
+from bevy_hanabi_tpu.render.renderer import EffectRenderer
+
+
+def random_render_asset(rng: np.random.Generator):
+    """Random but valid render stack over a simple sphere emitter."""
+    w = ExprWriter()
+    asset = EffectAsset("rfuzz", 256, SpawnerSettings.rate(800.0), w.module)
+    asset.init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
+    asset.init(SetAttributeModifier(A.LIFETIME, w.lit(float(rng.uniform(0.3, 1.0))).expr()))
+    asset.init(
+        SetPositionSphereModifier(
+            w.lit((0.0, 0.0, 0.0)).expr(),
+            w.lit(float(rng.uniform(0.3, 1.5))).expr(),
+            ShapeDimension.VOLUME,
+        )
+    )
+    asset.init(
+        SetVelocitySphereModifier(
+            w.lit((0.0, 0.0, 0.0)).expr(), w.lit(float(rng.uniform(0.2, 2.0))).expr()
+        )
+    )
+
+    textures = []
+    if rng.integers(2):
+        asset.render(OrientModifier(rng.choice(list(OrientMode))))
+    if rng.integers(2):
+        asset.render(SetColorModifier(tuple(rng.uniform(0, 2, 4).astype(float))))
+    else:
+        g = Gradient()
+        for t in np.sort(rng.uniform(0, 1, rng.integers(2, 5))):
+            g.with_key(float(t), tuple(rng.uniform(0, 2, 4).astype(float)))
+        asset.render(ColorOverLifetimeModifier(g))
+    if rng.integers(2):
+        asset.render(SetSizeModifier(tuple(rng.uniform(0.02, 0.3, 3).astype(float))))
+    else:
+        asset.render(
+            SizeOverLifetimeModifier(
+                Gradient.linear(
+                    (float(rng.uniform(0.02, 0.3)),), (float(rng.uniform(0.0, 0.2)),)
+                )
+            )
+        )
+    if rng.integers(2):
+        asset.render(RoundModifier(w.lit(float(rng.uniform(0.0, 1.0))).expr()))
+    if rng.integers(2):
+        asset.render(ScreenSpaceSizeModifier())
+    if rng.integers(2):
+        tex = rng.uniform(0, 1, (8, 8, 4)).astype(np.float32)
+        asset.render(ParticleTextureModifier(0))
+        textures.append(tex)
+        if rng.integers(2):
+            asset.render(FlipbookModifier((2, 2)))
+    mode = rng.choice(["blend", "premultiply", "add", "multiply", "opaque", "mask"])
+    if mode == "mask":
+        asset.with_alpha_mode(AlphaMode.mask(w.lit(float(rng.uniform(0.1, 0.9))).expr()))
+    else:
+        asset.with_alpha_mode(getattr(AlphaMode, mode.upper()))
+    return asset, textures
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_render_stacks_rasterize_cleanly(seed):
+    rng = np.random.default_rng(seed + 100)
+    asset, textures = random_render_asset(rng)
+    fx = CompiledEffect(asset)
+    pool = fx.create_pool()
+    for i in range(12):
+        pool, _ = fx.step(
+            pool,
+            StepInputs.make(int(rng.integers(0, 60)), seed * 77 + i),
+            SimParams(time=i * DT, delta_time=DT),
+        )
+    eye = rng.uniform(-1, 1, 3) * np.array([2.0, 2.0, 0.0]) + np.array([0, 0, 4.0])
+    cam = CameraParams(
+        view=look_at(tuple(eye.astype(float)), (0.0, 0.0, 0.0)),
+        proj=perspective(float(rng.uniform(0.6, 1.4)), 1.0, 0.1, 100.0),
+        viewport=(96, 96),
+    )
+    cfg = RasterConfig(
+        width=96, height=96,
+        tile_slots=int(rng.choice([0, 2])),
+        antialias=bool(rng.integers(2)),
+        max_entries_per_tile=int(rng.choice([8, 64])),
+    )
+    img = np.asarray(
+        EffectRenderer(asset, cfg, textures=textures).render(pool, cam)
+    )
+    assert img.shape == (96, 96, 4)
+    assert np.isfinite(img).all(), f"non-finite pixels (seed {seed})"
+    alive = int(np.asarray(pool.alive).sum())
+    assert alive > 0  # fuzz scenes must actually draw something
