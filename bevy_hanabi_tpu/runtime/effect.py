@@ -103,6 +103,21 @@ class CompiledEffect:
     ) -> None:
         self.asset = asset
         self.layout = asset.particle_layout()
+        # Layout validation mirrors EffectShaderSources::generate
+        # (lib.rs:840: POSITION is mandatory; lib.rs:849: ribbons need AGE)
+        # so a bad asset fails loudly at compile, not obscurely at render.
+        if not self.layout.contains("position"):
+            raise ValueError(
+                f"the particle layout of effect {asset.name!r} is missing "
+                "the POSITION attribute — add a position-writing init "
+                "modifier (e.g. SetPositionSphereModifier or "
+                "SetAttributeModifier(A.POSITION, ...))"
+            )
+        if self.layout.contains("ribbon_id") and not self.layout.contains("age"):
+            raise ValueError(
+                f"effect {asset.name!r} uses RIBBON_ID, which requires the "
+                "AGE attribute for segment ordering"
+            )
         self.parent_layout = parent_layout
         self.consumes_events = parent_layout is not None
         self.num_event_channels = asset.num_event_channels()

@@ -164,3 +164,28 @@ def test_clock():
     clk.unpause()
     clk.advance(0.25)
     assert clk.time == 2.0
+
+
+def test_layout_validation_mirrors_reference():
+    """POSITION is mandatory (lib.rs:840); ribbons need AGE (lib.rs:849)."""
+    import pytest
+
+    from bevy_hanabi_tpu import attributes as A
+    from bevy_hanabi_tpu.graph import ExprWriter
+    from bevy_hanabi_tpu.modifiers import SetAttributeModifier
+    from bevy_hanabi_tpu.runtime import CompiledEffect
+    from bevy_hanabi_tpu.spawn import SpawnerSettings
+
+    w = ExprWriter()
+    no_pos = EffectAsset("nopos", 16, SpawnerSettings.once(1.0), w.finish())
+    with pytest.raises(ValueError, match="POSITION"):
+        CompiledEffect(no_pos)
+
+    w2 = ExprWriter()
+    rib_no_age = (
+        EffectAsset("rib", 16, SpawnerSettings.once(1.0), w2.finish())
+        .init(SetAttributeModifier(A.POSITION, w2.lit((0.0, 0.0, 0.0)).expr()))
+        .init(SetAttributeModifier(A.RIBBON_ID, w2.lit(0, None).expr()))
+    )
+    with pytest.raises(ValueError, match="AGE"):
+        CompiledEffect(rib_no_age)

@@ -207,6 +207,8 @@ def test_particle_counter_attribute():
     asset = (
         EffectAsset("ctr", 16, SpawnerSettings.once(1.0), w.finish())
         .init(SetAttributeModifier(A.LIFETIME, w.lit(100.0).expr()))
+        # POSITION is mandatory (reference lib.rs:840)
+        .init(SetAttributeModifier(A.POSITION, w.lit((0.0, 0.0, 0.0)).expr()))
         .init(
             SetAttributeModifier(
                 A.F32_0, w.attr(A.PARTICLE_COUNTER).cast(__import__("bevy_hanabi_tpu").FLOAT).expr()
@@ -325,6 +327,7 @@ def test_edge_cases_zero_dt_negative_spawn_tiny_pool():
         EffectAsset("edge", 64, SpawnerSettings.once(0.0), w.finish())
         .init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
         .init(SetAttributeModifier(A.LIFETIME, w.lit(1.0).expr()))
+        .init(SetAttributeModifier(A.POSITION, w.lit((0.0, 0.0, 0.0)).expr()))
     )
     fx = CompiledEffect(asset)
     pool = fx.create_pool()

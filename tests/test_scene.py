@@ -73,6 +73,7 @@ def test_properties_update_between_frames():
     asset = (
         EffectAsset("p", 16, SpawnerSettings.once(1.0), w.finish())
         .init(SetAttributeModifier(A.LIFETIME, w.lit(10.0).expr()))
+        .init(SetAttributeModifier(A.POSITION, w.lit((0.0, 0.0, 0.0)).expr()))
         .init(SetAttributeModifier(A.VELOCITY, w.lit((0.0, 0.0, 0.0)).expr()))
         .update(AccelModifier(w.prop("accel").expr()))
     )
@@ -145,6 +146,7 @@ def test_hidden_parent_events_consumed_once():
     parent = (
         EffectAsset("par", 32, SpawnerSettings.once(4.0), wp.finish())
         .init(SetAttributeModifier(A.AGE, wp.lit(0.0).expr()))
+        .init(SetAttributeModifier(A.POSITION, wp.lit((0.0, 0.0, 0.0)).expr()))
         .init(SetAttributeModifier(A.LIFETIME, wp.lit(100.0).expr()))
         .update(
             EmitSpawnEventModifier(EventEmitCondition.ALWAYS, wp.module.lit(1, None), 0)
@@ -153,6 +155,7 @@ def test_hidden_parent_events_consumed_once():
     wc = ExprWriter()
     child = (
         EffectAsset("chi", 256, SpawnerSettings.once(0.0), wc.finish())
+        .init(SetAttributeModifier(A.POSITION, wc.lit((0.0, 0.0, 0.0)).expr()))
         .init(SetAttributeModifier(A.LIFETIME, wc.lit(100.0).expr()))
     )
     scene = HanabiScene()
@@ -186,11 +189,14 @@ def test_remove_requires_children_first():
         .update(
             EmitSpawnEventModifier(EventEmitCondition.ALWAYS, wp.module.lit(1, None), 0)
         )
+        .init(SetAttributeModifier(A.POSITION, wp.lit((0.0, 0.0, 0.0)).expr()))
         .init(SetAttributeModifier(A.LIFETIME, wp.lit(1.0).expr()))
     )
     wc = ExprWriter()
-    child = EffectAsset("chi", 8, SpawnerSettings.once(0.0), wc.finish()).init(
-        SetAttributeModifier(A.LIFETIME, wc.lit(1.0).expr())
+    child = (
+        EffectAsset("chi", 8, SpawnerSettings.once(0.0), wc.finish())
+        .init(SetAttributeModifier(A.POSITION, wc.lit((0.0, 0.0, 0.0)).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, wc.lit(1.0).expr()))
     )
     scene = HanabiScene()
     scene.add(parent, "P")
@@ -644,6 +650,7 @@ def test_two_children_two_channels():
     parent = (
         EffectAsset("par2", 8, SpawnerSettings.once(2.0), wp.finish())
         .init(SetAttributeModifier(A.AGE, wp.lit(0.0).expr()))
+        .init(SetAttributeModifier(A.POSITION, wp.lit((0.0, 0.0, 0.0)).expr()))
         .init(SetAttributeModifier(A.LIFETIME, wp.lit(2.5 * DT).expr()))
         .update(
             EmitSpawnEventModifier(EventEmitCondition.ON_DIE, wp.module.lit(1, None), 0)
@@ -655,8 +662,10 @@ def test_two_children_two_channels():
 
     def child(name):
         wc = ExprWriter()
-        return EffectAsset(name, 64, SpawnerSettings.once(0.0), wc.finish()).init(
-            SetAttributeModifier(A.LIFETIME, wc.lit(100.0).expr())
+        return (
+            EffectAsset(name, 64, SpawnerSettings.once(0.0), wc.finish())
+            .init(SetAttributeModifier(A.POSITION, wc.lit((0.0, 0.0, 0.0)).expr()))
+            .init(SetAttributeModifier(A.LIFETIME, wc.lit(100.0).expr()))
         )
 
     scene = HanabiScene()
@@ -761,12 +770,14 @@ def test_render_batching_skips_incompatible_effects():
     w1 = ExprWriter()
     plain = (
         EffectAsset("plain", 32, SpawnerSettings.once(4.0), w1.finish())
+        .init(SetAttributeModifier(A.POSITION, w1.lit((0.0, 0.0, 0.0)).expr()))
         .init(SetAttributeModifier(A.LIFETIME, w1.lit(9.0).expr()))
         .with_alpha_mode(AlphaMode.ADD)
     )
     w2 = ExprWriter()
     textured = (
         EffectAsset("tex", 32, SpawnerSettings.once(4.0), w2.finish())
+        .init(SetAttributeModifier(A.POSITION, w2.lit((0.0, 0.0, 0.0)).expr()))
         .init(SetAttributeModifier(A.LIFETIME, w2.lit(9.0).expr()))
         .render(ParticleTextureModifier(0))
         .with_alpha_mode(AlphaMode.ADD)
