@@ -153,7 +153,4 @@ class EffectRenderer:
         return img
 
 
-def tonemap_reinhard(img: jnp.ndarray) -> jnp.ndarray:
-    """Simple HDR→LDR tonemap for writing images to disk."""
-    rgb = img[..., :3]
-    return jnp.concatenate([rgb / (1.0 + rgb), img[..., 3:4]], axis=-1)
+# tonemapping + bloom live in render/post.py

@@ -178,7 +178,14 @@ def main() -> None:
             viewport=(args.size, args.size),
         )
         depth = extra[0](args.size) if extra else None
-        img = np.asarray(scene.render(cam, cfg, scene_depth=depth))
+        img = scene.render(cam, cfg, scene_depth=depth)
+        if name == "firework":
+            # HDR pipeline: the reference's firework look relies on Bevy's
+            # Bloom pass; render/post.py is the headless equivalent
+            from bevy_hanabi_tpu.render import bloom
+
+            img = bloom(img, threshold=1.0, sigma=3.0, intensity=0.8)
+        img = np.asarray(img)
         rgb = img[..., :3]
         if depth is not None:
             # paint the occluding geometry dim gray so the cutout reads

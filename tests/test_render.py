@@ -651,3 +651,30 @@ def test_scene_render_threads_scene_depth():
     )
     assert img_open[..., 3].sum() > 0
     assert img_hid[..., 3].sum() == 0.0
+
+
+def test_bloom_and_tonemaps():
+    from bevy_hanabi_tpu.render import bloom, tonemap_aces, tonemap_reinhard
+
+    img = np.zeros((32, 32, 4), np.float32)
+    img[16, 16, :3] = 5.0  # one HDR-hot pixel
+    img[16, 16, 3] = 1.0
+    out = np.asarray(bloom(jnp.asarray(img), threshold=1.0, sigma=2.0))
+    # glow spreads beyond the hot pixel
+    assert out[16, 20, 0] > 0.0 and img[16, 20, 0] == 0.0
+    # hot pixel keeps at least its base energy
+    assert out[16, 16, 0] >= 5.0
+    # alpha unchanged
+    np.testing.assert_array_equal(out[..., 3], img[..., 3])
+    # sub-threshold images are untouched
+    dim = np.full((8, 8, 4), 0.5, np.float32)
+    np.testing.assert_allclose(
+        np.asarray(bloom(jnp.asarray(dim))), dim, atol=1e-6
+    )
+
+    for tm in (tonemap_reinhard, tonemap_aces):
+        mapped = np.asarray(tm(jnp.asarray(img)))
+        assert mapped[..., :3].max() <= 1.0 + 1e-6
+        assert np.isfinite(mapped).all()
+        # monotone: hot pixel stays the brightest
+        assert mapped[16, 16, 0] == mapped[..., 0].max()
