@@ -144,7 +144,10 @@ def bench_stepped_rendered():
     )
     # tile_slots=2: corner + dominant-spill binning (see RasterConfig) — the
     # dense-small-particle fast path; halves the (tile, depth) sort size.
+    # The hi-fi config blends 4x the entries (T=8: less budget truncation in
+    # deep stacks — see docs/PERF.md "Raster config sweep").
     config = RasterConfig(width=512, height=512, tile_slots=2)
+    hifi = RasterConfig(width=512, height=512, tile_slots=2, tile_size=8)
     frame = 0
 
     def chunk(frame):
@@ -173,7 +176,23 @@ def bench_stepped_rendered():
         best = min(best, time.perf_counter() - t0)
         checksum = float(jnp.sum(sums))
     alive_mean = 0.5 * (alive_before + alive_after)
-    return alive_mean * K / best, K / best, alive_mean, checksum
+    headline = (alive_mean * K / best, K / best, alive_mean, checksum)
+
+    # hi-fi pass: same pool, finer tiles (4x blended entries per frame)
+    for _ in range(2):
+        ii, ss = chunk(frame)
+        frame += K
+        pool, img, sums = fx.step_render_chunk(pool, ii, ss, cam, hifi)
+    best_h = float("inf")
+    for _ in range(3):
+        ii, ss = chunk(frame)
+        frame += K
+        int(pool.alive_count())
+        t0 = time.perf_counter()
+        pool, img, sums = fx.step_render_chunk(pool, ii, ss, cam, hifi)
+        int(pool.alive_count())
+        best_h = min(best_h, time.perf_counter() - t0)
+    return headline + (K / best_h, float(jnp.sum(sums)))
 
 
 def bench_force_field(cap=100_000):
@@ -287,7 +306,7 @@ def bench_firework_events(frames=240):
 
 
 def main() -> None:
-    r_pps, r_fps, r_alive, r_checksum = bench_stepped_rendered()
+    r_pps, r_fps, r_alive, r_checksum, r_hifi_fps, r_hifi_chk = bench_stepped_rendered()
     s_pps, s_sps, s_alive = bench_single()
     i_pps, i_sps, i_alive = bench_instanced()
     f_sps = bench_firework_events()
@@ -306,6 +325,11 @@ def main() -> None:
                         "frames_per_sec": r_fps,
                         "alive_mean": r_alive,
                         "framebuffer_checksum": r_checksum,
+                    },
+                    "stepped_and_rendered_1M_512sq_hifi": {
+                        "frames_per_sec": r_hifi_fps,
+                        "framebuffer_checksum": r_hifi_chk,
+                        "note": "tile_size=8: 4x blended entries per frame",
                     },
                     "step_only_single_1M_pool": {
                         "particles_per_sec": s_pps,
