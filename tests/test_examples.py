@@ -187,3 +187,47 @@ def test_ribbon_bench_effect_chains_and_renders():
     assert len(np.unique(rids)) == 32  # every ribbon populated
     assert (np.asarray(img)[..., 3] > 0).sum() > 50  # trails visible
     assert float(np.asarray(sums)[-1]) > 0
+
+
+def test_gallery_harness_specs_run_headless():
+    """Tier-4 example-run harness smoke (reference .github/example-run):
+    every gallery spec builds a scene that steps; a sample renders."""
+    import importlib.util
+    import os
+    import sys
+
+    path = os.path.join(os.path.dirname(__file__), "..", "examples", "run_all.py")
+    spec = importlib.util.spec_from_file_location("gallery_run_all", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["gallery_run_all"] = mod
+    spec.loader.exec_module(mod)
+
+    specs = mod.build_gallery_specs()
+    assert len(specs) >= 24  # all 23 reference examples + bench/depth demos
+
+    from bevy_hanabi_tpu.render import CameraParams, RasterConfig, look_at, perspective
+    from bevy_hanabi_tpu.runtime import HanabiScene
+
+    # build every scene (catches bad spec wiring), step a couple frames
+    for name, (make, frames, eye, target, *extra) in specs.items():
+        scene = HanabiScene(seed=1)
+        make(scene)
+        scene.update(1 / 60)
+
+    # render one spec end-to-end at tiny size, with its extras
+    name = "depth_occlusion"
+    make, frames, eye, target, *extra = specs[name]
+    scene = HanabiScene(seed=1)
+    make(scene)
+    for _ in range(30):
+        scene.update(1 / 60)
+    cam = CameraParams(
+        view=look_at(eye, target),
+        proj=perspective(0.9, 1.0, 0.1, 200.0),
+        viewport=(64, 64),
+    )
+    depth = extra[0](64) if extra else None
+    img = np.asarray(
+        scene.render(cam, RasterConfig(width=64, height=64), scene_depth=depth)
+    )
+    assert img.shape == (64, 64, 4) and np.isfinite(img).all()
