@@ -47,7 +47,7 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map as _shard_map
 
 from ..compiler import SimParams
-from ..render.extract import extract_draw_data
+from ..render.extract import extract_draw_data, flatten_instance_axis
 from ..render.raster import RasterConfig, rasterize
 from .mesh import ShardedEffect
 
@@ -61,11 +61,7 @@ def _pool_pspec(x) -> P:
     return P("dp", "sp", *([None] * (x.ndim - 2)))
 
 
-def _flatten_instances(draw):
-    """[i_loc, n_loc, ...] draw arrays → [i_loc*n_loc, ...]."""
-    return jax.tree_util.tree_map(
-        lambda x: x.reshape((-1,) + x.shape[2:]), draw
-    )
+_flatten_instances = flatten_instance_axis
 
 
 class ShardedRenderer:
@@ -105,7 +101,9 @@ class ShardedRenderer:
         self.mode = mode
         self.textures = tuple(jnp.asarray(t, jnp.float32) for t in textures)
         self._alpha_mode = alpha
-        self._jit_render = None
+        # one jitted fn per depth-presence so toggling scene_depth between
+        # None and an array does not recompile the shard_map every call
+        self._jit_render = {}
 
     # -- device-local body (runs under shard_map) --------------------------
 
@@ -166,23 +164,24 @@ class ShardedRenderer:
         if (self.config.width, self.config.height) != (vw, vh):
             # raster grid follows the camera viewport (see EffectRenderer)
             self.config = dataclasses.replace(self.config, width=vw, height=vh)
-            self._jit_render = None
-        had_depth = getattr(self, "_had_depth", None)
-        if self._jit_render is None or had_depth != (scene_depth is not None):
-            self._had_depth = scene_depth is not None
+            self._jit_render = {}
+        fn = self._jit_render.get(scene_depth is not None)
+        if fn is None:
             in_specs = (
                 jax.tree_util.tree_map(_pool_pspec, pools),
                 jax.tree_util.tree_map(
                     lambda _: P(), (camera, sim, properties, scene_depth)
                 ),
             )
-            fn = _shard_map(
-                lambda pool, rest: self._local(pool, *rest),
-                mesh=self.mesh,
-                in_specs=in_specs,
-                out_specs=P(),
-                check_vma=False,
+            fn = jax.jit(
+                _shard_map(
+                    lambda pool, rest: self._local(pool, *rest),
+                    mesh=self.mesh,
+                    in_specs=in_specs,
+                    out_specs=P(),
+                    check_vma=False,
+                )
             )
-            self._jit_render = jax.jit(fn)
+            self._jit_render[scene_depth is not None] = fn
         with self.mesh:
-            return self._jit_render(pools, (camera, sim, properties, scene_depth))
+            return fn(pools, (camera, sim, properties, scene_depth))

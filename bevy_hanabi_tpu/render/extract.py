@@ -20,7 +20,17 @@ from ..compiler import RenderContext, SimParams
 from ..runtime.pool import ParticlePool
 from .camera import CameraParams
 
-__all__ = ["ParticleDrawData", "extract_draw_data"]
+__all__ = ["ParticleDrawData", "extract_draw_data", "flatten_instance_axis"]
+
+
+def flatten_instance_axis(tree):
+    """Merge a leading instance axis: [I, N, ...] leaves -> [I*N, ...].
+
+    Used to feed vmapped (per-instance) draw data into the single-pass
+    rasterizer (instanced and sharded rendering)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((-1,) + x.shape[2:]), tree
+    )
 
 
 @dataclass

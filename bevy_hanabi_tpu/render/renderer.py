@@ -153,4 +153,6 @@ class EffectRenderer:
         return img
 
 
-# tonemapping + bloom live in render/post.py
+# tonemapping + bloom live in render/post.py; re-exported here for
+# compatibility (this module was tonemap_reinhard's original home)
+from .post import tonemap_reinhard  # noqa: E402, F401

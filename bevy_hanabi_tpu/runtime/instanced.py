@@ -149,20 +149,13 @@ class InstancedEffect:
             self._jit_render_chunk = {}
         fn = self._jit_render_chunk.get(config)
         if fn is None:
+            from ..render.extract import flatten_instance_axis
+
             alpha_mode = self.asset.alpha_mode.kind
             if self.effect.layout.contains("ribbon_id") or self.asset.mesh:
                 raise ValueError(
                     "instanced step_render_chunk renders quad billboards "
                     "only (ribbons/meshes: render per instance)"
-                )
-
-            def flat_pool(p):
-                merge = lambda x: x.reshape((-1,) + x.shape[2:])
-                return ParticlePool(
-                    {k: merge(v) for k, v in p.attrs.items()},
-                    merge(p.alive),
-                    merge(p.seed),
-                    jnp.sum(p.counter),
                 )
 
             def chunk(pools, ins, sims, camera, texs):
@@ -177,16 +170,20 @@ class InstancedEffect:
                     p, _ = carry
                     inputs, sim = per_frame
                     new_p, _ = vm(p, inputs, sim)
-                    draw = extract_draw_data(
-                        self.asset,
-                        flat_pool(new_p),
-                        camera,
-                        sim=sim,
-                        properties=jax.tree_util.tree_map(
-                            lambda x: x[0], inputs.properties
-                        ),
-                        textures=list(texs),
-                    )
+                    # extraction runs vmapped so render modifiers see each
+                    # instance's OWN property values ([I, ...] leaves), then
+                    # the [I, N] draw set flattens into one raster pass
+                    draw = jax.vmap(
+                        lambda pool, props: extract_draw_data(
+                            self.asset,
+                            pool,
+                            camera,
+                            sim=sim,
+                            properties=props,
+                            textures=list(texs),
+                        )
+                    )(new_p, inputs.properties)
+                    draw = flatten_instance_axis(draw)
                     img = rasterize(
                         draw, camera, config,
                         alpha_mode=alpha_mode, textures=list(texs),

@@ -100,6 +100,22 @@ class ParticlePool:
 
     # -- inspection -----------------------------------------------------------
 
+    def flatten(self) -> "ParticlePool":
+        """View instanced [I, N, ...] pools as one flat [I*N] pool.
+
+        The counter is summed (it only seeds PARTICLE_COUNTER for future
+        spawns, which a flat view never performs)."""
+        i, n = self.alive.shape
+        return ParticlePool(
+            attrs={
+                k: v.reshape((i * n,) + v.shape[2:])
+                for k, v in self.attrs.items()
+            },
+            alive=self.alive.reshape(i * n),
+            seed=self.seed.reshape(i * n),
+            counter=jnp.sum(self.counter),
+        )
+
     @property
     def capacity(self) -> int:
         return int(self.alive.shape[-1])

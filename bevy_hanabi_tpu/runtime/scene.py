@@ -286,16 +286,7 @@ class HanabiScene:
 
     def _group_flat_pool(self, g) -> ParticlePool:
         """View a group's [I, N, ...] pools as one flat pool for rendering."""
-        pools = g["pools"]
-        i, n = pools.alive.shape
-        return ParticlePool(
-            attrs={
-                k: v.reshape((i * n,) + v.shape[2:]) for k, v in pools.attrs.items()
-            },
-            alive=pools.alive.reshape(i * n),
-            seed=pools.seed.reshape(i * n),
-            counter=jnp.zeros((), jnp.uint32),
-        )
+        return g["pools"].flatten()
 
     def remove(self, name: str) -> None:
         if name in self._groups:

@@ -15,9 +15,6 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
-
-jax.config.update("jax_platforms", "cpu")  # gallery runs headless on host
-
 import numpy as np
 
 from bevy_hanabi_tpu.models.examples import (
@@ -152,6 +149,9 @@ def build_gallery_specs():
 
 
 def main() -> None:
+    # gallery runs headless on host; pinned here (not at import time) so
+    # importing this module for tests does not mutate global JAX state
+    jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "gallery"))

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from bevy_hanabi_tpu import attributes as A
 from bevy_hanabi_tpu.compiler import SimParams
 from bevy_hanabi_tpu.models import spawn_gravity_effect
 from bevy_hanabi_tpu.parallel import ShardedEffect, make_mesh
@@ -328,3 +329,63 @@ def test_instanced_step_render_chunk_matches_flat_render():
     lfx = InstancedEffect(local, I, CAP)
     with pytest.raises(ValueError):
         lfx.step_render_chunk(lfx.create_pools(), ii, ss, cam, cfg)
+
+
+def test_instanced_render_chunk_per_instance_properties():
+    """Render modifiers see each instance's OWN property values: instance 0
+    draws square quads (roundness 0), instance 1 circles (roundness 1)."""
+    from bevy_hanabi_tpu.asset import EffectAsset
+    from bevy_hanabi_tpu.graph import ExprWriter
+    from bevy_hanabi_tpu.modifiers import (
+        RoundModifier,
+        SetAttributeModifier,
+        SetSizeModifier,
+    )
+    from bevy_hanabi_tpu.render import orthographic
+    from bevy_hanabi_tpu.spawn import SpawnerSettings
+
+    w = ExprWriter()
+    w.add_property("r", 0.0)
+    asset = (
+        EffectAsset("rnd", 4, SpawnerSettings.once(1.0), w.finish())
+        .init(SetAttributeModifier(A.POSITION, w.lit((0.0, 0.0, 0.0)).expr()))
+        .init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(10.0).expr()))
+        .render(SetSizeModifier((0.5, 0.5, 0.5)))
+        .render(RoundModifier(w.prop("r").expr()))
+    )
+    I, K = 2, 2
+    fx = InstancedEffect(asset, I, 4)
+    t0 = np.eye(3, 4, dtype=np.float32)
+    t0[0, 3] = -0.5  # instance 0 at x=-0.5
+    t1 = np.eye(3, 4, dtype=np.float32)
+    t1[0, 3] = 0.5  # instance 1 at x=+0.5
+    iis, sss = [], []
+    for j in range(K):
+        iis.append(
+            fx.make_inputs(
+                np.asarray([1, 1]) if j == 0 else np.asarray([0, 0]),
+                np.asarray([1, 2], np.uint32),
+                transforms=np.stack([t0, t1]),
+                properties={"r": np.asarray([0.0, 1.0], np.float32)},
+            )
+        )
+        sss.append(SimParams(time=j * DT, delta_time=DT))
+    ii = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *iis)
+    ss = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x, jnp.float32) for x in xs]), *sss
+    )
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    cfg = RasterConfig(width=64, height=64, tile_size=16)
+    _, img, _ = fx.step_render_chunk(fx.create_pools(), ii, ss, cam, cfg)
+    img = np.asarray(img)
+    # quads are 16px wide (half-extent 8px): centers at px 16 (inst 0) and
+    # 48 (inst 1). At corner offset 7px the r=1 squircle (|d|/h = 0.81 on
+    # both axes -> 0.81^2*2 > 1) is cut; the r=0 square is filled.
+    assert img[32 - 7, 16 - 7, 3] > 0.0  # instance 0: square corner filled
+    assert img[32 - 7, 48 - 7, 3] == 0.0  # instance 1: circle cuts corner
+    assert img[32, 48, 3] > 0.0  # circle center still filled
