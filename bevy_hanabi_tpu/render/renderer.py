@@ -60,7 +60,16 @@ class EffectRenderer:
         self.textures = tuple(jnp.asarray(t, jnp.float32) for t in textures)
         mode = asset.alpha_mode.kind
         self._alpha_mode = mode
-        self._jit_render = jax.jit(self._render)
+        self._make_jits()
+
+    def _make_jits(self):
+        import functools
+
+        # one jitted fn per return_depth value (a Python-level branch)
+        self._jit_render = {
+            flag: jax.jit(functools.partial(self._render, return_depth=flag))
+            for flag in (False, True)
+        }
 
     def render(
         self,
@@ -71,12 +80,17 @@ class EffectRenderer:
         transform: Optional[Any] = None,
         framebuffer: Optional[jnp.ndarray] = None,
         scene_depth: Optional[jnp.ndarray] = None,
+        return_depth: bool = False,
     ) -> jnp.ndarray:
         """Rasterize the pool; optionally composite over ``framebuffer``.
 
         ``scene_depth`` ([H, W] view-axis distances) occludes fragments
         behind existing scene geometry — the analogue of the reference
         depth-testing its draws against the game's depth buffer.
+        ``return_depth=True`` (opaque/mask modes) additionally returns the
+        written depth plane, seeded from ``scene_depth``, enabling the
+        reference's phase pipeline (Opaque3d/AlphaMask3d write depth,
+        Transparent3d tests it).
 
         The raster grid follows the camera viewport: a ``RasterConfig`` whose
         width/height disagree with ``camera.viewport`` is aligned to it on
@@ -90,9 +104,9 @@ class EffectRenderer:
                 self.config = dataclasses.replace(
                     self.config, width=vw, height=vh
                 )
-                self._jit_render = jax.jit(self._render)
+                self._make_jits()
             self._aligned = True
-        return self._jit_render(
+        return self._jit_render[bool(return_depth)](
             pool,
             camera,
             sim if sim is not None else SimParams(),
@@ -104,7 +118,7 @@ class EffectRenderer:
 
     def _render(
         self, pool, camera, sim, properties, transform, framebuffer,
-        scene_depth=None,
+        scene_depth=None, return_depth=False,
     ):
         draw = extract_draw_data(
             self.asset,
@@ -140,17 +154,19 @@ class EffectRenderer:
                 else (0.0, 0.0, 0.0, 0.0)
             )
             config = dataclasses.replace(config, background=neutral)
-        img = rasterize(
+        out = rasterize(
             draw,
             camera,
             config,
             alpha_mode=self._alpha_mode,
             textures=list(self.textures),
             scene_depth=scene_depth,
+            return_depth=return_depth,
         )
+        img, depth = out if return_depth else (out, None)
         if framebuffer is not None:
             img = composite_by_mode(img, framebuffer, self._alpha_mode)
-        return img
+        return (img, depth) if return_depth else img
 
 
 # tonemapping + bloom live in render/post.py; re-exported here for

@@ -730,6 +730,35 @@ class HanabiScene:
         )
         sim = self.clock.sim_params()
 
+        # Phase split, mirroring the reference's render phases: opaque and
+        # mask effects draw FIRST with a real depth buffer
+        # (Opaque3d/AlphaMask3d write depth), then transparent effects are
+        # depth-tested against it (Transparent3d). This makes cross-effect
+        # opaque interleave and transparent-behind-opaque occlusion exact
+        # per pixel instead of approximated by emitter-distance ordering.
+        opaque_phase = [
+            e for e in visible if e.asset.alpha_mode.kind in ("opaque", "mask")
+        ]
+        depth_acc = scene_depth
+        if opaque_phase:
+            for inst in opaque_phase:
+                if inst.renderer is None or inst.renderer.config != config:
+                    inst.renderer = EffectRenderer(
+                        inst.asset, config, textures=inst.textures
+                    )
+                fb, depth_acc = inst.renderer.render(
+                    inst.pool,
+                    camera,
+                    sim=sim,
+                    properties=inst.properties.as_dict(),
+                    transform=inst.transform,
+                    framebuffer=fb,
+                    scene_depth=depth_acc,
+                    return_depth=True,
+                )
+            scene_depth = depth_acc
+            visible = [e for e in visible if e not in opaque_phase]
+
         # Render batching: consecutive effects sharing blend state rasterize
         # in ONE pass (the reference's Batcher leaves render at 1 draw per
         # instance, render/mod.rs:219-222 comment — here batching also

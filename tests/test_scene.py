@@ -884,3 +884,91 @@ def test_scene_stats_and_diagnostics(caplog):
             scene.update(1 / 60)
     assert any("modified after" in r.message for r in caplog.records)
     reset_warn_once()
+
+
+def _phase_asset(name, pos, mode, color):
+    from bevy_hanabi_tpu.asset import AlphaMode
+
+    w = ExprWriter()
+    a = (
+        EffectAsset(name, 4, SpawnerSettings.once(1.0), w.finish())
+        .init(SetAttributeModifier(A.POSITION, w.lit(pos).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(100.0).expr()))
+        .init(
+            SetAttributeModifier(
+                A.HDR_COLOR, w.lit(color).expr()
+            )
+        )
+        .render(SetSizeModifier((0.5, 0.5, 0.5)))
+    )
+    if mode == "mask":
+        a.with_alpha_mode(AlphaMode.mask(w.lit(0.5).expr()))
+    else:
+        a.with_alpha_mode(getattr(AlphaMode, mode.upper()))
+    return a
+
+
+def test_phase_pipeline_transparent_behind_opaque_is_occluded():
+    """Reference phase semantics: Transparent3d draws are depth-tested
+    against Opaque3d depth. A transparent effect whose EMITTER is nearer
+    (so emitter-distance ordering would paint it last) but whose PARTICLES
+    are behind an opaque effect's must be hidden."""
+    from bevy_hanabi_tpu.asset import AlphaMode
+
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    scene = HanabiScene()
+    # opaque red at z=0 (view distance 5), emitter at origin
+    scene.add(
+        _phase_asset("op", (0.0, 0.0, 0.0), "opaque", (1.0, 0.0, 0.0, 1.0)),
+        "op",
+    )
+    # transparent green PARTICLES at z=-0.9 (view distance 5.9, behind the
+    # opaque) but EMITTER at z=4 (distance 1: nearest, drawn last by the
+    # old ordering)
+    t = np.eye(3, 4, dtype=np.float32)
+    t[2, 3] = 4.0
+    scene.add(
+        _phase_asset("tr", (0.0, 0.0, -4.9), "blend", (0.0, 1.0, 0.0, 1.0)),
+        "tr",
+        transform=t,
+    )
+    scene.update(DT)
+    img = np.asarray(scene.render(cam, background=(0, 0, 0, 0)))
+    # overlap pixel: opaque red wins (transparent is BEHIND it)
+    np.testing.assert_allclose(img[32, 32, :3], [1.0, 0.0, 0.0], atol=1e-5)
+
+
+def test_phase_pipeline_opaque_interleave_exact():
+    """Two opaque effects interleave per PIXEL depth, not per emitter
+    distance: the nearer PARTICLE wins even when its emitter is farther."""
+    from bevy_hanabi_tpu.asset import AlphaMode
+
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    scene = HanabiScene()
+    # red particle at z=0.5 (view distance 4.5: NEAR), emitter at origin
+    # (distance 5: far -> drawn first by emitter ordering)
+    scene.add(
+        _phase_asset("a", (0.0, 0.0, 0.5), "opaque", (1.0, 0.0, 0.0, 1.0)),
+        "a",
+    )
+    # blue MASK particle at z=-0.5 (view distance 5.5: FAR), emitter at
+    # z=2 (distance 3: near -> drawn last; mask mode is unbatchable, so
+    # without the phase depth buffer it would overwrite the nearer red)
+    t = np.eye(3, 4, dtype=np.float32)
+    t[2, 3] = 2.0
+    scene.add(
+        _phase_asset("b", (0.0, 0.0, -2.5), "mask", (0.0, 0.0, 1.0, 1.0)),
+        "b",
+        transform=t,
+    )
+    scene.update(DT)
+    img = np.asarray(scene.render(cam, background=(0, 0, 0, 0)))
+    np.testing.assert_allclose(img[32, 32, :3], [1.0, 0.0, 0.0], atol=1e-5)
