@@ -730,35 +730,6 @@ class HanabiScene:
         )
         sim = self.clock.sim_params()
 
-        # Phase split, mirroring the reference's render phases: opaque and
-        # mask effects draw FIRST with a real depth buffer
-        # (Opaque3d/AlphaMask3d write depth), then transparent effects are
-        # depth-tested against it (Transparent3d). This makes cross-effect
-        # opaque interleave and transparent-behind-opaque occlusion exact
-        # per pixel instead of approximated by emitter-distance ordering.
-        opaque_phase = [
-            e for e in visible if e.asset.alpha_mode.kind in ("opaque", "mask")
-        ]
-        depth_acc = scene_depth
-        if opaque_phase:
-            for inst in opaque_phase:
-                if inst.renderer is None or inst.renderer.config != config:
-                    inst.renderer = EffectRenderer(
-                        inst.asset, config, textures=inst.textures
-                    )
-                fb, depth_acc = inst.renderer.render(
-                    inst.pool,
-                    camera,
-                    sim=sim,
-                    properties=inst.properties.as_dict(),
-                    transform=inst.transform,
-                    framebuffer=fb,
-                    scene_depth=depth_acc,
-                    return_depth=True,
-                )
-            scene_depth = depth_acc
-            visible = [e for e in visible if e not in opaque_phase]
-
         # Render batching: consecutive effects sharing blend state rasterize
         # in ONE pass (the reference's Batcher leaves render at 1 draw per
         # instance, render/mod.rs:219-222 comment — here batching also
@@ -777,26 +748,95 @@ class HanabiScene:
                 return None  # not batchable
             return a.alpha_mode.kind
 
-        runs: List[List[EffectInstance]] = []
-        for inst in visible:
-            k = batch_key(inst)
-            if runs and k is not None and runs[-1][0] == k:
-                runs[-1][1].append(inst)
-            else:
-                runs.append([k, [inst]])
+        def build_runs(effects):
+            runs: List[List[EffectInstance]] = []
+            for inst in effects:
+                k = batch_key(inst)
+                if runs and k is not None and runs[-1][0] == k:
+                    runs[-1][1].append(inst)
+                else:
+                    runs.append([k, [inst]])
+            return runs
 
-        for k, insts in runs:
+        def ensure_renderer(inst):
+            if inst.renderer is None or inst.renderer.config != config:
+                inst.renderer = EffectRenderer(
+                    inst.asset, config, textures=inst.textures
+                )
+            return inst.renderer
+
+        # Phase split, mirroring the reference's render phases: opaque and
+        # mask effects (and groups) draw FIRST threading a real depth
+        # buffer (Opaque3d/AlphaMask3d write depth), then transparent
+        # effects are depth-tested against it (Transparent3d). This makes
+        # cross-effect opaque interleave and transparent-behind-opaque
+        # occlusion exact per pixel instead of approximated by
+        # emitter-distance ordering.
+        OPAQUE_KINDS = ("opaque", "mask")
+        opaque_phase = [
+            e for e in visible if e.asset.alpha_mode.kind in OPAQUE_KINDS
+        ]
+        transparent_phase = [
+            e for e in visible if e.asset.alpha_mode.kind not in OPAQUE_KINDS
+        ]
+        group_items = [
+            (n, g) for n, g in self._groups.items() if g["visible"]
+        ]
+        opaque_groups = [
+            (n, g)
+            for n, g in group_items
+            if g["asset"].alpha_mode.kind in OPAQUE_KINDS
+            and not g.get("sharded")
+        ]
+        other_groups = [
+            (n, g) for n, g in group_items
+            if g["asset"].alpha_mode.kind not in OPAQUE_KINDS
+            or g.get("sharded")
+        ]
+        depth_acc = scene_depth
+        if opaque_phase or opaque_groups:
+            for k, insts in build_runs(opaque_phase):
+                if k is not None and len(insts) > 1:
+                    fb, depth_acc = self._render_batch(
+                        insts, k, camera, config, sim, fb, depth_acc,
+                        return_depth=True,
+                    )
+                    continue
+                for inst in insts:
+                    fb, depth_acc = ensure_renderer(inst).render(
+                        inst.pool,
+                        camera,
+                        sim=sim,
+                        properties=inst.properties.as_dict(),
+                        transform=inst.transform,
+                        framebuffer=fb,
+                        scene_depth=depth_acc,
+                        return_depth=True,
+                    )
+            for gname, g in opaque_groups:
+                if g["renderer"] is None or g["renderer"].config != config:
+                    g["renderer"] = EffectRenderer(
+                        g["asset"], config, textures=g["textures"]
+                    )
+                fb, depth_acc = g["renderer"].render(
+                    self._group_flat_pool(g),
+                    camera,
+                    sim=sim,
+                    properties=g["properties"].as_dict(),
+                    framebuffer=fb,
+                    scene_depth=depth_acc,
+                    return_depth=True,
+                )
+            scene_depth = depth_acc
+
+        for k, insts in build_runs(transparent_phase):
             if k is not None and len(insts) > 1:
                 fb = self._render_batch(
                     insts, k, camera, config, sim, fb, scene_depth
                 )
                 continue
             for inst in insts:
-                if inst.renderer is None or inst.renderer.config != config:
-                    inst.renderer = EffectRenderer(
-                        inst.asset, config, textures=inst.textures
-                    )
-                fb = inst.renderer.render(
+                fb = ensure_renderer(inst).render(
                     inst.pool,
                     camera,
                     sim=sim,
@@ -805,10 +845,18 @@ class HanabiScene:
                     framebuffer=fb,
                     scene_depth=scene_depth,
                 )
-        for gname, g in self._groups.items():
-            if not g["visible"]:
-                continue
+        for gname, g in other_groups:
             if g.get("sharded"):
+                if g["asset"].alpha_mode.kind in OPAQUE_KINDS:
+                    from ..utils.diag import warn_once
+
+                    warn_once(
+                        "sharded-opaque-group-depth",
+                        "sharded opaque/mask groups composite in draw "
+                        "order and do not write scene depth yet; group "
+                        "%r is depth-tested but cannot occlude later "
+                        "passes" % gname,
+                    )
                 fb = self._render_sharded_group(
                     g, camera, config, sim, fb, scene_depth
                 )
@@ -859,7 +907,8 @@ class HanabiScene:
         return composite_by_mode(img, fb, alpha_kind)
 
     def _render_batch(
-        self, insts, alpha_kind, camera, config, sim, fb, scene_depth=None
+        self, insts, alpha_kind, camera, config, sim, fb, scene_depth=None,
+        return_depth=False,
     ):
         """Rasterize several same-blend-state effects in one pass (one
         (tile, depth) sort for the whole batch)."""
@@ -875,6 +924,7 @@ class HanabiScene:
             tuple(int(i.pool.alive.shape[-1]) for i in insts),
             alpha_kind,
             config,
+            return_depth,
         )
         fn = self._batch_render_jit.get(key)
         if fn is None:
@@ -928,11 +978,14 @@ class HanabiScene:
                     texture_layers=(),
                     needs_uv=False,
                 )
-                img = rasterize(
+                out = rasterize(
                     flat, camera, cfg0, alpha_mode=alpha_kind, textures=[],
-                    scene_depth=sd,
+                    scene_depth=sd, return_depth=return_depth,
                 )
-                return composite_by_mode(img, fb, alpha_kind)
+                if return_depth:
+                    img, depth = out
+                    return composite_by_mode(img, fb, alpha_kind), depth
+                return composite_by_mode(out, fb, alpha_kind)
 
             fn = jax.jit(render_fn)
             self._batch_render_jit[key] = fn

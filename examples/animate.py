@@ -70,8 +70,9 @@ def main() -> None:
     from PIL import Image
 
     imgs = [Image.fromarray(f) for f in frames]
+    # duration matches the 1/60 s sim step (GIF rounds to ~16 ms ticks)
     imgs[0].save(
-        args.out, save_all=True, append_images=imgs[1:], duration=33, loop=0
+        args.out, save_all=True, append_images=imgs[1:], duration=17, loop=0
     )
     print(f"{len(frames)} frames -> {args.out}")
 

@@ -972,3 +972,59 @@ def test_phase_pipeline_opaque_interleave_exact():
     scene.update(DT)
     img = np.asarray(scene.render(cam, background=(0, 0, 0, 0)))
     np.testing.assert_allclose(img[32, 32, :3], [1.0, 0.0, 0.0], atol=1e-5)
+
+
+def test_phase_pipeline_batched_opaque_writes_depth():
+    """Two batchable opaque effects render in ONE pass that still returns
+    depth; a nearer-emitter transparent behind them is occluded."""
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    scene = HanabiScene()
+    scene.add(
+        _phase_asset("o1", (-0.2, 0.0, 0.0), "opaque", (1.0, 0.0, 0.0, 1.0)),
+        "o1",
+    )
+    scene.add(
+        _phase_asset("o2", (0.2, 0.0, 0.0), "opaque", (1.0, 0.5, 0.0, 1.0)),
+        "o2",
+    )
+    t = np.eye(3, 4, dtype=np.float32)
+    t[2, 3] = 4.0  # nearest emitter, drawn last without phases
+    scene.add(
+        _phase_asset("tr", (0.0, 0.0, -4.9), "blend", (0.0, 1.0, 0.0, 1.0)),
+        "tr",
+        transform=t,
+    )
+    scene.update(DT)
+    img = np.asarray(scene.render(cam, background=(0, 0, 0, 0)))
+    # one batched opaque pass ran (the two opaque effects share blend state)
+    assert len(scene._batch_render_jit) == 1
+    # overlap pixel (quads 16px wide at centers x=25.6 and 38.4 overlap at
+    # the middle): opaque color, not the green transparent behind it
+    assert img[32, 32, 0] > 0.9 and img[32, 32, 1] < 0.6
+
+
+def test_phase_pipeline_opaque_group_occludes_transparent():
+    """An opaque GROUP joins the opaque phase: transparents behind its
+    particles are occluded."""
+    asset = _phase_asset("og", (0.0, 0.0, 0.0), "opaque", (1.0, 0.0, 1.0, 1.0))
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    scene = HanabiScene()
+    scene.add_group(asset, 2, "grp")
+    t = np.eye(3, 4, dtype=np.float32)
+    t[2, 3] = 4.0
+    scene.add(
+        _phase_asset("tr", (0.0, 0.0, -4.9), "blend", (0.0, 1.0, 0.0, 1.0)),
+        "tr",
+        transform=t,
+    )
+    scene.update(DT)
+    img = np.asarray(scene.render(cam, background=(0, 0, 0, 0)))
+    np.testing.assert_allclose(img[32, 32, :3], [1.0, 0.0, 1.0], atol=1e-5)
