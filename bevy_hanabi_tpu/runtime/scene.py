@@ -765,6 +765,13 @@ class HanabiScene:
                 )
             return inst.renderer
 
+        def ensure_group_renderer(g):
+            if g["renderer"] is None or g["renderer"].config != config:
+                g["renderer"] = EffectRenderer(
+                    g["asset"], config, textures=g["textures"]
+                )
+            return g["renderer"]
+
         # Phase split, mirroring the reference's render phases: opaque and
         # mask effects (and groups) draw FIRST threading a real depth
         # buffer (Opaque3d/AlphaMask3d write depth), then transparent
@@ -814,11 +821,7 @@ class HanabiScene:
                         return_depth=True,
                     )
             for gname, g in opaque_groups:
-                if g["renderer"] is None or g["renderer"].config != config:
-                    g["renderer"] = EffectRenderer(
-                        g["asset"], config, textures=g["textures"]
-                    )
-                fb, depth_acc = g["renderer"].render(
+                fb, depth_acc = ensure_group_renderer(g).render(
                     self._group_flat_pool(g),
                     camera,
                     sim=sim,
@@ -851,7 +854,7 @@ class HanabiScene:
                     from ..utils.diag import warn_once
 
                     warn_once(
-                        "sharded-opaque-group-depth",
+                        "sharded-opaque-group-depth:%s" % gname,
                         "sharded opaque/mask groups composite in draw "
                         "order and do not write scene depth yet; group "
                         "%r is depth-tested but cannot occlude later "
@@ -861,11 +864,7 @@ class HanabiScene:
                     g, camera, config, sim, fb, scene_depth
                 )
                 continue
-            if g["renderer"] is None or g["renderer"].config != config:
-                g["renderer"] = EffectRenderer(
-                    g["asset"], config, textures=g["textures"]
-                )
-            fb = g["renderer"].render(
+            fb = ensure_group_renderer(g).render(
                 self._group_flat_pool(g),
                 camera,
                 sim=sim,

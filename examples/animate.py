@@ -70,9 +70,11 @@ def main() -> None:
     from PIL import Image
 
     imgs = [Image.fromarray(f) for f in frames]
-    # duration matches the 1/60 s sim step (GIF rounds to ~16 ms ticks)
+    # GIF delays are 10 ms ticks and browsers clamp delays < 20 ms to
+    # 100 ms, so 20 ms (50 fps) is the closest honored match to the
+    # 1/60 s sim step
     imgs[0].save(
-        args.out, save_all=True, append_images=imgs[1:], duration=17, loop=0
+        args.out, save_all=True, append_images=imgs[1:], duration=20, loop=0
     )
     print(f"{len(frames)} frames -> {args.out}")
 
