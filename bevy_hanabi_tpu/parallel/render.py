@@ -107,7 +107,8 @@ class ShardedRenderer:
 
     # -- device-local body (runs under shard_map) --------------------------
 
-    def _local(self, pool, camera, sim, properties, scene_depth):
+    def _local(self, pool, camera, sim, properties, scene_depth,
+               return_depth=False):
         texs = list(self.textures)
         draw = jax.vmap(
             lambda p: extract_draw_data(
@@ -116,6 +117,7 @@ class ShardedRenderer:
             )
         )(pool)
         if self.mode == "psum":
+            # psum is additive-only, and additive never writes depth
             flat = _flatten_instances(draw)
             cfg = dataclasses.replace(
                 self.config, background=(0.0, 0.0, 0.0, 0.0)
@@ -138,10 +140,12 @@ class ShardedRenderer:
             draw,
         )
         flat = _flatten_instances(full)
+        # gather mode rasterizes the full particle set identically on every
+        # device, so the depth plane comes out replicated for free
         return rasterize(
             flat, camera, self.config,
             alpha_mode=self._alpha_mode, textures=texs,
-            scene_depth=scene_depth,
+            scene_depth=scene_depth, return_depth=return_depth,
         )
 
     def render(
@@ -151,13 +155,21 @@ class ShardedRenderer:
         sim: SimParams = None,
         properties: Optional[Dict[str, Any]] = None,
         scene_depth=None,
+        return_depth: bool = False,
     ) -> jnp.ndarray:
         """Rasterize the sharded pools to one replicated [H, W, 4] image.
 
         ``scene_depth`` ([H, W], replicated) occludes fragments behind
         external scene geometry on every shard — the depth test is
         per-fragment, so psum partial images stay exact under it.
+        ``return_depth=True`` (opaque/mask assets; those always use gather
+        mode) additionally returns the replicated depth plane.
         """
+        if return_depth and self.mode == "psum":
+            raise ValueError(
+                "return_depth requires gather mode (additive psum effects "
+                "never write depth)"
+            )
         sim = sim if sim is not None else SimParams()
         properties = properties or {}
         vw, vh = camera.viewport
@@ -165,7 +177,8 @@ class ShardedRenderer:
             # raster grid follows the camera viewport (see EffectRenderer)
             self.config = dataclasses.replace(self.config, width=vw, height=vh)
             self._jit_render = {}
-        fn = self._jit_render.get(scene_depth is not None)
+        key = (scene_depth is not None, return_depth)
+        fn = self._jit_render.get(key)
         if fn is None:
             in_specs = (
                 jax.tree_util.tree_map(_pool_pspec, pools),
@@ -173,15 +186,18 @@ class ShardedRenderer:
                     lambda _: P(), (camera, sim, properties, scene_depth)
                 ),
             )
+            out_spec = (P(), P()) if return_depth else P()
             fn = jax.jit(
                 _shard_map(
-                    lambda pool, rest: self._local(pool, *rest),
+                    lambda pool, rest: self._local(
+                        pool, *rest, return_depth=return_depth
+                    ),
                     mesh=self.mesh,
                     in_specs=in_specs,
-                    out_specs=P(),
+                    out_specs=out_spec,
                     check_vma=False,
                 )
             )
-            self._jit_render[scene_depth is not None] = fn
+            self._jit_render[key] = fn
         with self.mesh:
             return fn(pools, (camera, sim, properties, scene_depth))

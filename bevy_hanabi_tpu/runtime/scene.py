@@ -680,6 +680,7 @@ class HanabiScene:
         config=None,
         background: Optional[Tuple[float, float, float, float]] = None,
         scene_depth=None,
+        return_depth: bool = False,
     ) -> jnp.ndarray:
         """Composite all visible effects back-to-front by emitter distance
         (≈ Transparent3d phase sorting) / z_layer_2d for 2D ties.
@@ -694,6 +695,11 @@ class HanabiScene:
         geometry, +inf where empty) occludes particles behind it in every
         pass, sharded groups included — the analogue of the reference
         depth-testing its draws against the game's depth buffer.
+
+        ``return_depth=True`` returns ``(image, depth)`` where ``depth`` is
+        the scene depth merged with everything the opaque/mask phase wrote
+        (+inf where neither exists) — hand it to a game engine to composite
+        the particle layer against other geometry.
         """
         import dataclasses
 
@@ -793,12 +799,10 @@ class HanabiScene:
             (n, g)
             for n, g in group_items
             if g["asset"].alpha_mode.kind in OPAQUE_KINDS
-            and not g.get("sharded")
         ]
         other_groups = [
             (n, g) for n, g in group_items
             if g["asset"].alpha_mode.kind not in OPAQUE_KINDS
-            or g.get("sharded")
         ]
         depth_acc = scene_depth
         if opaque_phase or opaque_groups:
@@ -821,6 +825,14 @@ class HanabiScene:
                         return_depth=True,
                     )
             for gname, g in opaque_groups:
+                if g.get("sharded"):
+                    # opaque/mask sharded renders use gather mode, which
+                    # returns the replicated depth plane for free
+                    fb, depth_acc = self._render_sharded_group(
+                        g, camera, config, sim, fb, depth_acc,
+                        return_depth=True,
+                    )
+                    continue
                 fb, depth_acc = ensure_group_renderer(g).render(
                     self._group_flat_pool(g),
                     camera,
@@ -850,16 +862,6 @@ class HanabiScene:
                 )
         for gname, g in other_groups:
             if g.get("sharded"):
-                if g["asset"].alpha_mode.kind in OPAQUE_KINDS:
-                    from ..utils.diag import warn_once
-
-                    warn_once(
-                        "sharded-opaque-group-depth:%s" % gname,
-                        "sharded opaque/mask groups composite in draw "
-                        "order and do not write scene depth yet; group "
-                        "%r is depth-tested but cannot occlude later "
-                        "passes" % gname,
-                    )
                 fb = self._render_sharded_group(
                     g, camera, config, sim, fb, scene_depth
                 )
@@ -872,10 +874,17 @@ class HanabiScene:
                 framebuffer=fb,
                 scene_depth=scene_depth,
             )
+        if return_depth:
+            if depth_acc is None:
+                depth_acc = jnp.full(
+                    (config.height, config.width), jnp.inf, jnp.float32
+                )
+            return fb, depth_acc
         return fb
 
     def _render_sharded_group(
-        self, g, camera, config, sim, fb, scene_depth=None
+        self, g, camera, config, sim, fb, scene_depth=None,
+        return_depth=False,
     ):
         """Rasterize a sharded group on its mesh, then composite the
         replicated image onto the scene framebuffer with the effect's blend
@@ -896,14 +905,18 @@ class HanabiScene:
                 g["fx"], cfg, textures=g["textures"], mode=g["render_mode"]
             )
             g["renderer"] = r
-        img = r.render(
+        out = r.render(
             g["pools"],
             camera,
             sim=sim,
             properties=g["properties"].as_dict(),
             scene_depth=scene_depth,
+            return_depth=return_depth,
         )
-        return composite_by_mode(img, fb, alpha_kind)
+        if return_depth:
+            img, depth = out
+            return composite_by_mode(img, fb, alpha_kind), depth
+        return composite_by_mode(out, fb, alpha_kind)
 
     def _render_batch(
         self, insts, alpha_kind, camera, config, sim, fb, scene_depth=None,

@@ -389,3 +389,57 @@ def test_instanced_render_chunk_per_instance_properties():
     assert img[32 - 7, 16 - 7, 3] > 0.0  # instance 0: square corner filled
     assert img[32 - 7, 48 - 7, 3] == 0.0  # instance 1: circle cuts corner
     assert img[32, 48, 3] > 0.0  # circle center still filled
+
+
+@needs_devices(8)
+def test_sharded_opaque_group_writes_scene_depth():
+    """A sharded OPAQUE group joins the scene's opaque phase: gather-mode
+    rendering returns the replicated depth plane, and a transparent
+    effect behind its particles is occluded."""
+    from bevy_hanabi_tpu.runtime import HanabiScene
+    from bevy_hanabi_tpu.render import orthographic
+    from bevy_hanabi_tpu.graph import ExprWriter
+    from bevy_hanabi_tpu.asset import EffectAsset
+    from bevy_hanabi_tpu.modifiers import SetAttributeModifier, SetSizeModifier
+    from bevy_hanabi_tpu.spawn import SpawnerSettings
+
+    def flat_asset(name, pos, mode, color):
+        w = ExprWriter()
+        a = (
+            EffectAsset(name, 8, SpawnerSettings.once(1.0), w.finish())
+            .init(SetAttributeModifier(A.POSITION, w.lit(pos).expr()))
+            .init(SetAttributeModifier(A.LIFETIME, w.lit(100.0).expr()))
+            .init(SetAttributeModifier(A.HDR_COLOR, w.lit(color).expr()))
+            .render(SetSizeModifier((0.5, 0.5, 0.5)))
+        )
+        a.with_alpha_mode(getattr(AlphaMode, mode.upper()))
+        return a
+
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    mesh = make_mesh(jax.devices()[:8], dp=4, sp=2)
+    scene = HanabiScene()
+    scene.add_sharded_group(
+        flat_asset("sg", (0.0, 0.0, 0.0), "opaque", (1.0, 0.0, 1.0, 1.0)),
+        count=8,
+        mesh=mesh,
+        name="sg",
+    )
+    t = np.eye(3, 4, dtype=np.float32)
+    t[2, 3] = 4.0  # nearest emitter: drawn last without phases
+    scene.add(
+        flat_asset("tr", (0.0, 0.0, -4.9), "blend", (0.0, 1.0, 0.0, 1.0)),
+        "tr",
+        transform=t,
+    )
+    scene.update(DT)
+    img, depth = scene.render(cam, background=(0, 0, 0, 0), return_depth=True)
+    img, depth = np.asarray(img), np.asarray(depth)
+    # opaque group's magenta wins over the green transparent behind it
+    np.testing.assert_allclose(img[32, 32, :3], [1.0, 0.0, 1.0], atol=1e-5)
+    # scene depth carries the group's particle distance (camera z=5 - z=0)
+    np.testing.assert_allclose(depth[32, 32], 5.0, atol=1e-5)
+    assert np.isinf(depth[2, 2])  # untouched pixels stay +inf
