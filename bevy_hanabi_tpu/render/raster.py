@@ -504,6 +504,13 @@ def rasterize(
             else:
                 tu, tv = u01, v01
             for slot, mapping in draw.texture_layers:
+                if slot >= len(textures):
+                    raise ValueError(
+                        f"texture slot {slot} is referenced by a "
+                        f"ParticleTextureModifier but only {len(textures)} "
+                        "texture(s) were provided — pass textures=[...] "
+                        "when creating the renderer / adding the effect"
+                    )
                 tex = textures[slot]
                 texel = sample_texture(tex, tu, tv)
                 mode = getattr(mapping, "value", mapping)
@@ -514,8 +521,13 @@ def rasterize(
                 else:  # modulate_opacity_from_r
                     src = src.at[..., 3].multiply(texel[..., 0])
 
-        a = (src[..., 3] * coverage)[..., None]
-        rgb_s = src[..., :3]
+        # Zero-coverage lanes must contribute EXACTLY zero even when src or
+        # the quad math is non-finite (NaN·0 = NaN would poison every pixel
+        # of the tile; hardware ROP blending only touches covered
+        # fragments, vfx_render.wgsl's FS never runs on uncovered pixels).
+        covered = coverage[..., None] > 0.0
+        a = jnp.where(covered, (src[..., 3] * coverage)[..., None], 0.0)
+        rgb_s = jnp.where(covered, src[..., :3], 0.0)
         rgb_d = fb[..., :3]
         a_d = fb[..., 3:4]
 

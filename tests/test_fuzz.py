@@ -325,3 +325,37 @@ def test_random_render_stacks_rasterize_cleanly(seed):
     assert np.isfinite(img).all(), f"non-finite pixels (seed {seed})"
     alive = int(np.asarray(pool.alive).sum())
     assert alive > 0  # fuzz scenes must actually draw something
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_scene_phase_mix_renders_cleanly(seed):
+    """Scenes mixing random alpha modes (opaque/mask phase + transparents,
+    plus an instanced group) must render finite images with the phase
+    pipeline."""
+    from bevy_hanabi_tpu.runtime import HanabiScene
+
+    rng = np.random.default_rng(seed + 500)
+    scene = HanabiScene(seed=seed)
+    n_effects = int(rng.integers(2, 5))
+    for i in range(n_effects):
+        asset, textures = random_render_asset(rng)
+        t = np.eye(3, 4, dtype=np.float32)
+        t[:3, 3] = rng.uniform(-1, 1, 3)
+        scene.add(asset, f"fx{i}", transform=t, textures=textures)
+    if rng.integers(2):
+        gasset, gtex = random_render_asset(rng)
+        if gasset.mesh is None:  # groups render flat-pool billboards
+            scene.add_group(gasset, 2, "grp", textures=gtex)
+    for _ in range(10):
+        scene.update(DT)
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 4.0), (0.0, 0.0, 0.0)),
+        proj=perspective(1.0, 1.0, 0.1, 100.0),
+        viewport=(96, 96),
+    )
+    out = scene.render(cam, background=(0, 0, 0, 0), return_depth=True)
+    img, depth = np.asarray(out[0]), np.asarray(out[1])
+    assert np.isfinite(img).all(), f"non-finite pixels (seed {seed})"
+    assert img.shape == (96, 96, 4) and depth.shape == (96, 96)
+    # depth is +inf where no opaque fragment (or everywhere if none)
+    assert (depth > 0).all()

@@ -89,3 +89,52 @@ def test_render_device_readback(tpu):
         img = np.asarray(EffectRenderer(asset, cfg).render(pool, cam, SimParams()))
     assert img.shape == (128, 128, 4)
     assert (img[..., 3] > 0).sum() > 100  # particles visible
+
+
+def test_additive_fast_sort_matches_ordered_on_device(tpu):
+    """The packed single-key fast sort (order_independent_fast) must match
+    the ordered path ON THE TPU — guards the uint32 shift/mask lowering."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from bevy_hanabi_tpu.render import (
+        CameraParams,
+        ParticleDrawData,
+        RasterConfig,
+        look_at,
+        orthographic,
+        rasterize,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 4096
+    with jax.default_device(tpu):
+        draw = ParticleDrawData(
+            position=jnp.asarray(rng.uniform(-0.9, 0.9, (n, 3)), jnp.float32),
+            axis_x=jnp.broadcast_to(jnp.asarray([0.05, 0.0, 0.0]), (n, 3)),
+            axis_y=jnp.broadcast_to(jnp.asarray([0.0, 0.05, 0.0]), (n, 3)),
+            color=jnp.asarray(rng.uniform(0.05, 0.4, (n, 4)), jnp.float32),
+            alive=jnp.ones(n, bool),
+            roundness=None,
+            sprite_index=jnp.zeros(n, jnp.int32),
+            texture_layers=(),
+            sprite_grid_size=(1, 1),
+            needs_uv=False,
+        )
+        cam = CameraParams(
+            look_at((0, 0, 5), (0, 0, 0)), orthographic(-1, 1, -1, 1, 0.1, 10), (128, 128)
+        )
+        cfg = RasterConfig(
+            width=128, height=128, tile_slots=2, max_entries_per_tile=256
+        )
+        fast = np.asarray(rasterize(draw, cam, cfg, "add"))
+        slow = np.asarray(
+            rasterize(
+                draw, cam,
+                dataclasses.replace(cfg, order_independent_fast=False),
+                "add",
+            )
+        )
+    np.testing.assert_allclose(fast, slow, atol=1e-5)
+    assert fast[..., 3].sum() > 0
