@@ -327,7 +327,7 @@ def test_random_render_stacks_rasterize_cleanly(seed):
     assert alive > 0  # fuzz scenes must actually draw something
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", range(6))
 def test_random_scene_phase_mix_renders_cleanly(seed):
     """Scenes mixing random alpha modes (opaque/mask phase + transparents,
     plus an instanced group) must render finite images with the phase

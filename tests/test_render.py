@@ -678,3 +678,32 @@ def test_bloom_and_tonemaps():
         assert np.isfinite(mapped).all()
         # monotone: hot pixel stays the brightest
         assert mapped[16, 16, 0] == mapped[..., 0].max()
+
+
+def test_nonfinite_draw_data_cannot_poison_tiles():
+    """A particle with degenerate (inf/NaN) axes or color must not NaN the
+    pixels it does NOT cover: hardware ROP never touches uncovered
+    fragments, so the masked blend must contain NaN*0."""
+    bad_axis = ParticleDrawData(
+        position=jnp.asarray([[0.0, 0.0, 0.0], [0.5, 0.5, 0.0]], jnp.float32),
+        axis_x=jnp.asarray([[np.inf, 0.0, 0.0], [0.25, 0.0, 0.0]], jnp.float32),
+        axis_y=jnp.asarray([[0.0, np.nan, 0.0], [0.0, 0.25, 0.0]], jnp.float32),
+        color=jnp.asarray(
+            [[1.0, 0.0, 0.0, 1.0], [0.0, 1.0, 0.0, 1.0]], jnp.float32
+        ),
+        alive=jnp.ones(2, bool),
+        roundness=None,
+        sprite_index=jnp.zeros(2, jnp.int32),
+        texture_layers=(),
+        sprite_grid_size=(1, 1),
+        needs_uv=False,
+    )
+    for mode in ("blend", "add", "premultiply", "multiply", "opaque"):
+        img = np.asarray(rasterize(bad_axis, ortho_camera(), CFG, mode))
+        # the healthy green quad still renders (multiply over a black
+        # background legitimately stays black — only check finiteness there)
+        if mode != "multiply":
+            assert (np.nan_to_num(img[..., 1]) > 0).any(), mode
+        # ...and no pixel outside any coverage is NaN; the degenerate
+        # entry contributes nothing rather than poisoning its tiles
+        assert np.isfinite(img[..., 1]).all(), mode
