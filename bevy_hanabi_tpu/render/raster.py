@@ -436,8 +436,9 @@ def rasterize(
         dy = py - t_cy[m][:, None, None]
         a1x, a1y = t_h1x[m], t_h1y[m]
         a2x, a2y = t_h2x[m], t_h2y[m]
-        det = a1x * a2y - a1y * a2x
-        det = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)[:, None, None]
+        det_f = a1x * a2y - a1y * a2x
+        det_f = jnp.where(jnp.abs(det_f) < 1e-9, 1e-9, det_f)
+        det = det_f[:, None, None]
         u = (a2y[:, None, None] * dx - a2x[:, None, None] * dy) / det
         v = (-a1y[:, None, None] * dx + a1x[:, None, None] * dy) / det
         inside = (jnp.abs(u) <= 1.0) & (jnp.abs(v) <= 1.0)
@@ -458,10 +459,26 @@ def rasterize(
             cov_v = jnp.clip((1.0 - jnp.abs(v)) * ev + 0.5, 0.0, 1.0)
             coverage = cov_u * cov_v * has[:, None, None]
             if t_tri is not None:
-                # triangles keep a binary edge (no analytic ramp yet)
-                coverage = jnp.where(
-                    is_tri, inside.astype(jnp.float32), coverage
-                )
+                # Analytic triangle edge ramp: signed pixel distance to each
+                # of the three half-planes (u>=-0.5, v>=-0.5, u+v<=0). The
+                # uv-space gradients have pixel magnitudes |grad u| =
+                # |a2|/|det|, |grad v| = |a1|/|det|, |grad(u+v)| =
+                # |a2-a1|/|det|, so dividing the uv-space slack by them
+                # converts to pixels — the same one-pixel ramp quads get.
+                absdet = jnp.abs(det_f)[:, None, None]
+                e12x = a2x - a1x
+                e12y = a2y - a1y
+                e12 = jnp.sqrt(e12x * e12x + e12y * e12y)[:, None, None]
+                eps = 1e-9
+                d1 = (u + 0.5) * absdet / jnp.maximum(ev, eps)
+                d2 = (v + 0.5) * absdet / jnp.maximum(eu, eps)
+                d3 = -(u + v) * absdet / jnp.maximum(e12, eps)
+                cov_tri = (
+                    jnp.clip(d1 + 0.5, 0.0, 1.0)
+                    * jnp.clip(d2 + 0.5, 0.0, 1.0)
+                    * jnp.clip(d3 + 0.5, 0.0, 1.0)
+                ) * has[:, None, None]
+                coverage = jnp.where(is_tri, cov_tri, coverage)
             inside = coverage > 0.0
         else:
             coverage = inside.astype(jnp.float32)
@@ -535,7 +552,10 @@ def rasterize(
             rgb = rgb_s * a + rgb_d * (1.0 - a)
             alpha = a + a_d * (1.0 - a)
         elif alpha_mode == "premultiply":
-            rgb = jnp.where(inside[..., None], rgb_s, 0.0) + rgb_d * (1.0 - a)
+            # src RGB is premultiplied, so fractional coverage scales it the
+            # same way it scales alpha — otherwise antialiased edges add
+            # full-strength color at partial alpha
+            rgb = rgb_s * coverage[..., None] + rgb_d * (1.0 - a)
             alpha = a + a_d * (1.0 - a)
         elif alpha_mode == "add":
             rgb = rgb_s * a + rgb_d

@@ -214,6 +214,7 @@ class HanabiScene:
             "visible": True,
             "textures": tuple(textures),
             "renderer": None,
+            "compiled_signature": asset.signature(),
         }
         self._new_effect_added = True
         return name
@@ -276,6 +277,7 @@ class HanabiScene:
             "renderer": None,
             "sharded": True,
             "render_mode": render_mode,
+            "compiled_signature": asset.signature(),
         }
         self._new_effect_added = True
         return name
@@ -449,16 +451,24 @@ class HanabiScene:
         """
         from ..utils.diag import warn_once
 
-        if self._frame % 30 == 0 and self._effects:
-            # round-robin: ONE effect per check — signature() re-serializes
-            # the whole asset (json.dumps over the module tree), so checking
-            # every effect each time would put ~1 ms of host work per effect
-            # on the exact hot path this module instruments
-            names = list(self._effects)
-            name = names[(self._frame // 30) % len(names)]
-            inst = self._effects[name]
-            if inst.compiled_signature is not None:
-                if inst.asset.signature() != inst.compiled_signature:
+        if self._frame % 30 == 0 and (self._effects or self._groups):
+            # Rotating batch: a quarter of all entities (effects AND groups)
+            # per 30-frame tick, so every live asset is checked within 120
+            # frames (~2 s at 60 fps) no matter how many there are.
+            # signature() re-serializes the whole asset (~1 ms of host JSON
+            # work), so the batch — not the full set — bounds per-frame cost.
+            entities = [
+                (n, self._effects[n].asset, self._effects[n].compiled_signature)
+                for n in self._effects
+            ] + [
+                (n, g["asset"], g.get("compiled_signature"))
+                for n, g in self._groups.items()
+            ]
+            batch = -(-len(entities) // 4)
+            tick = self._frame // 30
+            for k in range(batch):
+                name, asset, sig = entities[(tick * batch + k) % len(entities)]
+                if sig is not None and asset.signature() != sig:
                     warn_once(
                         f"asset-drift:{name}",
                         f"effect {name!r}: EffectAsset was modified after "

@@ -119,6 +119,48 @@ def test_triangle_exact_coverage():
     assert not cov[20, 40] and not cov[10, 10]  # outside hypotenuse / bbox
 
 
+def test_triangle_antialias_matches_quad_quality():
+    """Triangle edges get the same analytic one-pixel coverage ramp quads
+    do: fractional edge pixels, solid interior, and a sub-pixel triangle
+    integrates to (approximately) its true area instead of popping."""
+    from dataclasses import replace
+
+    cfg_aa = replace(CFG, antialias=True)
+    mesh = ParticleMesh.from_triangles(
+        [[-0.5, -0.5, 0.0], [0.5, -0.5, 0.0], [-0.5, 0.5, 0.0]],
+        [[0, 1, 2]],
+    )
+    asset = one_particle_asset(mesh, size=1.0)
+    fx = CompiledEffect(asset)
+    pool = fx.create_pool()
+    pool, _ = fx.step(pool, StepInputs.make(1, 0), SimParams(delta_time=1 / 60))
+    img = np.asarray(
+        EffectRenderer(asset, cfg_aa).render(pool, cam(), SimParams())
+    )
+    a = img[..., 3]
+    # interior fully solid, exterior fully empty
+    assert a[40, 20] > 0.999 and a[10, 10] < 1e-4
+    # the hypotenuse crosses row 32 around x=32: fractional pixels exist
+    frac = a[(a > 0.02) & (a < 0.98)]
+    assert frac.size >= 10, frac.size
+    # sub-pixel triangle: total energy is fractional, not a popped pixel
+    tiny = ParticleMesh.from_triangles(
+        [[-0.01, -0.01, 0.0], [0.01, -0.01, 0.0], [-0.01, 0.01, 0.0]],
+        [[0, 1, 2]],
+    )
+    asset_t = one_particle_asset(tiny, size=1.0)
+    fx = CompiledEffect(asset_t)
+    pool = fx.create_pool()
+    pool, _ = fx.step(pool, StepInputs.make(1, 0), SimParams(delta_time=1 / 60))
+    img_t = np.asarray(
+        EffectRenderer(asset_t, cfg_aa).render(pool, cam(), SimParams())
+    )
+    total = img_t[..., 3].sum()
+    # true area = 0.5 * (0.02*32)^2 = 0.2 px^2
+    assert 0.02 < total < 0.8, total
+    assert img_t[..., 3].max() < 1.0
+
+
 def test_triangle_mesh_union_with_quads():
     # a quad + a triangle render together; union coverage > quad alone
     quad = ParticleMesh.quad()

@@ -334,6 +334,30 @@ def test_antialias_preserves_interior():
     assert img[32, 32 - 9, 0] < 0.05  # outside still empty
 
 
+def test_premultiply_antialias_edge_scales_rgb_with_coverage():
+    """Antialiased premultiplied edges must scale RGB by coverage exactly
+    like alpha — an edge pixel of a premultiplied [1,0,0,1] splat over a
+    black background must have rgb == alpha (no full-strength color at
+    partial alpha), and the ramp must be monotone toward the interior."""
+    from dataclasses import replace
+
+    # offset so the quad edge lands mid-pixel (fractional coverage exists)
+    draw = quad_draw([[0.013, 0.0, 0.0]], [[1.0, 0.0, 0.0, 1.0]], size=0.5)
+    cfg_aa = replace(CFG, antialias=True)
+    img = np.asarray(rasterize(draw, ortho_camera(), cfg_aa, "premultiply"))
+    # every pixel: rgb == alpha (coverage-scaled premultiplied red over
+    # transparent black)
+    np.testing.assert_allclose(img[..., 0], img[..., 3], atol=1e-5)
+    # the edge column (quad spans px 24..40 in x at row 32) has a
+    # fractional pixel strictly between 0 and 1
+    edge = img[32, :, 0]
+    frac = edge[(edge > 1e-4) & (edge < 1.0 - 1e-4)]
+    assert frac.size > 0
+    # monotone from outside to the interior on the left edge
+    left = img[32, 20:33, 0]
+    assert np.all(np.diff(left) >= -1e-6)
+
+
 def test_per_particle_mask_cutoff():
     """The mask cutoff expr is evaluated PER PARTICLE (vfx_render.wgsl:319-325):
     a cutoff keyed on F32_0 must discard one particle and keep another with

@@ -886,6 +886,31 @@ def test_scene_stats_and_diagnostics(caplog):
     reset_warn_once()
 
 
+def test_group_asset_drift_warns_within_120_frames(caplog):
+    """Drift detection covers instanced groups too, and every entity is
+    checked within 120 frames (~2 s at 60 fps) regardless of scene size."""
+    import logging
+
+    from bevy_hanabi_tpu.models import instancing_effect
+    from bevy_hanabi_tpu.utils.diag import reset_warn_once
+
+    reset_warn_once()
+    scene = HanabiScene(seed=4)
+    # several effects so the rotating batch actually has to cover a set
+    for i in range(3):
+        scene.add(instancing_effect(capacity=64), f"fx{i}")
+    gname = scene.add_group(instancing_effect(capacity=64), 4, "grp")
+    with caplog.at_level(logging.WARNING, logger="bevy_hanabi_tpu"):
+        scene._groups[gname]["asset"].capacity = 999  # drift!
+        for _ in range(120):
+            scene.update(1 / 60)
+    assert any(
+        "modified after" in r.message and "grp" in r.message
+        for r in caplog.records
+    )
+    reset_warn_once()
+
+
 def _phase_asset(name, pos, mode, color):
     from bevy_hanabi_tpu.asset import AlphaMode
 
