@@ -321,6 +321,13 @@ class RenderContext(EvalContext):
         self.roundness: Optional[jnp.ndarray] = None
         self.screen_space_size: bool = False
         self.texture_layers: list = []  # [(slot, ImageSampleMapping)]
+        # Mesh-normal lighting handshake: extraction sets mesh_has_normals
+        # when the asset's mesh carries per-vertex normals; a lighting
+        # render modifier may then DEFER its shading to the rasterizer by
+        # setting mesh_lighting = ((lx,ly,lz), band) instead of multiplying
+        # the per-particle color (normals vary per fragment on a mesh).
+        self.mesh_has_normals: bool = False
+        self.mesh_lighting: Optional[tuple] = None
 
     @property
     def num_particles(self) -> int:

@@ -463,6 +463,12 @@ class LambertianLightingModifier(Modifier):
     ATTRIBUTES = ()
 
     def apply_render(self, module, ctx) -> None:
+        if getattr(ctx, "mesh_has_normals", False):
+            # the asset's mesh carries per-vertex normals: defer to the
+            # rasterizer's per-fragment Lambert (normals vary across a mesh
+            # particle; the billboard axis_z shade would flatten it)
+            ctx.mesh_lighting = (tuple(self.light_dir), float(self.band))
+            return
         ld = jnp.asarray(self.light_dir, jnp.float32)
         normal = ctx.axis_z  # billboard faces the camera
         ndotl = jnp.clip(jnp.sum(normal * ld, axis=-1), self.band, 1.0)

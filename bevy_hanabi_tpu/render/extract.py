@@ -56,6 +56,15 @@ class ParticleDrawData:
     # A->B / A->C edges x2 and position is vertex A; inside test is
     # barycentric). None = all quads. Set by mesh expansion (mesh.py).
     tri: Any = None
+    # Per-entry vertex-attribute triplets, interpolated barycentrically per
+    # fragment (the reference's mesh vertex buffers — UVs feed texture
+    # sampling, vfx_render.wgsl:286-288). Set by mesh expansion.
+    uv_abc: Any = None  # [N,6] (ua,va, ub,vb, uc,vc)
+    nrm_abc: Any = None  # [N,9] world-space unit normals at A,B,C
+    vcol_abc: Any = None  # [N,12] RGBA vertex colors at A,B,C
+    # ((lx,ly,lz), band) Lambert params when a lighting render modifier
+    # deferred shading to the rasterizer (per-fragment mesh normals)
+    lighting: Any = None
 
 
 jax.tree_util.register_dataclass(
@@ -73,8 +82,11 @@ jax.tree_util.register_dataclass(
         "alpha_cutoff",
         "counter",
         "tri",
+        "uv_abc",
+        "nrm_abc",
+        "vcol_abc",
     ],
-    meta_fields=["sprite_grid_size", "texture_layers", "needs_uv"],
+    meta_fields=["sprite_grid_size", "texture_layers", "needs_uv", "lighting"],
 )
 
 
@@ -176,6 +188,11 @@ def extract_draw_data(
         ctx.alpha_cutoff = alpha_cutoff
 
     # ---- render modifiers (in effect space for LOCAL sims) ----
+    ctx.mesh_has_normals = (
+        asset.mesh is not None
+        and getattr(asset.mesh, "normals", None) is not None
+        and asset.mesh.num_triangles > 0
+    )
     for m in asset.render_modifiers:
         m.apply_render(asset.module, ctx)
 
@@ -225,4 +242,5 @@ def extract_draw_data(
         age=particle.get("age"),
         alpha_cutoff=alpha_cutoff,
         counter=particle.get("particle_counter"),
+        lighting=ctx.mesh_lighting,
     )

@@ -28,7 +28,8 @@ class ParticleMesh:
     """A union of oriented quads and indexed triangles instanced per particle."""
 
     def __init__(self, offsets=None, axes_x=None, axes_y=None,
-                 vertices=None, indices=None):
+                 vertices=None, indices=None, uvs=None, normals=None,
+                 colors=None):
         self.offsets = np.asarray(
             offsets if offsets is not None else np.zeros((0, 3)), np.float32
         ).reshape(-1, 3)
@@ -50,6 +51,31 @@ class ParticleMesh:
             raise ValueError("triangle index out of range")
         if self.num_quads + self.num_triangles == 0:
             raise ValueError("mesh needs at least one quad or triangle")
+        # Optional per-vertex attributes (the reference binds full Bevy mesh
+        # vertex buffers — ATTRIBUTE_UV_0 / _NORMAL / _COLOR — to its draw,
+        # render/mod.rs:6622-6758; vfx_render.wgsl:286-288 expands real mesh
+        # vertices). Indexed by the same `indices`, interpolated
+        # barycentrically per fragment by the rasterizer.
+        self.uvs = (
+            None if uvs is None else np.asarray(uvs, np.float32).reshape(-1, 2)
+        )
+        self.normals = (
+            None
+            if normals is None
+            else np.asarray(normals, np.float32).reshape(-1, 3)
+        )
+        self.colors = (
+            None
+            if colors is None
+            else np.asarray(colors, np.float32).reshape(-1, 4)
+        )
+        for name in ("uvs", "normals", "colors"):
+            arr = getattr(self, name)
+            if arr is not None and len(arr) != len(self.vertices):
+                raise ValueError(
+                    f"per-vertex {name} must match vertex count "
+                    f"({len(arr)} vs {len(self.vertices)})"
+                )
 
     @property
     def num_quads(self) -> int:
@@ -94,9 +120,14 @@ class ParticleMesh:
         return ParticleMesh(offsets, ax, ay)
 
     @staticmethod
-    def from_triangles(vertices, indices) -> "ParticleMesh":
-        """An arbitrary indexed triangle mesh (the general EffectMesh case)."""
-        return ParticleMesh(vertices=vertices, indices=indices)
+    def from_triangles(vertices, indices, uvs=None, normals=None,
+                       colors=None) -> "ParticleMesh":
+        """An arbitrary indexed triangle mesh (the general EffectMesh case),
+        optionally with per-vertex UVs, normals, and colors."""
+        return ParticleMesh(
+            vertices=vertices, indices=indices, uvs=uvs, normals=normals,
+            colors=colors,
+        )
 
     @staticmethod
     def icosphere(radius: float = 0.5, subdivisions: int = 1) -> "ParticleMesh":
@@ -136,8 +167,19 @@ class ParticleMesh:
                 ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
                 nxt += [(a, ab, ca), (b, bc, ab), (c, ca, bc), (ab, bc, ca)]
             faces = nxt
+        unit = np.asarray(verts, np.float32)
+        # exact per-vertex attributes for a sphere: normal = unit position,
+        # UV = equirectangular mapping (seam triangles wrap — fine for
+        # particles; authors needing a seamless atlas pass their own uvs)
+        uvs = np.stack(
+            [
+                0.5 + np.arctan2(unit[:, 2], unit[:, 0]) / (2.0 * np.pi),
+                0.5 - np.arcsin(np.clip(unit[:, 1], -1.0, 1.0)) / np.pi,
+            ],
+            axis=1,
+        )
         return ParticleMesh.from_triangles(
-            np.asarray(verts, np.float32) * radius, faces
+            unit * radius, faces, uvs=uvs, normals=unit
         )
 
     @staticmethod
@@ -161,6 +203,10 @@ class ParticleMesh:
         if self.num_triangles:
             data["vertices"] = self.vertices.tolist()
             data["indices"] = self.indices.tolist()
+            for name in ("uvs", "normals", "colors"):
+                arr = getattr(self, name)
+                if arr is not None:
+                    data[name] = arr.tolist()
         return data
 
     @staticmethod
@@ -171,6 +217,9 @@ class ParticleMesh:
             data.get("axes_y"),
             vertices=data.get("vertices"),
             indices=data.get("indices"),
+            uvs=data.get("uvs"),
+            normals=data.get("normals"),
+            colors=data.get("colors"),
         )
 
 
@@ -205,6 +254,7 @@ def expand_mesh_draw(draw: ParticleDrawData, mesh: ParticleMesh) -> ParticleDraw
 
     q = mesh.num_quads
     t = mesh.num_triangles
+    n = draw.position.shape[0]
     pos, axx, axy = [], [], []
     for i in range(q):
         pos.append(draw.position + map_vec(mesh.offsets[i]))
@@ -219,8 +269,66 @@ def expand_mesh_draw(draw: ParticleDrawData, mesh: ParticleMesh) -> ParticleDraw
         axx.append(2.0 * map_vec(b - a))
         axy.append(2.0 * map_vec(c - a))
 
+    # ---- per-vertex attributes -> per-entry (A, B, C) triplets ----
+    # Vertex UVs/colors are mesh constants: broadcast [6]/[12] per element
+    # over the N particles. Normals vary per particle (the frame rotates):
+    # mapped through the NORMALIZED particle axes (rotation only — under
+    # non-uniform size scaling this is the small-angle approximation of the
+    # inverse-transpose) and interpolated per fragment in the rasterizer.
+    # Quad entries get constant triplets (uv corners / face normal / white)
+    # so one interpolation formula serves the whole union.
+    uv_abc = nrm_abc = vcol_abc = None
+    want_uv = mesh.uvs is not None and t > 0
+    want_nrm = (
+        mesh.normals is not None and t > 0 and draw.lighting is not None
+    )
+    want_vcol = mesh.colors is not None and t > 0
+    if want_nrm:
+        axl = jnp.sqrt(jnp.sum(ax * ax, axis=-1, keepdims=True))
+        ayl = jnp.sqrt(jnp.sum(ay * ay, axis=-1, keepdims=True))
+        axn = ax / jnp.maximum(axl, 1e-9)
+        ayn = ay / jnp.maximum(ayl, 1e-9)
+
+        def map_nrm(m):  # unit mesh-space normal -> world unit-ish normal
+            v = m[0] * axn + m[1] * ayn + m[2] * azn
+            return v / jnp.maximum(
+                jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True)), 1e-9
+            )
+
+    if want_uv:
+        parts = []
+        quad_uv = np.array([0.0, 0.0, 1.0, 0.0, 0.0, 1.0], np.float32)
+        for _ in range(q):
+            parts.append(jnp.broadcast_to(quad_uv, (n, 6)))
+        for i in range(t):
+            ua, ub, uc = mesh.uvs[mesh.indices[i]]
+            tri_uv = np.concatenate([ua, ub, uc]).astype(np.float32)
+            parts.append(jnp.broadcast_to(tri_uv, (n, 6)))
+        uv_abc = jnp.concatenate(parts, axis=0)
+    if want_nrm:
+        parts = []
+        for _ in range(q):
+            parts.append(jnp.concatenate([azn, azn, azn], axis=-1))
+        for i in range(t):
+            na, nb, nc = mesh.normals[mesh.indices[i]]
+            parts.append(
+                jnp.concatenate(
+                    [map_nrm(na), map_nrm(nb), map_nrm(nc)], axis=-1
+                )
+            )
+        nrm_abc = jnp.concatenate(parts, axis=0)
+    if want_vcol:
+        parts = []
+        white = np.ones((12,), np.float32)
+        for _ in range(q):
+            parts.append(jnp.broadcast_to(white, (n, 12)))
+        for i in range(t):
+            ca, cb, cc = mesh.colors[mesh.indices[i]]
+            tri_c = np.concatenate([ca, cb, cc]).astype(np.float32)
+            parts.append(jnp.broadcast_to(tri_c, (n, 12)))
+        vcol_abc = jnp.concatenate(parts, axis=0)
+
     k = q + t
-    n = draw.position.shape[0]
     tri_flag = jnp.concatenate(
         [jnp.zeros((n * q,), jnp.float32), jnp.ones((n * t,), jnp.float32)]
     ) if t else None
@@ -246,4 +354,8 @@ def expand_mesh_draw(draw: ParticleDrawData, mesh: ParticleMesh) -> ParticleDraw
         ),
         counter=rep(draw.counter) if draw.counter is not None else None,
         tri=tri_flag,
+        uv_abc=uv_abc,
+        nrm_abc=nrm_abc,
+        vcol_abc=vcol_abc,
+        lighting=draw.lighting if want_nrm else None,
     )

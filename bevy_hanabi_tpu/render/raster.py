@@ -382,6 +382,19 @@ def rasterize(
     if need_cutoff and draw.alpha_cutoff is not None:
         i_cutoff = len(cols)
         cols.append(draw.alpha_cutoff)
+    # mesh vertex-attribute triplets (interpolated barycentrically below)
+    has_mesh_uv = draw.uv_abc is not None and bool(draw.texture_layers)
+    if has_mesh_uv:
+        i_uv = len(cols)
+        cols.extend(draw.uv_abc[:, j] for j in range(6))
+    has_lighting = draw.nrm_abc is not None and draw.lighting is not None
+    if has_lighting:
+        i_nrm = len(cols)
+        cols.extend(draw.nrm_abc[:, j] for j in range(9))
+    has_vcol = draw.vcol_abc is not None
+    if has_vcol:
+        i_vcol = len(cols)
+        cols.extend(draw.vcol_abc[:, j] for j in range(12))
     if need_depth:
         i_depth = len(cols)
         cols.append(depth)
@@ -405,6 +418,9 @@ def rasterize(
         t_cutoff = jnp.broadcast_to(
             jnp.asarray(alpha_cutoff, jnp.float32), t_p.shape
         )
+    t_uv = rows[..., i_uv : i_uv + 6] if has_mesh_uv else None
+    t_nrm = rows[..., i_nrm : i_nrm + 9] if has_lighting else None
+    t_vcol = rows[..., i_vcol : i_vcol + 12] if has_vcol else None
     t_fragd = rows[..., i_depth] if need_depth else None
 
     def sample_texture(tex, u, v):
@@ -509,8 +525,44 @@ def rasterize(
             inside &= sq_ok
             coverage = coverage * sq_ok.astype(jnp.float32)
 
+        # Barycentric coordinates for triangle entries: (s, t) = (u,v)+0.5
+        # (mesh.py anchors at (B+C)/2). Attribute at (s,t) interpolates as
+        # A + s*(B-A) + t*(C-A); quad entries carry constant triplets, so
+        # the same formula degenerates to A and needs no branch.
+        def bary_interp(trip, j0, nc):
+            """Interpolate triplet columns [j0:j0+3*nc] -> [nt,T,T,nc]."""
+            s = u + 0.5
+            tt = v + 0.5
+            out = []
+            for c in range(nc):
+                va_ = trip[:, j0 + c][:, None, None]
+                vb_ = trip[:, j0 + nc + c][:, None, None]
+                vc_ = trip[:, j0 + 2 * nc + c][:, None, None]
+                out.append(va_ + s * (vb_ - va_) + tt * (vc_ - va_))
+            return jnp.stack(out, axis=-1)
+
         src = jnp.broadcast_to(col[:, None, None, :], (nt, T, T, 4))
+        if t_vcol is not None:
+            # per-vertex colors modulate the particle color (the reference
+            # multiplies mesh ATTRIBUTE_COLOR into the fragment color)
+            src = src * bary_interp(t_vcol[m], 0, 4)
+        if t_nrm is not None:
+            (lx, ly, lz), band = draw.lighting
+            nvec = bary_interp(t_nrm[m], 0, 3)
+            nn = nvec / jnp.maximum(
+                jnp.sqrt(jnp.sum(nvec * nvec, axis=-1, keepdims=True)), 1e-9
+            )
+            ndotl = nn[..., 0] * lx + nn[..., 1] * ly + nn[..., 2] * lz
+            shade = jnp.clip(ndotl, band, 1.0)
+            src = src.at[..., :3].multiply(shade[..., None])
         if draw.texture_layers:
+            if t_uv is not None:
+                # mesh vertex UVs replace the quad parameterization for
+                # triangle entries (vfx_render.wgsl:286-288: real mesh UVs
+                # feed texture sampling)
+                muv = bary_interp(t_uv[m], 0, 2)
+                u01 = jnp.where(is_tri, muv[..., 0], u01)
+                v01 = jnp.where(is_tri, muv[..., 1], v01)
             # flipbook cell mapping (FlipbookModifier)
             if (grid_cols, grid_rows) != (1, 1):
                 sprite = t_sprite[m].astype(jnp.float32)

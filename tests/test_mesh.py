@@ -161,6 +161,177 @@ def test_triangle_antialias_matches_quad_quality():
     assert img_t[..., 3].max() < 1.0
 
 
+def _cpu_oracle_mesh_render(mesh, size, tex, W=64, H=64):
+    """NumPy reference rasterizer for opaque textured triangle-mesh
+    particles: per-pixel barycentric coverage over projected screen
+    triangles, nearest ANCHOR depth wins (the tile rasterizer assigns each
+    entry its (B+C)/2 anchor depth), bilinear-wrap texture sampling at the
+    barycentrically interpolated vertex UVs."""
+    # ortho [-1,1]^2 viewed from (0,0,5): world -> screen px, view dist
+    verts = mesh.vertices * size
+    idx = mesh.indices
+    uvs = mesh.uvs
+    sx = (verts[:, 0] + 1.0) * (W / 2)
+    sy = (1.0 - verts[:, 1]) * (H / 2)
+    vd = 5.0 - verts[:, 2]
+
+    ys, xs = np.mgrid[0:H, 0:W]
+    px = xs + 0.5
+    py = ys + 0.5
+
+    def sample(u, v):
+        th, tw = tex.shape[:2]
+        uu = u * tw - 0.5
+        vv = v * th - 0.5
+        u0 = np.floor(uu)
+        v0 = np.floor(vv)
+        fu = (uu - u0)[..., None]
+        fv = (vv - v0)[..., None]
+        u0i = np.mod(u0.astype(np.int64), tw)
+        v0i = np.mod(v0.astype(np.int64), th)
+        u1i = np.mod(u0i + 1, tw)
+        v1i = np.mod(v0i + 1, th)
+        t00 = tex[v0i, u0i]
+        t01 = tex[v0i, u1i]
+        t10 = tex[v1i, u0i]
+        t11 = tex[v1i, u1i]
+        top = t00 + (t01 - t00) * fu
+        bot = t10 + (t11 - t10) * fu
+        return top + (bot - top) * fv
+
+    img = np.zeros((H, W, 4), np.float32)
+    best_d = np.full((H, W), np.inf, np.float32)
+    for (ia, ib, ic) in idx:
+        ax_, ay_ = sx[ia], sy[ia]
+        bx_, by_ = sx[ib], sy[ib]
+        cx_, cy_ = sx[ic], sy[ic]
+        det = (bx_ - ax_) * (cy_ - ay_) - (by_ - ay_) * (cx_ - ax_)
+        if abs(det) < 1e-9:
+            continue
+        s = ((px - ax_) * (cy_ - ay_) - (py - ay_) * (cx_ - ax_)) / det
+        t = ((bx_ - ax_) * (py - ay_) - (by_ - ay_) * (px - ax_)) / det
+        inside = (s >= -0.0) & (t >= -0.0) & (s + t <= 1.0)
+        anchor_d = 5.0 - 0.5 * (verts[ib, 2] + verts[ic, 2])
+        u = uvs[ia, 0] + s * (uvs[ib, 0] - uvs[ia, 0]) + t * (
+            uvs[ic, 0] - uvs[ia, 0]
+        )
+        v = uvs[ia, 1] + s * (uvs[ib, 1] - uvs[ia, 1]) + t * (
+            uvs[ic, 1] - uvs[ia, 1]
+        )
+        texel = sample(u, v)
+        win = inside & (anchor_d <= best_d)
+        best_d = np.where(win, anchor_d, best_d)
+        rgb = texel[..., :3]
+        img[..., :3] = np.where(win[..., None], rgb, img[..., :3])
+        img[..., 3] = np.where(win, 1.0, img[..., 3])
+    return img
+
+
+def test_textured_icosphere_matches_cpu_oracle():
+    """Mesh vertex UVs drive texture sampling (VERDICT missing #1): a
+    textured icosphere must match a CPU-oracle render per fragment —
+    reference parity with the mesh vertex buffers feeding the fragment
+    UVs (vfx_render.wgsl:286-288, render/mod.rs:6622-6758)."""
+    from bevy_hanabi_tpu.modifiers import ParticleTextureModifier
+
+    rng = np.random.default_rng(7)
+    tex = rng.uniform(0.1, 1.0, size=(8, 8, 4)).astype(np.float32)
+    ico = ParticleMesh.icosphere(0.5, subdivisions=1)
+    assert ico.uvs is not None and ico.normals is not None
+    asset = one_particle_asset(ico, size=1.2)
+    asset.render(ParticleTextureModifier(0))
+    from bevy_hanabi_tpu.asset import AlphaMode
+
+    asset.alpha_mode = AlphaMode.OPAQUE
+    fx = CompiledEffect(asset)
+    pool = fx.create_pool()
+    pool, _ = fx.step(pool, StepInputs.make(1, 0), SimParams(delta_time=1 / 60))
+    img = np.asarray(
+        EffectRenderer(asset, CFG, textures=[tex]).render(
+            pool, cam(), SimParams()
+        )
+    )
+    oracle = _cpu_oracle_mesh_render(ico, 1.2, tex)
+    cov_r = img[..., 3] > 0.5
+    cov_o = oracle[..., 3] > 0.5
+    # silhouettes agree except a thin edge band
+    assert (cov_r != cov_o).mean() < 0.03
+    both = cov_r & cov_o
+    assert both.sum() > 500
+    diff = np.abs(img[..., :3] - oracle[..., :3])[both]
+    # UV-correct per fragment: colors match the oracle almost everywhere
+    # (disagreeing pixels sit on triangle edges where the winning entry
+    # differs by a depth quantization tie)
+    assert np.quantile(diff, 0.95) < 0.05, np.quantile(diff, 0.95)
+    assert diff.mean() < 0.02, diff.mean()
+
+
+def test_vertex_colors_interpolate():
+    """Per-vertex colors modulate the fragment color barycentrically."""
+    tri = ParticleMesh.from_triangles(
+        [[-0.5, -0.5, 0.0], [0.5, -0.5, 0.0], [-0.5, 0.5, 0.0]],
+        [[0, 1, 2]],
+        colors=[
+            [1.0, 0.0, 0.0, 1.0],
+            [0.0, 1.0, 0.0, 1.0],
+            [0.0, 0.0, 1.0, 1.0],
+        ],
+    )
+    asset = one_particle_asset(tri, size=1.0)
+    img = render_one(asset)
+    # near vertex A (screen (16, 48)): red dominates
+    pa = img[46, 18, :3]
+    assert pa[0] > 0.7 and pa[1] < 0.3 and pa[2] < 0.3, pa
+    # near vertex B (screen (48, 48)): green dominates
+    pb = img[46, 45, :3]
+    assert pb[1] > 0.7 and pb[0] < 0.3, pb
+    # near vertex C (screen (16, 16)): blue dominates
+    pc = img[18, 18, :3]
+    assert pc[2] > 0.7 and pc[0] < 0.3, pc
+    # centroid (bary 1/3,1/3 -> screen (26.7, 37.3)) ~ equal mix
+    pm = img[37, 26, :3]
+    assert pm.std() < 0.25, pm
+
+
+def test_mesh_normals_drive_lambert_shading():
+    """Per-vertex normals feed per-fragment Lambert shading: an icosphere
+    lit from +x is brighter on its +x side; without normals the (billboard)
+    shade is uniform."""
+    from bevy_hanabi_tpu.models.examples import LambertianLightingModifier
+
+    ico = ParticleMesh.icosphere(0.5, subdivisions=1)
+    asset = one_particle_asset(ico, size=1.2)
+    asset.render(LambertianLightingModifier((1.0, 0.0, 0.0), 0.2))
+    img = render_one(asset)
+    lit = img[28:36, 44:58, :3].mean()  # +x side (right half)
+    dark = img[28:36, 6:20, :3].mean()  # -x side
+    assert lit > dark * 1.5, (lit, dark)
+
+    # same mesh WITHOUT normals: modifier falls back to billboard axis_z
+    # shading -> uniform across the sphere
+    flat = ParticleMesh.from_triangles(ico.vertices, ico.indices)
+    asset_f = one_particle_asset(flat, size=1.2)
+    asset_f.render(LambertianLightingModifier((1.0, 0.0, 0.0), 0.2))
+    img_f = render_one(asset_f)
+    lit_f = img_f[28:36, 44:58, :3].mean()
+    dark_f = img_f[28:36, 6:20, :3].mean()
+    assert abs(lit_f - dark_f) < 0.1 * max(lit_f, 1e-6), (lit_f, dark_f)
+
+
+def test_mesh_vertex_attr_serde():
+    ico = ParticleMesh.icosphere(0.5, subdivisions=0)
+    rt = ParticleMesh.from_json(ico.to_json())
+    np.testing.assert_allclose(rt.uvs, ico.uvs, atol=1e-6)
+    np.testing.assert_allclose(rt.normals, ico.normals, atol=1e-6)
+    tri = ParticleMesh.from_triangles(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0]], [[0, 1, 2]],
+        colors=[[1, 0, 0, 1], [0, 1, 0, 1], [0, 0, 1, 1]],
+    )
+    rt2 = ParticleMesh.from_json(tri.to_json())
+    np.testing.assert_allclose(rt2.colors, tri.colors, atol=1e-6)
+    assert rt2.uvs is None and rt2.normals is None
+
+
 def test_triangle_mesh_union_with_quads():
     # a quad + a triangle render together; union coverage > quad alone
     quad = ParticleMesh.quad()
