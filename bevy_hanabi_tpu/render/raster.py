@@ -71,6 +71,18 @@ class RasterConfig:
     # and one fewer window gather. Deterministic (entry-index order within
     # a tile). Disable to force the ordered path (testing).
     order_independent_fast: bool = True
+    # Which entries survive when a tile exceeds max_entries_per_tile, on
+    # the order-independent fast path (the ordered path ALWAYS keeps the
+    # nearest M — its window sits at the front of the depth-sorted run):
+    # * "nearest" (default): the kept M are (approximately) the nearest —
+    #   coarse front-to-back depth is packed into the sort key's slack
+    #   bits when >= 4 fit, else the sort carries a payload operand
+    #   (~15% slower lax.sort) so the window is exactly the nearest M.
+    # * "first": the kept M are the first in entry-index order —
+    #   depth-blind under overflow (a deep additive stack may drop near
+    #   fragments in favor of far ones), but always the cheapest 1-op
+    #   sort. Size max_entries_per_tile generously if you use this.
+    overflow_policy: str = "nearest"
     background: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
 
     def __post_init__(self):
@@ -79,6 +91,11 @@ class RasterConfig:
                 "tile_slots must be 0 (exact span^2 binning) or 2 "
                 "(corner + dominant-spill fast binning); got "
                 f"{self.tile_slots}"
+            )
+        if self.overflow_policy not in ("nearest", "first"):
+            raise ValueError(
+                "overflow_policy must be 'nearest' or 'first'; got "
+                f"{self.overflow_policy!r}"
             )
 
     @property
@@ -236,36 +253,30 @@ def rasterize(
     num_entries = tile_ids.shape[0]
     tile_bits = max(1, int(np.ceil(np.log2(nt + 2))))
     idx_bits = max(1, int(np.ceil(np.log2(max(num_entries, 2)))))
-    fast = (
-        config.order_independent_fast
-        and alpha_mode in ("add", "multiply")
-        and tile_bits + idx_bits <= 32
-    )
-    if fast:
-        # ADD/MULTIPLY blending commutes (saturating alpha-add included), so
-        # the sort only has to GROUP entries per tile, not order them by
-        # depth. Pack (tile | entry-index) into one u32: lax.sort moves half
-        # the bytes of the (key, payload) pair, the entry index recovers the
-        # particle id arithmetically (entries are slot-concatenated pidx
-        # repeats), and the in-tile order is deterministic by construction.
-        key = (tile_ids.astype(jnp.uint32) << idx_bits) | jnp.arange(
-            num_entries, dtype=jnp.uint32
-        )
-        (key_sorted,) = jax.lax.sort((key,), num_keys=1)
-        # All keys of tile t lie in [t << idx_bits, (t+1) << idx_bits).
-        bound = jnp.arange(nt + 1, dtype=jnp.uint32) << idx_bits
-        starts = jnp.searchsorted(key_sorted, bound[:-1])
-        ends = jnp.searchsorted(key_sorted, bound[1:])
-        pidx_sorted = None  # windows decode pidx from key_sorted directly
+    slack = 32 - tile_bits - idx_bits
+    # ADD/MULTIPLY blending commutes (saturating alpha-add included), so
+    # the sort only has to GROUP entries per tile, not order them by depth.
+    # Three fast variants, picked statically:
+    # * "first":  1-op key (tile | entry-index); overflow keeps the first M
+    #   in entry order (depth-blind).
+    # * "depth":  1-op key (tile | coarse-front-to-back-depth | entry-index)
+    #   when >= 4 slack bits fit; overflow keeps ~the nearest M.
+    # * "payload": 2-op (tile | exact-front-to-back-depth, pidx) when no
+    #   slack bits are left; overflow keeps exactly the nearest M at ~15%
+    #   more sort cost.
+    fast = config.order_independent_fast and alpha_mode in ("add", "multiply")
+    if not fast:
+        fast_mode = None
+    elif config.overflow_policy == "first" and slack >= 0:
+        fast_mode = "first"
+    elif slack >= 4:
+        fast_mode = "depth"
     else:
-        # The ordered path packs (tile | inverted-quantized-depth) into a
-        # uint32 key: one sort operand instead of three (~17% faster
-        # lax.sort at 4M entries). Depth quantizes to the bits left under
-        # the tile id; ties blend in arbitrary order (only equal-depth
-        # overlaps are affected — the same tie behavior GPU rasterization
-        # has).
-        # cap depth bits at 22 so the f32 quantization math stays exact
-        depth_bits = min(22, 32 - tile_bits)
+        fast_mode = "payload"
+    fast_decode = fast_mode in ("first", "depth")
+
+    def quant_depth(depth_bits):
+        """Quantize entry depths ascending (near = small) to depth_bits."""
         finite = depths > -jnp.inf
         dmin = jnp.min(jnp.where(finite, depths, jnp.inf))
         dmax = jnp.max(jnp.where(finite, depths, -jnp.inf))
@@ -274,10 +285,43 @@ def rasterize(
         dq = (jnp.clip((depths - dmin) / span_d, 0.0, 1.0) * scale).astype(
             jnp.uint32
         )
-        # back-to-front: larger depth first => invert quantized depth
-        key = (tile_ids.astype(jnp.uint32) << depth_bits) | (
-            scale.astype(jnp.uint32) - dq
+        return dq, scale
+
+    if fast_decode:
+        # One packed u32: lax.sort moves half the bytes of a (key, payload)
+        # pair, the entry index recovers the particle id arithmetically
+        # (entries are slot-concatenated pidx repeats), and the in-tile
+        # order is deterministic by construction.
+        db = min(slack, 8) if fast_mode == "depth" else 0
+        key = (tile_ids.astype(jnp.uint32) << (db + idx_bits)) | jnp.arange(
+            num_entries, dtype=jnp.uint32
         )
+        if db:
+            dq, _ = quant_depth(db)
+            key = key | (dq << idx_bits)
+        (key_sorted,) = jax.lax.sort((key,), num_keys=1)
+        # All keys of tile t lie in [t << shift, (t+1) << shift).
+        bound = jnp.arange(nt + 1, dtype=jnp.uint32) << (db + idx_bits)
+        starts = jnp.searchsorted(key_sorted, bound[:-1])
+        ends = jnp.searchsorted(key_sorted, bound[1:])
+        pidx_sorted = None  # windows decode pidx from key_sorted directly
+    else:
+        # The ordered path packs (tile | quantized-depth) into a uint32 key:
+        # one sort operand instead of three (~17% faster lax.sort at 4M
+        # entries). Depth quantizes to the bits left under the tile id; ties
+        # blend in arbitrary order (only equal-depth overlaps are affected —
+        # the same tie behavior GPU rasterization has). Depth runs
+        # back-to-front for ordered blends (window at the END = nearest M)
+        # and front-to-back for the commutative payload fast path (window
+        # at the START = nearest M).
+        # cap depth bits at 22 so the f32 quantization math stays exact
+        depth_bits = min(22, 32 - tile_bits)
+        dq, scale = quant_depth(depth_bits)
+        if fast_mode == "payload":
+            dq_key = dq  # ascending: near first
+        else:
+            dq_key = scale.astype(jnp.uint32) - dq  # descending: far first
+        key = (tile_ids.astype(jnp.uint32) << depth_bits) | dq_key
         # lax.sort is the measured optimum here: every hand-rolled
         # alternative (VMEM bitonic with roll/matmul exchanges, streaming
         # matmul compaction, scatter/radix placement) lost to it at every
@@ -333,18 +377,18 @@ def rasterize(
     # per field (random-row HBM traffic is row-count-bound, not byte-bound),
     # and the gather dominates the whole blend phase.
     M = config.max_entries_per_tile
-    # Overflowing tiles keep the NEAREST M entries (the window at the END of
-    # the back-to-front run): the viewer sees the front of a deep stack, so
-    # dropping must trim the far tail, not the near head. Order inside the
-    # window stays back-to-front, so "over" compositing remains correct.
-    # (On the order-independent fast path the window instead keeps the FIRST
-    # M entries in entry order: slot-0 corner entries — full splats — come
-    # before slot-1 spill slivers, so the kept subset carries the most
-    # coverage; for commutative blends any M-subset is a valid truncation.)
+    # Overflowing tiles keep the NEAREST M entries: the viewer sees the
+    # front of a deep stack, so dropping must trim the far tail, not the
+    # near head. On the ordered path the window sits at the END of the
+    # back-to-front run; on the fast paths it sits at the START, which is
+    # nearest-first under "depth"/"payload" overflow policy (and plain
+    # entry-index order — slot-0 full splats before slot-1 spill slivers —
+    # under "first"; for commutative blends any M-subset is a valid
+    # truncation).
     base = starts if fast else jnp.maximum(ends - M, starts)  # [nt]
     raw = base[None, :] + jnp.arange(M, dtype=starts.dtype)[:, None]
     idx = jnp.minimum(raw, num_entries - 1)  # [M, nt]
-    if fast:
+    if fast_decode:
         # One window gather of the packed key; tile membership is implied by
         # the searchsorted bounds and pidx = entry_index mod n (entries are
         # slot-concatenated repeats of arange(n)).

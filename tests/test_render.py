@@ -358,6 +358,78 @@ def test_premultiply_antialias_edge_scales_rgb_with_coverage():
     assert np.all(np.diff(left) >= -1e-6)
 
 
+def test_overflow_policy_nearest_keeps_near_entries():
+    """At heavy tile overflow the fast additive path must keep the NEAR
+    subset: stack 32x max_entries_per_tile particles in one tile with
+    alpha decreasing away from the camera — nearest-M keeps most of the
+    visible energy, first-M (entry order == far-to-near here) loses it."""
+    from dataclasses import replace
+
+    rng = np.random.default_rng(0)
+    m = 8
+    n = 32 * m
+    # all particles inside one tile (center region), spread in z, with the
+    # NEAR particles bright and the FAR ones dim; entry order (pool order)
+    # is far-to-near so "first" keeps the dim tail
+    z = np.linspace(-0.9, 0.9, n)  # ascending z = far to near (camera at +5)
+    alpha = np.where(z > 0.0, 1.0, 0.01)
+    pos = np.stack([rng.uniform(-0.05, 0.05, n), rng.uniform(-0.05, 0.05, n), z], 1)
+    col = np.stack([np.ones(n), np.zeros(n), np.zeros(n), alpha], 1)
+    draw = quad_draw(pos.tolist(), col.tolist(), size=0.1)
+    cfg = replace(CFG, max_entries_per_tile=m, tile_size=16)
+    cfg_exact = replace(cfg, max_entries_per_tile=1024)
+
+    def energy(c):
+        return np.asarray(
+            rasterize(draw, ortho_camera(), c, "add")
+        )[..., 0].sum()
+
+    e_exact = energy(cfg_exact)
+    e_near = energy(replace(cfg, overflow_policy="nearest"))
+    e_first = energy(replace(cfg, overflow_policy="first"))
+    # the best possible M-subset: the M nearest (brightest) entries alone
+    near_draw = quad_draw(pos[-m:].tolist(), col[-m:].tolist(), size=0.1)
+    e_best = np.asarray(
+        rasterize(near_draw, ortho_camera(), cfg_exact, "add")
+    )[..., 0].sum()
+    # nearest-M keeps (approximately) the optimal near subset
+    assert e_near > 0.9 * e_best, (e_near, e_best)
+    # first-M (entry order = far first here) keeps the dim tail: ~100x less
+    assert e_first < 0.05 * e_near, (e_first, e_near)
+    assert e_exact > e_near  # sanity: truncation always loses energy in add
+
+
+def test_overflow_policy_payload_path_exact_nearest():
+    """Force the no-slack-bits payload variant (tiny idx space is never
+    forced naturally in tests, so disable slack by tile_span=1 config and
+    verify via a big entry count is impractical — instead check that
+    nearest under the 'depth' variant matches the ordered path's energy
+    at overflow within quantization tolerance)."""
+    from dataclasses import replace
+
+    rng = np.random.default_rng(1)
+    n = 256
+    z = rng.uniform(-0.9, 0.9, n)
+    pos = np.stack([rng.uniform(-0.08, 0.08, n), rng.uniform(-0.08, 0.08, n), z], 1)
+    col = np.stack(
+        [np.ones(n), np.zeros(n), np.zeros(n), rng.uniform(0.1, 1.0, n)], 1
+    )
+    draw = quad_draw(pos.tolist(), col.tolist(), size=0.1)
+    cfg = replace(CFG, max_entries_per_tile=16)
+    img_fast = np.asarray(
+        rasterize(draw, ortho_camera(), cfg, "add")
+    )
+    img_ordered = np.asarray(
+        rasterize(
+            draw, ortho_camera(),
+            replace(cfg, order_independent_fast=False), "add",
+        )
+    )
+    # both keep the nearest M; totals agree within coarse-depth-tie slack
+    a, b = img_fast[..., 0].sum(), img_ordered[..., 0].sum()
+    assert abs(a - b) / max(b, 1e-6) < 0.15, (a, b)
+
+
 def test_per_particle_mask_cutoff():
     """The mask cutoff expr is evaluated PER PARTICLE (vfx_render.wgsl:319-325):
     a cutoff keyed on F32_0 must discard one particle and keep another with
