@@ -74,6 +74,8 @@ class HanabiScene:
         self._family_jit: Dict = {}
         # jitted batched render passes, keyed (asset sigs, alpha, config)
         self._batch_render_jit: Dict = {}
+        # jitted whole-scene step+render chunks (update_render_chunk)
+        self._scene_chunk_jit: Dict = {}
         # Debug capture knobs (≈ DebugSettings resource, render/mod.rs:2425)
         from ..utils.profiling import DebugSettings
 
@@ -535,19 +537,11 @@ class HanabiScene:
             "groups": groups,
         }
 
-    def update_chunk(self, frames: int, dt: float) -> None:
-        """Advance ``frames`` frames with ONE device dispatch per effect
-        (or per event-linked effect tree).
+    def _collect_chunk_inputs(self, frames: int, dt: float):
+        """Shared host-side prep for the chunked paths: freeze visibility,
+        resolve event trees, precompute every frame's spawner ticks, seeds,
+        transforms, and property values."""
 
-        The production-serving path: spawner ticks for all frames are
-        precomputed on the host and the jitted steps run under ``lax.scan``
-        (≈12 ms dispatch latency amortized over the chunk). Event-linked
-        effects are fused into family scans: the pending event buffers ride
-        the scan carry, so a whole parent→child tree (any depth) advances
-        together in one dispatch (descendants inherit from event payloads,
-        never live parent pools). A hidden WhenVisible root pauses its
-        whole tree for the chunk.
-        """
         def paused(visible, asset):
             return (
                 not visible
@@ -583,7 +577,6 @@ class HanabiScene:
             inst = self._effects[n]
             if inst.parent is not None or inst.fx.num_event_channels:
                 families.setdefault(root_of(n), []).append(n)
-        family_members = {n for mem in families.values() for n in mem}
 
         sims = []
         per_effect_inputs = {n: [] for n in active_effects}
@@ -618,6 +611,37 @@ class HanabiScene:
                     )
                 )
         self._frame += frames
+        return (
+            active_effects,
+            active_groups,
+            families,
+            per_effect_inputs,
+            per_group_inputs,
+            sims,
+        )
+
+    def update_chunk(self, frames: int, dt: float) -> None:
+        """Advance ``frames`` frames with ONE device dispatch per effect
+        (or per event-linked effect tree).
+
+        The production-serving path: spawner ticks for all frames are
+        precomputed on the host and the jitted steps run under ``lax.scan``
+        (≈12 ms dispatch latency amortized over the chunk). Event-linked
+        effects are fused into family scans: the pending event buffers ride
+        the scan carry, so a whole parent→child tree (any depth) advances
+        together in one dispatch (descendants inherit from event payloads,
+        never live parent pools). A hidden WhenVisible root pauses its
+        whole tree for the chunk.
+        """
+        (
+            active_effects,
+            active_groups,
+            families,
+            per_effect_inputs,
+            per_group_inputs,
+            sims,
+        ) = self._collect_chunk_inputs(frames, dt)
+        family_members = {n for mem in families.values() for n in mem}
         for name in active_effects:
             if name in family_members:
                 continue
@@ -677,6 +701,607 @@ class HanabiScene:
                 *sims,
             )
             g["pools"] = g["fx"].step_chunk(g["pools"], ii, ss)
+
+    def _scene_render_plan(self, insts, groups, camera):
+        """Static render plan mirroring :meth:`render`: back-to-front
+        ordering by emitter distance under ``camera``, same-blend batching,
+        opaque/mask vs transparent phase split. Returns
+        ``(opaque_passes, transp_passes)`` — tuples of hashable pass
+        descriptors ("eff", i, kind) / ("batch", idxs, kind) /
+        ("grp", gi, kind)."""
+        OPAQUE_KINDS = ("opaque", "mask")
+        view_h = np.asarray(camera.view)
+        cam_pos = -view_h[:3, :3].T @ view_h[:3, 3]
+
+        def dist_key(i):
+            t = np.asarray(insts[i].transform)[:, 3]
+            return (
+                -float(np.linalg.norm(cam_pos - t)),
+                insts[i].asset.z_layer_2d,
+            )
+
+        vis_idx = sorted(
+            (i for i, inst in enumerate(insts) if inst.visible), key=dist_key
+        )
+
+        def batch_key(inst):
+            a = inst.asset
+            if (
+                a.particle_layout().contains("ribbon_id")
+                or a.mesh is not None
+                or a.alpha_mode.kind == "mask"
+                or inst.textures
+            ):
+                return None
+            return a.alpha_mode.kind
+
+        def build_passes(idxs):
+            runs = []
+            for i in idxs:
+                k = batch_key(insts[i])
+                if runs and k is not None and runs[-1][0] == k:
+                    runs[-1][1].append(i)
+                else:
+                    runs.append([k, [i]])
+            passes = []
+            for k, members in runs:
+                if k is not None and len(members) > 1:
+                    passes.append(("batch", tuple(members), k))
+                else:
+                    for i in members:
+                        passes.append(
+                            ("eff", i, insts[i].asset.alpha_mode.kind)
+                        )
+            return passes
+
+        opq_idx = [
+            i for i in vis_idx if insts[i].asset.alpha_mode.kind in OPAQUE_KINDS
+        ]
+        trn_idx = [
+            i
+            for i in vis_idx
+            if insts[i].asset.alpha_mode.kind not in OPAQUE_KINDS
+        ]
+        vis_groups = [gi for gi, g in enumerate(groups) if g["visible"]]
+        opq_groups = [
+            gi
+            for gi in vis_groups
+            if groups[gi]["asset"].alpha_mode.kind in OPAQUE_KINDS
+        ]
+        trn_groups = [
+            gi
+            for gi in vis_groups
+            if groups[gi]["asset"].alpha_mode.kind not in OPAQUE_KINDS
+        ]
+        opaque_passes = tuple(
+            build_passes(opq_idx)
+            + [
+                ("grp", gi, groups[gi]["asset"].alpha_mode.kind)
+                for gi in opq_groups
+            ]
+        )
+        transp_passes = tuple(
+            build_passes(trn_idx)
+            + [
+                ("grp", gi, groups[gi]["asset"].alpha_mode.kind)
+                for gi in trn_groups
+            ]
+        )
+        return opaque_passes, transp_passes
+
+    def update_render_chunk(
+        self,
+        frames: int,
+        dt: float,
+        camera,
+        config=None,
+        background: Optional[Tuple[float, float, float, float]] = None,
+        scene_depth=None,
+    ):
+        """Advance AND render ``frames`` frames of the WHOLE scene in ONE
+        device dispatch.
+
+        The TPU analogue of the reference recording the entire frame —
+        every compute pass and every draw — into one command encoder
+        (render/mod.rs:6942-7613): a single ``lax.scan`` whose body steps
+        every effect (event trees ride the carry exactly like
+        :meth:`update_chunk`'s family scans) and every instanced group,
+        then runs the full render pipeline of :meth:`render` — phase split
+        (opaque/mask writing a real depth buffer, transparents tested
+        against it), same-blend batching, back-to-front compositing — on
+        the fresh pools. A realistic multi-effect scene thus pays ONE
+        ~12 ms dispatch per K frames instead of one per pass per frame.
+
+        Static per chunk (frozen at call time, like update_chunk):
+        visibility, effect ordering (by emitter distance under the chunk's
+        starting transforms), batching, and phases. Sharded groups are not
+        supported (their shard_map render stays per frame via
+        :meth:`render`).
+
+        Returns ``(image, checksums)``: the LAST frame's [H, W, 4]
+        framebuffer and a [K] array of per-frame framebuffer sums (each
+        frame's raster feeds an output, so XLA cannot elide any draw).
+        """
+        import dataclasses
+
+        import jax
+
+        from ..render.raster import RasterConfig
+
+        if any(g.get("sharded") for g in self._groups.values()):
+            raise ValueError(
+                "update_render_chunk does not support sharded groups; "
+                "render sharded scenes per frame via scene.render"
+            )
+        vw, vh = camera.viewport
+        if background is None:
+            background = (
+                config.background if config is not None else (0.0, 0.0, 0.0, 1.0)
+            )
+        if config is None:
+            config = RasterConfig(width=vw, height=vh)
+        elif (config.width, config.height) != (vw, vh):
+            config = dataclasses.replace(config, width=vw, height=vh)
+
+        (
+            names,
+            gnames,
+            _families,
+            per_effect_inputs,
+            per_group_inputs,
+            sims,
+        ) = self._collect_chunk_inputs(frames, dt)
+        insts = [self._effects[n] for n in names]
+        groups = [self._groups[g] for g in gnames]
+        index = {n: i for i, n in enumerate(names)}
+
+        opaque_passes, transp_passes = self._scene_render_plan(
+            insts, groups, camera
+        )
+
+        key = (
+            tuple(
+                (
+                    n,
+                    insts[i].asset.signature(),
+                    int(insts[i].pool.alive.shape[-1]),
+                    index.get(insts[i].parent),
+                    insts[i].child_channel,
+                )
+                for i, n in enumerate(names)
+            ),
+            tuple(
+                (
+                    g,
+                    groups[gi]["asset"].signature(),
+                    groups[gi]["fx"].num_instances,
+                )
+                for gi, g in enumerate(gnames)
+            ),
+            opaque_passes,
+            transp_passes,
+            config,
+            scene_depth is not None,
+        )
+        fn = self._scene_chunk_jit.get(key)
+        if fn is None:
+            fn = self._build_scene_chunk(
+                insts, groups, opaque_passes, transp_passes, config
+            )
+            self._scene_chunk_jit[key] = fn
+
+        stacked = [
+            CompiledEffect.stack_frames(per_effect_inputs[n], sims)
+            for n in names
+        ]
+        member_inputs = tuple(ii for ii, _ in stacked)
+        ss = (
+            stacked[0][1]
+            if stacked
+            else CompiledEffect.stack_frames(
+                [StepInputs.make()] * frames, sims
+            )[1]
+        )
+        import jax.numpy as _jnp
+
+        g_ins = tuple(
+            jax.tree_util.tree_map(
+                lambda *xs: _jnp.stack(xs), *per_group_inputs[g]
+            )
+            for g in gnames
+        )
+        pendings = tuple(
+            {
+                ch: inst.last_events.get(ch)
+                or EventBuffer.empty(
+                    inst.pool.capacity, inst.asset.particle_layout()
+                )
+                for ch in range(inst.fx.num_event_channels)
+            }
+            for inst in insts
+        )
+        fb0 = jnp.broadcast_to(
+            jnp.asarray(background, jnp.float32),
+            (config.height, config.width, 4),
+        ).astype(jnp.float32)
+        carry = (
+            tuple(inst.pool for inst in insts),
+            pendings,
+            tuple(g["pools"] for g in groups),
+            fb0,
+        )
+        bg_vec = jnp.asarray(background, jnp.float32)
+        (pools, pendings, gpools, image), sums = fn(
+            carry, member_inputs, g_ins, ss, camera, scene_depth, bg_vec
+        )
+        for inst, pool, pend in zip(insts, pools, pendings):
+            inst.pool = pool
+            inst.last_events = pend
+        for g, gp in zip(groups, gpools):
+            g["pools"] = gp
+        return image, sums
+
+    def _make_scene_frame_renderer(
+        self, insts, groups, opaque_passes, transp_passes, config
+    ):
+        """Build the TRACED one-frame scene renderer shared by
+        :meth:`update_render_chunk` (inside its scan) and
+        :meth:`render_views` (vmapped over cameras): phase split with depth
+        threading, same-blend batched passes, per-pass composites."""
+        import dataclasses
+
+        import jax
+
+        from ..render.extract import ParticleDrawData, extract_draw_data
+        from ..render.raster import rasterize
+        from ..render.renderer import composite_by_mode
+
+        assets = [inst.asset for inst in insts]
+        eff_texs = [
+            tuple(jnp.asarray(t, jnp.float32) for t in inst.textures)
+            for inst in insts
+        ]
+        g_assets = [g["asset"] for g in groups]
+        g_texs = [
+            tuple(jnp.asarray(t, jnp.float32) for t in g["textures"])
+            for g in groups
+        ]
+
+        def neutral(kind):
+            return (
+                (1.0, 1.0, 1.0, 0.0)
+                if kind == "multiply"
+                else (0.0, 0.0, 0.0, 0.0)
+            )
+
+        def raster_draw(asset, draw, camera, kind, texs, fb, depth_in,
+                        write_depth):
+            cfg = dataclasses.replace(config, background=neutral(kind))
+            out = rasterize(
+                draw,
+                camera,
+                cfg,
+                alpha_mode=kind,
+                textures=list(texs),
+                scene_depth=depth_in,
+                return_depth=write_depth,
+            )
+            img, depth = out if write_depth else (out, depth_in)
+            return composite_by_mode(img, fb, kind), depth
+
+        def effect_draw(i, pool, inputs, sim, camera):
+            asset = assets[i]
+            draw = extract_draw_data(
+                asset,
+                pool,
+                camera,
+                sim=sim,
+                properties=inputs.properties,
+                textures=list(eff_texs[i]),
+                transform=inputs.transform,
+            )
+            if asset.particle_layout().contains("ribbon_id"):
+                from ..render.ribbon import build_ribbon_segments
+
+                draw = build_ribbon_segments(draw, camera)
+            elif asset.mesh is not None:
+                from ..render.mesh import expand_mesh_draw
+
+                draw = expand_mesh_draw(draw, asset.mesh)
+            return draw
+
+        def group_draw(gi, gpool, g_in, sim, camera):
+            asset = g_assets[gi]
+            props0 = jax.tree_util.tree_map(
+                lambda x: x[0], g_in.properties
+            )
+            draw = extract_draw_data(
+                asset,
+                gpool.flatten(),
+                camera,
+                sim=sim,
+                properties=props0,
+                textures=list(g_texs[gi]),
+            )
+            if asset.particle_layout().contains("ribbon_id"):
+                from ..render.ribbon import build_ribbon_segments
+
+                draw = build_ribbon_segments(draw, camera)
+            elif asset.mesh is not None:
+                from ..render.mesh import expand_mesh_draw
+
+                draw = expand_mesh_draw(draw, asset.mesh)
+            return draw
+
+        def batch_draws(idxs, pools, m_ins, sim, camera):
+            draws = [
+                extract_draw_data(
+                    assets[i],
+                    pools[i],
+                    camera,
+                    sim=sim,
+                    properties=m_ins[i].properties,
+                    textures=[],
+                    transform=m_ins[i].transform,
+                )
+                for i in idxs
+            ]
+            cat = lambda field: jnp.concatenate(
+                [getattr(d, field) for d in draws]
+            )
+            if any(d.roundness is not None for d in draws):
+                roundness = jnp.concatenate(
+                    [
+                        d.roundness
+                        if d.roundness is not None
+                        else jnp.zeros(d.alive.shape, jnp.float32)
+                        for d in draws
+                    ]
+                )
+            else:
+                roundness = None
+            return ParticleDrawData(
+                position=cat("position"),
+                axis_x=cat("axis_x"),
+                axis_y=cat("axis_y"),
+                color=cat("color"),
+                alive=cat("alive"),
+                roundness=roundness,
+                sprite_index=cat("sprite_index"),
+                sprite_grid_size=(1, 1),
+                texture_layers=(),
+                needs_uv=False,
+            )
+
+        def run_pass(p, pools, gpools, m_ins, g_ins_t, sim, camera, fb,
+                     depth_in, write_depth):
+            tag = p[0]
+            kind = p[2]
+            if tag == "eff":
+                i = p[1]
+                draw = effect_draw(i, pools[i], m_ins[i], sim, camera)
+                return raster_draw(
+                    assets[i], draw, camera, kind, eff_texs[i], fb,
+                    depth_in, write_depth,
+                )
+            if tag == "batch":
+                draw = batch_draws(p[1], pools, m_ins, sim, camera)
+                return raster_draw(
+                    None, draw, camera, kind, (), fb, depth_in, write_depth
+                )
+            gi = p[1]
+            draw = group_draw(gi, gpools[gi], g_ins_t[gi], sim, camera)
+            return raster_draw(
+                g_assets[gi], draw, camera, kind, g_texs[gi], fb,
+                depth_in, write_depth,
+            )
+
+        def render_frame(pools, gpools, m_ins, g_ins_t, sim, camera,
+                         scene_depth, bg_vec):
+            fb = jnp.broadcast_to(
+                bg_vec, (config.height, config.width, 4)
+            ).astype(jnp.float32)
+            depth_acc = scene_depth
+            for p in opaque_passes:
+                fb, depth_acc = run_pass(
+                    p, pools, gpools, m_ins, g_ins_t, sim,
+                    camera, fb, depth_acc, True,
+                )
+            for p in transp_passes:
+                fb, _ = run_pass(
+                    p, pools, gpools, m_ins, g_ins_t, sim,
+                    camera, fb, depth_acc, False,
+                )
+            return fb
+
+        return render_frame
+
+    def _build_scene_chunk(
+        self, insts, groups, opaque_passes, transp_passes, config
+    ):
+        """Build the jitted whole-scene K-frame step+render scan."""
+        import jax
+
+        render_frame = self._make_scene_frame_renderer(
+            insts, groups, opaque_passes, transp_passes, config
+        )
+        fxs = [inst.fx for inst in insts]
+        parent_idx = [
+            None
+            if inst.parent is None
+            else [j.name for j in insts].index(inst.parent)
+            for inst in insts
+        ]
+        chans = [inst.child_channel for inst in insts]
+        g_steps = [
+            jax.vmap(
+                (lambda gfx: lambda pool, inputs, sim: gfx.effect._step(
+                    pool, inputs, sim, None, None
+                ))(gfx),
+                in_axes=(0, 0, None),
+            )
+            for gfx in groups and [g["fx"] for g in groups] or []
+        ]
+
+        def chunk_fn(carry, member_inputs, g_ins, sims, camera, scene_depth,
+                     bg_vec):
+            def body(c, per_frame):
+                pools, pendings, gpools, _ = c
+                m_ins, g_ins_t, sim = per_frame
+                # ---- step: whole scene as one family-style pass ----
+                new_pools, new_pendings = [], []
+                for i, fx in enumerate(fxs):
+                    ev_in = (
+                        None
+                        if parent_idx[i] is None
+                        else pendings[parent_idx[i]][chans[i]]
+                    )
+                    pool, ev_out = fx._step(
+                        pools[i], m_ins[i], sim, ev_in, None
+                    )
+                    new_pools.append(pool)
+                    new_pendings.append(ev_out)
+                new_gpools = []
+                for gi, vm in enumerate(g_steps):
+                    gp, _ = vm(gpools[gi], g_ins_t[gi], sim)
+                    new_gpools.append(gp)
+                # ---- render the fresh pools ----
+                fb = render_frame(
+                    new_pools, new_gpools, m_ins, g_ins_t, sim, camera,
+                    scene_depth, bg_vec,
+                )
+                return (
+                    tuple(new_pools),
+                    tuple(new_pendings),
+                    tuple(new_gpools),
+                    fb,
+                ), jnp.sum(fb)
+
+            return jax.lax.scan(body, carry, (member_inputs, g_ins, sims))
+
+        return jax.jit(chunk_fn, donate_argnums=(0,))
+
+    def render_views(
+        self,
+        cameras,
+        config=None,
+        background: Optional[Tuple[float, float, float, float]] = None,
+        scene_depth=None,
+    ) -> jnp.ndarray:
+        """Render the CURRENT scene state from V cameras in ONE dispatch.
+
+        The reference queues its draws once per view within a single frame
+        (render/mod.rs:5580 queue_effects over views); here the traced
+        scene frame renderer — the same phase split / batching / composites
+        as :meth:`render` — is ``vmap``-ed over stacked camera parameters,
+        so split-screen or multi-camera rendering costs ~V× rasterization
+        in one device round-trip instead of V separate dispatches.
+
+        All cameras must share one viewport (one raster grid). The
+        back-to-front effect ordering is frozen under ``cameras[0]`` (for
+        wildly different views whose orderings disagree, render per view).
+        ``scene_depth``, if given, is shared by all views. Returns a
+        [V, H, W, 4] image stack.
+        """
+        import dataclasses
+
+        import jax
+
+        from ..render.raster import RasterConfig
+
+        if any(g.get("sharded") for g in self._groups.values()):
+            raise ValueError(
+                "render_views does not support sharded groups; render "
+                "sharded scenes per camera via scene.render"
+            )
+        cameras = list(cameras)
+        if not cameras:
+            raise ValueError("render_views needs at least one camera")
+        vp = cameras[0].viewport
+        if any(c.viewport != vp for c in cameras):
+            raise ValueError(
+                "all render_views cameras must share one viewport"
+            )
+        vw, vh = vp
+        if background is None:
+            background = (
+                config.background if config is not None else (0.0, 0.0, 0.0, 1.0)
+            )
+        if config is None:
+            config = RasterConfig(width=vw, height=vh)
+        elif (config.width, config.height) != (vw, vh):
+            config = dataclasses.replace(config, width=vw, height=vh)
+
+        names = [n for n in self._order]
+        insts = [self._effects[n] for n in names]
+        gnames = list(self._groups)
+        groups = [self._groups[g] for g in gnames]
+        opaque_passes, transp_passes = self._scene_render_plan(
+            insts, groups, cameras[0]
+        )
+        key = (
+            "views",
+            tuple(
+                (n, insts[i].asset.signature(),
+                 int(insts[i].pool.alive.shape[-1]))
+                for i, n in enumerate(names)
+            ),
+            tuple(
+                (g, groups[gi]["asset"].signature(),
+                 groups[gi]["fx"].num_instances)
+                for gi, g in enumerate(gnames)
+            ),
+            opaque_passes,
+            transp_passes,
+            config,
+            scene_depth is not None,
+        )
+        fn = self._scene_chunk_jit.get(key)
+        if fn is None:
+            render_frame = self._make_scene_frame_renderer(
+                insts, groups, opaque_passes, transp_passes, config
+            )
+            fn = jax.jit(
+                jax.vmap(
+                    render_frame,
+                    in_axes=(None, None, None, None, None, 0, None, None),
+                )
+            )
+            self._scene_chunk_jit[key] = fn
+
+        sim = self.clock.sim_params()
+        m_ins = tuple(
+            StepInputs.make(
+                0,
+                0,
+                inst.transform,
+                inst.properties.as_dict(),
+            )
+            for inst in insts
+        )
+        g_ins = tuple(
+            g["fx"].make_inputs(
+                np.zeros(g["fx"].num_instances, np.int32),
+                np.zeros(g["fx"].num_instances, np.uint32),
+                g["transforms"],
+                g["properties"].as_dict(),
+            )
+            for g in groups
+        )
+        cam_stack = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *cameras
+        )
+        bg_vec = jnp.asarray(background, jnp.float32)
+        return fn(
+            tuple(inst.pool for inst in insts),
+            tuple(g["pools"] for g in groups),
+            m_ins,
+            g_ins,
+            sim,
+            cam_stack,
+            scene_depth,
+            bg_vec,
+        )
 
     def warmup(self) -> None:
         """Compile every instance's step (replaces the readiness protocol)."""
