@@ -200,6 +200,31 @@ class EffectAsset:
             tuple(Property(n, v) for n, v in self.module.properties().items())
         )
 
+    def channel_const_count(self, channel: int) -> Optional[int]:
+        """Compile-time-constant emit count of ``channel``, or None.
+
+        When the channel has exactly ONE EmitSpawnEventModifier whose
+        ``count`` expression is a positive literal K, every compacted
+        event carries count K, so a consuming child can map spawn ranks
+        to events with ``rank // K`` instead of a prefix-sum lookup
+        (consume_events fast path)."""
+        counts = []
+        for m in self.update_modifiers:
+            if (
+                isinstance(m, EmitSpawnEventModifier)
+                and m.child_index == channel
+            ):
+                e = self.module.get(m.count)
+                if e.kind != "literal":
+                    return None
+                try:
+                    counts.append(int(e.value.value))
+                except (TypeError, ValueError, AttributeError):
+                    return None
+        if len(counts) == 1 and counts[0] > 0:
+            return counts[0]
+        return None
+
     def num_event_channels(self) -> int:
         """Number of child spawn-event channels this effect emits into."""
         channels = [

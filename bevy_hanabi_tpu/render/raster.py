@@ -147,8 +147,16 @@ def rasterize(
     alpha_cutoff: Any = 0.5,
     scene_depth: Any = None,
     return_depth: bool = False,
+    y_offset: Any = None,
 ) -> jnp.ndarray:
     """Render particles to a [height, width, 4] float32 image.
+
+    ``y_offset`` (traced scalar, optional) shifts projected screen y by
+    ``-y_offset`` pixels: the raster grid then covers viewport rows
+    [y_offset, y_offset + height) — a horizontal SLICE of a taller
+    viewport. Image-space sharded rendering rasterizes one slice per
+    device this way (parallel/render.py); ``scene_depth`` must then be the
+    matching slice.
 
     Draw integration with surrounding scene geometry (the reference gets
     this from the game's depth buffer — its draws are depth-tested against
@@ -182,6 +190,13 @@ def rasterize(
     c_y1, _, _ = _project(camera, draw.position + 0.5 * draw.axis_y)
     h1 = c_x1 - center  # screen half-extent along particle x axis
     h2 = c_y1 - center
+    if y_offset is not None:
+        # slice rendering: the grid covers viewport rows starting at
+        # y_offset (half-extents are differences — unaffected)
+        center = jnp.concatenate(
+            [center[:, :1], center[:, 1:2] - jnp.asarray(y_offset, jnp.float32)],
+            axis=1,
+        )
     depth = w  # view distance for perspective; affine for ortho
 
     valid = jnp.logical_and(draw.alive, w > 1e-4)

@@ -87,12 +87,18 @@ class CompiledEffect:
 
     @staticmethod
     def get(
-        asset: EffectAsset, parent_layout: Optional[ParticleLayout] = None
+        asset: EffectAsset,
+        parent_layout: Optional[ParticleLayout] = None,
+        parent_const_count: Optional[int] = None,
     ) -> "CompiledEffect":
-        key = (asset.signature(), parent_layout.signature() if parent_layout else None)
+        key = (
+            asset.signature(),
+            parent_layout.signature() if parent_layout else None,
+            parent_const_count,
+        )
         fx = CompiledEffect._CACHE.get(key)
         if fx is None:
-            fx = CompiledEffect(asset, parent_layout)
+            fx = CompiledEffect(asset, parent_layout, parent_const_count)
             CompiledEffect._CACHE[key] = fx
         return fx
 
@@ -100,6 +106,7 @@ class CompiledEffect:
         self,
         asset: EffectAsset,
         parent_layout: Optional[ParticleLayout] = None,
+        parent_const_count: Optional[int] = None,
     ) -> None:
         self.asset = asset
         self.layout = asset.particle_layout()
@@ -120,6 +127,10 @@ class CompiledEffect:
             )
         self.parent_layout = parent_layout
         self.consumes_events = parent_layout is not None
+        # Compile-time-constant emit count of the parent channel this child
+        # consumes (None = data-dependent): unlocks the arithmetic
+        # rank->event map in consume_events.
+        self.parent_const_count = parent_const_count
         self.num_event_channels = asset.num_event_channels()
 
         # attributes actually read from the parent (InheritAttributeModifier
@@ -366,7 +377,10 @@ class CompiledEffect:
                     "pass events_in"
                 )
             parent_slot, requested, parent_payload = consume_events(
-                events_in, free_rank, attrs=self._inherited_attrs
+                events_in,
+                free_rank,
+                attrs=self._inherited_attrs,
+                const_count=self.parent_const_count,
             )
         else:
             parent_slot = jnp.zeros((n,), jnp.uint32)

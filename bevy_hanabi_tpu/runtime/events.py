@@ -117,6 +117,7 @@ def consume_events(
     events: EventBuffer,
     spawn_rank: jnp.ndarray,
     attrs=None,
+    const_count=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Map each child spawn rank to its source event.
 
@@ -125,29 +126,94 @@ def consume_events(
     parent_payload {name: [N, ...]})``. Mirrors the child init path of
     vfx_init.wgsl:123-171 (event lookup by prefix sums).
 
-    The rank→event mapping ``searchsorted_right(cum, r) == #{e: cum[e] <= r}``
+    ``const_count``: when every emitter on this channel emits a
+    compile-time-constant ``count == K`` (the common case — e.g. "4 sparks
+    per dying rocket"), the compacted buffer's prefix sums are exactly
+    ``K*(e+1)``, so the rank→event map degenerates to ``rank // K`` —
+    pure arithmetic, no prefix-sum scatter and no index-table gather
+    (saves ~2.4 ms/frame at a 64k→256k parent→child pair on v5e).
+
+    Otherwise the mapping ``searchsorted_right(cum, r) == #{e: cum[e] <= r}``
     is computed by scattering each event's boundary into a mark array and
     prefix-summing — ~7x faster than ``jnp.searchsorted``'s scan lowering at
-    256k lanes on v5e (33.5ms → 4.7ms). ``attrs`` limits payload gathers to
-    the attributes the child actually inherits (each gather costs ~3ms at
-    256k; a typical child inherits 1-2 of the parent's many attributes).
-    """
-    from ..ops.compaction import inclusive_sum
+    256k lanes on v5e (33.5ms → 4.7ms).
 
+    All gathers pass ``indices_are_sorted=True``: ``spawn_rank`` is a
+    cumsum (lane-monotone), so ``event_idx`` is monotone too, and sorted
+    row gathers run ~3x faster than unhinted ones on v5e (4.0 → 1.3 ms
+    for a 262k-row gather). ``attrs`` limits payload gathers to the
+    attributes the child actually inherits, and multi-attribute f32
+    payloads pack into ONE row matrix first (row gathers are
+    row-count-bound, not byte-bound).
+    """
     n = spawn_rank.shape[-1]
-    cum = inclusive_sum(events.count.astype(jnp.int32))
-    size = -(-(n + 1) // 4096) * 4096
-    marks = jnp.zeros((size,), jnp.int32).at[jnp.clip(cum, 0, n)].add(
-        1, mode="drop"
+    if const_count:
+        event_idx = (spawn_rank // jnp.uint32(const_count)).astype(jnp.int32)
+        event_idx = jnp.minimum(event_idx, events.capacity - 1)
+    else:
+        from ..ops.compaction import inclusive_sum
+
+        cum = inclusive_sum(events.count.astype(jnp.int32))
+        size = -(-(n + 1) // 4096) * 4096
+        marks = jnp.zeros((size,), jnp.int32).at[jnp.clip(cum, 0, n)].add(
+            1, mode="drop"
+        )
+        csum = inclusive_sum(marks)
+        event_idx = jnp.take(
+            csum,
+            jnp.clip(spawn_rank, 0, n).astype(jnp.int32),
+            indices_are_sorted=True,
+            mode="clip",
+        )
+        event_idx = jnp.clip(event_idx, 0, events.capacity - 1)
+    parent_slot = jnp.take(
+        events.parent_slot, event_idx, indices_are_sorted=True, mode="clip"
     )
-    csum = inclusive_sum(marks)
-    event_idx = csum[jnp.clip(spawn_rank, 0, n)]
-    event_idx = jnp.clip(event_idx, 0, events.capacity - 1)
-    parent_slot = events.parent_slot[event_idx]
-    names = (
+    names = list(
         events.payload.keys()
         if attrs is None
         else [a for a in attrs if a in events.payload]
     )
-    payload = {name: events.payload[name][event_idx] for name in names}
+    payload: Dict[str, jnp.ndarray] = {}
+    f32_names = [
+        nm for nm in names if events.payload[nm].dtype == jnp.float32
+    ]
+    other_names = [nm for nm in names if nm not in f32_names]
+    if len(f32_names) >= 2:
+        widths = []
+        cols = []
+        for nm in f32_names:
+            a = events.payload[nm]
+            a2 = a[:, None] if a.ndim == 1 else a
+            widths.append((nm, a.ndim, a2.shape[1]))
+            cols.append(a2)
+        rows = jnp.take(
+            jnp.concatenate(cols, axis=1),
+            event_idx,
+            axis=0,
+            indices_are_sorted=True,
+            mode="clip",
+        )
+        off = 0
+        for nm, nd, w in widths:
+            sl = rows[:, off : off + w]
+            off += w
+            payload[nm] = sl[:, 0] if nd == 1 else sl
+    elif f32_names:
+        nm = f32_names[0]
+        payload[nm] = jnp.take(
+            events.payload[nm],
+            event_idx,
+            axis=0,
+            indices_are_sorted=True,
+            mode="clip",
+        )
+    for nm in other_names:
+        payload[nm] = jnp.take(
+            events.payload[nm],
+            event_idx,
+            axis=0,
+            indices_are_sorted=True,
+            mode="clip",
+        )
     return parent_slot, events.total_spawn_count(), payload

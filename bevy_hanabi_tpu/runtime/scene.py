@@ -128,7 +128,16 @@ class HanabiScene:
                     f"{p.asset.num_event_channels()} event channel(s); "
                     f"cannot attach a child on channel {child_channel}"
                 )
-        fx = CompiledEffect.get(asset, parent_layout=parent_layout)
+        parent_const = (
+            self._effects[parent].asset.channel_const_count(child_channel)
+            if parent is not None
+            else None
+        )
+        fx = CompiledEffect.get(
+            asset,
+            parent_layout=parent_layout,
+            parent_const_count=parent_const,
+        )
         pool = fx.create_pool(capacity)
         # asset.prng_seed pins the instance's random streams (asset.rs PRNG
         # seed knob); otherwise they derive from the scene RNG.
