@@ -1,1 +1,1 @@
-"""TPU compute primitives: RNG, compaction, step kernels."""
+"""TPU compute primitives: RNG, compaction."""
