@@ -192,7 +192,25 @@ def bench_stepped_rendered():
         pool, img, sums = fx.step_render_chunk(pool, ii, ss, cam, hifi)
         int(pool.alive_count())
         best_h = min(best_h, time.perf_counter() - t0)
-    return headline + (K / best_h, float(jnp.sum(sums)))
+    hifi_res = (K / best_h, float(jnp.sum(sums)))
+
+    # exact-binning companion (tile_slots=0, span^2 binning): the headline
+    # config's approximations cost nothing in correctness-critical scenes
+    exact = RasterConfig(width=512, height=512)
+    for _ in range(2):
+        ii, ss = chunk(frame)
+        frame += K
+        pool, img, sums = fx.step_render_chunk(pool, ii, ss, cam, exact)
+    best_e = float("inf")
+    for _ in range(3):
+        ii, ss = chunk(frame)
+        frame += K
+        int(pool.alive_count())
+        t0 = time.perf_counter()
+        pool, img, sums = fx.step_render_chunk(pool, ii, ss, cam, exact)
+        int(pool.alive_count())
+        best_e = min(best_e, time.perf_counter() - t0)
+    return headline + hifi_res + (K / best_e, float(jnp.sum(sums)))
 
 
 def bench_force_field(cap=100_000):
@@ -283,6 +301,161 @@ def bench_ribbons():
     return alive_mean * K / best, K / best, alive_mean
 
 
+def bench_mixed_scene(frames=K):
+    """Whole-scene fused step+render chunk (VERDICT r2 directive 1): a
+    realistic 4-effect mixed-blend scene — opaque debris (64k), a
+    transparent 512k blend effect, and a firework event tree (64k rockets
+    -> 256k trails, ADD) — stepped AND rendered at 512^2 in ONE dispatch
+    per K frames via HanabiScene.update_render_chunk (phase split with a
+    real depth buffer, same-blend batching, composites)."""
+    import math
+
+    from bevy_hanabi_tpu import attributes as A
+    from bevy_hanabi_tpu.asset import AlphaMode, EffectAsset
+    from bevy_hanabi_tpu.graph import ExprWriter
+    from bevy_hanabi_tpu.models import (
+        firework_effect,
+        firework_trail_effect,
+        gradient_effect,
+    )
+    from bevy_hanabi_tpu.modifiers import (
+        SetAttributeModifier,
+        SetPositionSphereModifier,
+        SetSizeModifier,
+        SetVelocitySphereModifier,
+        ShapeDimension,
+    )
+    from bevy_hanabi_tpu.render.camera import CameraParams, look_at, perspective
+    from bevy_hanabi_tpu.render.raster import RasterConfig
+    from bevy_hanabi_tpu.runtime import HanabiScene
+
+    from bevy_hanabi_tpu.spawn import SpawnerSettings
+
+    w = ExprWriter()
+    debris = (
+        EffectAsset("debris", 65536, SpawnerSettings.rate(65536 / 4.0), w.finish())
+        .init(
+            SetPositionSphereModifier(
+                w.module.lit((0.0, 0.0, 0.0)), w.module.lit(3.0),
+                ShapeDimension.VOLUME,
+            )
+        )
+        .init(
+            SetVelocitySphereModifier(
+                w.module.lit((0.0, 0.0, 0.0)), w.module.lit(1.0)
+            )
+        )
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(4.0).expr()))
+        .init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
+        .init(
+            SetAttributeModifier(A.HDR_COLOR, w.lit((0.9, 0.6, 0.2, 1.0)).expr())
+        )
+        .render(SetSizeModifier((0.05,) * 3))
+        .with_alpha_mode(AlphaMode.OPAQUE)
+    )
+    scene = HanabiScene(seed=3)
+    scene.add(debris, "debris")
+    scene.add(gradient_effect(capacity=1 << 19), "grad")
+    scene.add(firework_effect(capacity=65536), "rocket")
+    scene.add(firework_trail_effect(capacity=262144), "trail", parent="rocket")
+    cam = CameraParams(
+        view=look_at(
+            np.array([0.0, 0.0, 26.0]), np.zeros(3), np.array([0.0, 1.0, 0.0])
+        ),
+        proj=perspective(math.radians(60.0), 1.0, 0.1, 200.0),
+        viewport=(512, 512),
+    )
+    cfg = RasterConfig(width=512, height=512, tile_slots=2)
+    # warm to steady state (the longest lifetime is 5 s)
+    for _ in range((int(5.0 / DT) + frames) // frames + 1):
+        img, sums = scene.update_render_chunk(frames, DT, cam, cfg)
+        float(sums[-1])
+    best = float("inf")
+    checksum = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        img, sums = scene.update_render_chunk(frames, DT, cam, cfg)
+        checksum = float(sums[-1])  # readback = true barrier
+        best = min(best, time.perf_counter() - t0)
+    return frames / best, scene.total_alive(), checksum
+
+
+def bench_scaling():
+    """Scaling margin past the baseline (VERDICT r2 directive 3): 4M alive
+    at 512^2 and 1M alive at 1024^2, stepped AND rendered. The scaling
+    configs use tile_slots=1 center-tile binning (the sort — the
+    N-proportional cost — sees exactly N entries; boundary-crossing
+    splats keep only their center tile's fragment, quality delta reported
+    via the checksum vs the exact config in docs/PERF.md)."""
+    import math
+
+    from bevy_hanabi_tpu.models import gradient_effect
+    from bevy_hanabi_tpu.render.camera import CameraParams, look_at, perspective
+    from bevy_hanabi_tpu.render.raster import RasterConfig
+
+    results = {}
+    for label, cap, res, cfg in (
+        (
+            "scaling_4M_512sq",
+            1 << 22,
+            512,
+            RasterConfig(width=512, height=512, tile_slots=1),
+        ),
+        (
+            "scaling_1M_1024sq",
+            1 << 20,
+            1024,
+            RasterConfig(width=1024, height=1024, tile_slots=1),
+        ),
+    ):
+        asset = gradient_effect(capacity=cap)
+        fx = CompiledEffect(asset)
+        pool = fx.create_pool()
+        spawner = EffectSpawner(asset.spawner, rng=np.random.default_rng(0))
+        cam = CameraParams(
+            view=look_at(
+                np.array([0.0, 0.0, 26.0]), np.zeros(3),
+                np.array([0.0, 1.0, 0.0]),
+            ),
+            proj=perspective(math.radians(60.0), 1.0, 0.1, 200.0),
+            viewport=(res, res),
+        )
+        frame = 0
+
+        def chunk(frame):
+            inputs, sims = [], []
+            for j in range(K):
+                inputs.append(StepInputs.make(spawner.tick(DT), frame + j))
+                sims.append(SimParams(time=(frame + j) * DT, delta_time=DT))
+            return fx.stack_frames(inputs, sims)
+
+        for _ in range((int(5.0 / DT) + K) // K + 1):
+            ii, ss = chunk(frame)
+            frame += K
+            pool = fx.step_chunk(pool, ii, ss)
+        best = float("inf")
+        for r in range(4):
+            ii, ss = chunk(frame)
+            frame += K
+            int(pool.alive_count())
+            t0 = time.perf_counter()
+            pool, img, sums = fx.step_render_chunk(pool, ii, ss, cam, cfg)
+            alive = int(pool.alive_count())
+            if r:
+                best = min(best, time.perf_counter() - t0)
+        results[label] = {
+            "frames_per_sec": K / best,
+            "particles_per_sec": alive * K / best,
+            "alive_mean": alive,
+            "note": (
+                "tile_slots=1 center binning, tile_size="
+                f"{cfg.tile_size}, max_entries_per_tile="
+                f"{cfg.max_entries_per_tile}"
+            ),
+        }
+    return results
+
+
 def bench_firework_events(frames=240):
     """Parent→child event tree (firework.rs + trails) via the fused family
     scan: rockets emit OnDie spawn events, trails consume + inherit. Not the
@@ -306,12 +479,17 @@ def bench_firework_events(frames=240):
 
 
 def main() -> None:
-    r_pps, r_fps, r_alive, r_checksum, r_hifi_fps, r_hifi_chk = bench_stepped_rendered()
+    (
+        r_pps, r_fps, r_alive, r_checksum,
+        r_hifi_fps, r_hifi_chk, r_exact_fps, r_exact_chk,
+    ) = bench_stepped_rendered()
     s_pps, s_sps, s_alive = bench_single()
     i_pps, i_sps, i_alive = bench_instanced()
     f_sps = bench_firework_events()
     rb_pps, rb_fps, rb_alive = bench_ribbons()
     ff_pps, ff_sps, ff_alive = bench_force_field()
+    sc_fps, sc_alive, sc_chk = bench_mixed_scene()
+    scaling = bench_scaling()
     print(
         json.dumps(
             {
@@ -325,12 +503,35 @@ def main() -> None:
                         "frames_per_sec": r_fps,
                         "alive_mean": r_alive,
                         "framebuffer_checksum": r_checksum,
+                        "note": (
+                            "tile_slots=2 approximate binning (corner + "
+                            "dominant-spill; sub-splat slivers beyond one "
+                            "tile boundary drop) — see the exact config "
+                            "below for the span^2 number"
+                        ),
+                    },
+                    "stepped_and_rendered_1M_512sq_exact": {
+                        "frames_per_sec": r_exact_fps,
+                        "framebuffer_checksum": r_exact_chk,
+                        "note": "tile_slots=0: exact span^2 binning",
                     },
                     "stepped_and_rendered_1M_512sq_hifi": {
                         "frames_per_sec": r_hifi_fps,
                         "framebuffer_checksum": r_hifi_chk,
                         "note": "tile_size=8: 4x blended entries per frame",
                     },
+                    "mixed_scene_4fx_512sq": {
+                        "frames_per_sec": sc_fps,
+                        "total_alive": sc_alive,
+                        "framebuffer_checksum": sc_chk,
+                        "note": (
+                            "opaque 64k + blend 512k + firework event tree "
+                            "64k->256k, whole scene stepped AND rendered "
+                            "per frame in one fused chunk "
+                            "(update_render_chunk)"
+                        ),
+                    },
+                    **scaling,
                     "step_only_single_1M_pool": {
                         "particles_per_sec": s_pps,
                         "steps_per_sec": s_sps,

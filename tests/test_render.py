@@ -358,6 +358,27 @@ def test_premultiply_antialias_edge_scales_rgb_with_coverage():
     assert np.all(np.diff(left) >= -1e-6)
 
 
+def test_tile_slots1_center_binning():
+    """tile_slots=1 (the multi-million-particle scaling config) bins each
+    splat only to its center tile: exact for interior splats, and a
+    boundary-crossing splat keeps exactly its center tile's fragment."""
+    from dataclasses import replace
+
+    cfg1 = replace(CFG, tile_slots=1)
+    # interior splat (tile 16px; quad at center of tile (1,1))
+    draw = quad_draw([[-0.25, -0.25, 0.0]], [[1.0, 0.0, 0.0, 1.0]], size=0.2)
+    img0 = np.asarray(rasterize(draw, ortho_camera(), CFG, "add"))
+    img1 = np.asarray(rasterize(draw, ortho_camera(), cfg1, "add"))
+    np.testing.assert_array_equal(img0, img1)
+    # boundary-crossing splat: center at x=0 world = px 32 (tile boundary)
+    draw_b = quad_draw([[0.02, -0.25, 0.0]], [[1.0, 0.0, 0.0, 1.0]], size=0.3)
+    img0 = np.asarray(rasterize(draw_b, ortho_camera(), CFG, "add"))
+    img1 = np.asarray(rasterize(draw_b, ortho_camera(), cfg1, "add"))
+    # center tile (x in [32,48)) identical; fragment left of x=32 lost
+    np.testing.assert_array_equal(img0[:, 32:], img1[:, 32:])
+    assert img0[:, :32].sum() > 0 and img1[:, :32].sum() == 0
+
+
 def test_overflow_policy_nearest_keeps_near_entries():
     """At heavy tile overflow the fast additive path must keep the NEAR
     subset: stack 32x max_entries_per_tile particles in one tile with
