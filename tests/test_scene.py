@@ -1177,3 +1177,71 @@ def test_render_views_matches_per_view_renders():
     )
     with pytest.raises(ValueError, match="viewport"):
         sA.render_views([cams[0], bad], cfg)
+
+
+def test_update_render_chunk_local_space_and_textures():
+    """LOCAL-space effects (per-frame emitter transform in extraction) and
+    textured effects render identically through the fused chunk."""
+    from bevy_hanabi_tpu.asset import SimulationSpace
+    from bevy_hanabi_tpu.modifiers import ParticleTextureModifier
+
+    tex = np.random.default_rng(3).uniform(0.2, 1.0, (4, 4, 4)).astype(np.float32)
+
+    def build():
+        scene = HanabiScene(seed=7)
+        local = _phase_asset(
+            "loc", (0.1, 0.0, 0.0), "blend", (1.0, 0.5, 0.2, 0.9)
+        ).with_simulation_space(SimulationSpace.LOCAL)
+        t = np.eye(3, 4, dtype=np.float32)
+        t[0, 3] = 0.3
+        scene.add(local, "loc", transform=t)
+        texed = _phase_asset(
+            "tex", (-0.3, 0.0, 0.2), "blend", (1.0, 1.0, 1.0, 1.0)
+        ).render(ParticleTextureModifier(0))
+        scene.add(texed, "tex", textures=[tex])
+        return scene
+
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    cfg = RasterConfig(width=64, height=64, tile_size=16)
+    sA, sB = build(), build()
+    K = 4
+    for _ in range(K):
+        sB.update(DT)
+    imgB = np.asarray(sB.render(cam, cfg))
+    imgA, _ = sA.update_render_chunk(K, DT, cam, cfg)
+    np.testing.assert_allclose(np.asarray(imgA), imgB, atol=1e-4)
+    assert np.asarray(imgA)[..., :3].max() > 0.05  # something drew
+
+
+def test_update_render_chunk_when_visible_pauses():
+    """A hidden WhenVisible effect neither steps nor draws in the chunk."""
+    from bevy_hanabi_tpu.asset import SimulationCondition
+
+    scene = HanabiScene(seed=2)
+    a = _phase_asset("v", (0.0, 0.0, 0.0), "blend", (0.0, 1.0, 0.0, 1.0))
+    a.with_simulation_condition(SimulationCondition.WHEN_VISIBLE)
+    scene.add(a, "v")
+    scene.set_visible("v", False)
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    img, sums = scene.update_render_chunk(
+        4, DT, cam, RasterConfig(width=64, height=64),
+        background=(0.0, 0.0, 0.0, 0.0),
+    )
+    assert scene["v"].alive_count() == 0  # never stepped
+    assert float(np.asarray(img).max()) == 0.0  # never drew
+    # made visible again: it spawns and draws
+    scene.set_visible("v", True)
+    img2, _ = scene.update_render_chunk(
+        4, DT, cam, RasterConfig(width=64, height=64),
+        background=(0.0, 0.0, 0.0, 0.0),
+    )
+    assert scene["v"].alive_count() > 0
+    assert float(np.asarray(img2).max()) > 0.0
