@@ -476,6 +476,13 @@ class ShardedRenderer:
         properties = properties or {}
         vw, vh = camera.viewport
         if (self.config.width, self.config.height) != (vw, vh):
+            if self.mode == "slice":
+                n_dev = self.mesh.shape["dp"] * self.mesh.shape["sp"]
+                if vh % n_dev:
+                    raise ValueError(
+                        f"slice mode needs a viewport height ({vh}) "
+                        f"divisible by the device count ({n_dev})"
+                    )
             # raster grid follows the camera viewport (see EffectRenderer)
             self.config = dataclasses.replace(self.config, width=vw, height=vh)
             self._jit_render = {}

@@ -178,7 +178,23 @@ def main() -> None:
             viewport=(args.size, args.size),
         )
         depth = extra[0](args.size) if extra else None
-        img = scene.render(cam, cfg, scene_depth=depth)
+        if name == "multicam":
+            # true split-screen through scene.render_views: two cameras
+            # (front + raised three-quarter view) in ONE dispatch, halves
+            # composited side by side (reference: examples/multicam.rs
+            # renders the same effects from two Bevy cameras)
+            cam_b = CameraParams(
+                view=look_at((4.0, 3.0, 8.0), target),
+                proj=perspective(0.9, 1.0, 0.1, 200.0),
+                viewport=(args.size, args.size),
+            )
+            both = np.asarray(scene.render_views([cam, cam_b], cfg))
+            half = args.size // 2
+            img = np.concatenate(
+                [both[0][:, ::2][:, :half], both[1][:, ::2][:, :half]], axis=1
+            )
+        else:
+            img = scene.render(cam, cfg, scene_depth=depth)
         if name == "firework":
             # HDR pipeline: the reference's firework look relies on Bevy's
             # Bloom pass; render/post.py is the headless equivalent
