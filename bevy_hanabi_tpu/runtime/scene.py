@@ -546,10 +546,16 @@ class HanabiScene:
             "groups": groups,
         }
 
-    def _collect_chunk_inputs(self, frames: int, dt: float):
+    def _collect_chunk_inputs(self, frames: int, dt: float, on_frame=None):
         """Shared host-side prep for the chunked paths: freeze visibility,
         resolve event trees, precompute every frame's spawner ticks, seeds,
-        transforms, and property values."""
+        transforms, and property values.
+
+        ``on_frame(scene, i)`` (optional) runs on the host before frame
+        ``i``'s inputs are captured — the hook for animating properties
+        and transforms WITHIN a chunk (``scene.set_property`` /
+        ``set_transform`` calls made inside it take effect per frame;
+        visibility and scene membership stay frozen for the chunk)."""
 
         def paused(visible, asset):
             return (
@@ -590,7 +596,9 @@ class HanabiScene:
         sims = []
         per_effect_inputs = {n: [] for n in active_effects}
         per_group_inputs = {n: [] for n in active_groups}
-        for _ in range(frames):
+        for i in range(frames):
+            if on_frame is not None:
+                on_frame(self, i)
             sim = self.clock.advance(dt)
             sims.append(sim)
             for name in active_effects:
@@ -629,7 +637,7 @@ class HanabiScene:
             sims,
         )
 
-    def update_chunk(self, frames: int, dt: float) -> None:
+    def update_chunk(self, frames: int, dt: float, on_frame=None) -> None:
         """Advance ``frames`` frames with ONE device dispatch per effect
         (or per event-linked effect tree).
 
@@ -640,7 +648,9 @@ class HanabiScene:
         the scan carry, so a whole parent→child tree (any depth) advances
         together in one dispatch (descendants inherit from event payloads,
         never live parent pools). A hidden WhenVisible root pauses its
-        whole tree for the chunk.
+        whole tree for the chunk. ``on_frame(scene, i)`` runs host-side
+        before each frame's inputs are captured (animate properties /
+        transforms within the chunk).
         """
         (
             active_effects,
@@ -649,7 +659,7 @@ class HanabiScene:
             per_effect_inputs,
             per_group_inputs,
             sims,
-        ) = self._collect_chunk_inputs(frames, dt)
+        ) = self._collect_chunk_inputs(frames, dt, on_frame)
         family_members = {n for mem in families.values() for n in mem}
         for name in active_effects:
             if name in family_members:
@@ -806,6 +816,7 @@ class HanabiScene:
         config=None,
         background: Optional[Tuple[float, float, float, float]] = None,
         scene_depth=None,
+        on_frame=None,
     ):
         """Advance AND render ``frames`` frames of the WHOLE scene in ONE
         device dispatch.
@@ -826,6 +837,10 @@ class HanabiScene:
         starting transforms), batching, and phases. Sharded groups are not
         supported (their shard_map render stays per frame via
         :meth:`render`).
+
+        ``on_frame(scene, i)`` runs host-side before each frame's inputs
+        are captured — animate properties and transforms WITHIN the chunk
+        (membership/visibility stay frozen).
 
         Returns ``(image, checksums)``: the LAST frame's [H, W, 4]
         framebuffer and a [K] array of per-frame framebuffer sums (each
@@ -859,7 +874,7 @@ class HanabiScene:
             per_effect_inputs,
             per_group_inputs,
             sims,
-        ) = self._collect_chunk_inputs(frames, dt)
+        ) = self._collect_chunk_inputs(frames, dt, on_frame)
         insts = [self._effects[n] for n in names]
         groups = [self._groups[g] for g in gnames]
         index = {n: i for i, n in enumerate(names)}

@@ -1245,3 +1245,85 @@ def test_update_render_chunk_when_visible_pauses():
     )
     assert scene["v"].alive_count() > 0
     assert float(np.asarray(img2).max()) > 0.0
+
+
+def test_chunk_on_frame_hook_animates_within_chunk():
+    """on_frame(scene, i) animates transforms/properties per frame inside
+    a chunk, matching the per-frame path making the same mutations."""
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    cfg = RasterConfig(width=64, height=64, tile_size=16)
+
+    def build():
+        from bevy_hanabi_tpu.asset import SimulationSpace
+
+        s = HanabiScene(seed=5)
+        a = _phase_asset(
+            "m", (0.0, 0.0, 0.0), "blend", (1.0, 0.2, 0.1, 1.0)
+        ).with_simulation_space(SimulationSpace.LOCAL)
+        s.add(a, "m")
+        return s
+
+    def move(scene, i):
+        t = np.eye(3, 4, dtype=np.float32)
+        t[0, 3] = 0.1 * i
+        scene.set_transform("m", t)
+
+    K = 5
+    sA, sB = build(), build()
+    imgA, _ = sA.update_render_chunk(K, DT, cam, cfg, on_frame=move)
+    for i in range(K):
+        move(sB, i)
+        sB.update(DT)
+    imgB = np.asarray(sB.render(cam, cfg))
+    # the LAST transform applied in the chunk is i=K-1; per-frame path
+    # renders after the same final mutation
+    np.testing.assert_allclose(np.asarray(imgA), imgB, atol=1e-4)
+    assert np.asarray(imgA).max() > 0
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_update_render_chunk_fuzz_phase_mixes(seed):
+    """Fuzz: random mixed-blend scenes (all six alpha modes, random sizes,
+    positions, z-layers) run through the fused chunk and match the
+    per-frame pipeline — the scene-level fuzzing that caught the round-2
+    NaN-poisoning bug, now covering the chunk path."""
+    rng = np.random.default_rng(seed)
+    modes = ["blend", "add", "opaque", "mask", "premultiply", "multiply"]
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    cfg = RasterConfig(
+        width=64, height=64, tile_size=16, max_entries_per_tile=32,
+        background=(0.3, 0.3, 0.3, 1.0),
+    )
+    n_fx = int(rng.integers(2, 5))
+    picks = [
+        (
+            modes[int(rng.integers(0, len(modes)))],
+            tuple(rng.uniform(-0.6, 0.6, 3).round(2)),
+            tuple(rng.uniform(0.1, 1.5, 4).round(2)),
+        )
+        for _ in range(n_fx)
+    ]
+
+    def build():
+        s = HanabiScene(seed=seed)
+        for j, (mode, pos, color) in enumerate(picks):
+            s.add(_phase_asset(f"f{j}", pos, mode, color), f"f{j}")
+        return s
+
+    K = 4
+    sA, sB = build(), build()
+    imgA, sums = sA.update_render_chunk(K, DT, cam, cfg)
+    for _ in range(K):
+        sB.update(DT)
+    imgB = np.asarray(sB.render(cam, cfg))
+    imgA = np.asarray(imgA)
+    assert np.isfinite(imgA).all()
+    np.testing.assert_allclose(imgA, imgB, atol=1e-4)
