@@ -842,9 +842,15 @@ class HanabiScene:
         are captured — animate properties and transforms WITHIN the chunk
         (membership/visibility stay frozen).
 
+        ``camera`` may be a SEQUENCE of cameras sharing one viewport: the
+        scan body then renders every view per frame (vmap over camera
+        params, like :meth:`render_views`) — K frames × V views in one
+        dispatch. Ordering/batching is planned under ``cameras[0]``.
+
         Returns ``(image, checksums)``: the LAST frame's [H, W, 4]
-        framebuffer and a [K] array of per-frame framebuffer sums (each
-        frame's raster feeds an output, so XLA cannot elide any draw).
+        framebuffer ([V, H, W, 4] for multi-view) and a [K] array of
+        per-frame framebuffer sums (each frame's raster feeds an output,
+        so XLA cannot elide any draw).
         """
         import dataclasses
 
@@ -857,7 +863,20 @@ class HanabiScene:
                 "update_render_chunk does not support sharded groups; "
                 "render sharded scenes per frame via scene.render"
             )
-        vw, vh = camera.viewport
+        cams = (
+            list(camera) if isinstance(camera, (list, tuple)) else None
+        )
+        if cams is not None:
+            if not cams:
+                raise ValueError("camera list must not be empty")
+            if any(c.viewport != cams[0].viewport for c in cams):
+                raise ValueError(
+                    "all update_render_chunk cameras must share one viewport"
+                )
+            camera0 = cams[0]
+        else:
+            camera0 = camera
+        vw, vh = camera0.viewport
         if background is None:
             background = (
                 config.background if config is not None else (0.0, 0.0, 0.0, 1.0)
@@ -880,10 +899,11 @@ class HanabiScene:
         index = {n: i for i, n in enumerate(names)}
 
         opaque_passes, transp_passes = self._scene_render_plan(
-            insts, groups, camera
+            insts, groups, camera0
         )
 
         key = (
+            len(cams) if cams is not None else 0,
             tuple(
                 (
                     n,
@@ -910,7 +930,8 @@ class HanabiScene:
         fn = self._scene_chunk_jit.get(key)
         if fn is None:
             fn = self._build_scene_chunk(
-                insts, groups, opaque_passes, transp_passes, config
+                insts, groups, opaque_passes, transp_passes, config,
+                n_views=len(cams) if cams is not None else 0,
             )
             self._scene_chunk_jit[key] = fn
 
@@ -944,9 +965,13 @@ class HanabiScene:
             }
             for inst in insts
         )
+        fb_shape = (
+            (len(cams), config.height, config.width, 4)
+            if cams is not None
+            else (config.height, config.width, 4)
+        )
         fb0 = jnp.broadcast_to(
-            jnp.asarray(background, jnp.float32),
-            (config.height, config.width, 4),
+            jnp.asarray(background, jnp.float32), fb_shape
         ).astype(jnp.float32)
         carry = (
             tuple(inst.pool for inst in insts),
@@ -955,8 +980,14 @@ class HanabiScene:
             fb0,
         )
         bg_vec = jnp.asarray(background, jnp.float32)
+        if cams is not None:
+            camera_arg = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *cams
+            )
+        else:
+            camera_arg = camera
         (pools, pendings, gpools, image), sums = fn(
-            carry, member_inputs, g_ins, ss, camera, scene_depth, bg_vec
+            carry, member_inputs, g_ins, ss, camera_arg, scene_depth, bg_vec
         )
         for inst, pool, pend in zip(insts, pools, pendings):
             inst.pool = pool
@@ -1141,9 +1172,12 @@ class HanabiScene:
         return render_frame
 
     def _build_scene_chunk(
-        self, insts, groups, opaque_passes, transp_passes, config
+        self, insts, groups, opaque_passes, transp_passes, config,
+        n_views: int = 0,
     ):
-        """Build the jitted whole-scene K-frame step+render scan."""
+        """Build the jitted whole-scene K-frame step+render scan.
+        ``n_views > 0``: ``camera`` is a stacked pytree and every frame
+        renders all views (vmapped), fb = [V, H, W, 4]."""
         import jax
 
         render_frame = self._make_scene_frame_renderer(
@@ -1190,10 +1224,18 @@ class HanabiScene:
                     gp, _ = vm(gpools[gi], g_ins_t[gi], sim)
                     new_gpools.append(gp)
                 # ---- render the fresh pools ----
-                fb = render_frame(
-                    new_pools, new_gpools, m_ins, g_ins_t, sim, camera,
-                    scene_depth, bg_vec,
-                )
+                if n_views:
+                    fb = jax.vmap(
+                        lambda cam: render_frame(
+                            new_pools, new_gpools, m_ins, g_ins_t, sim,
+                            cam, scene_depth, bg_vec,
+                        )
+                    )(camera)
+                else:
+                    fb = render_frame(
+                        new_pools, new_gpools, m_ins, g_ins_t, sim, camera,
+                        scene_depth, bg_vec,
+                    )
                 return (
                     tuple(new_pools),
                     tuple(new_pendings),

@@ -1327,3 +1327,32 @@ def test_update_render_chunk_fuzz_phase_mixes(seed):
     imgA = np.asarray(imgA)
     assert np.isfinite(imgA).all()
     np.testing.assert_allclose(imgA, imgB, atol=1e-4)
+
+
+def test_update_render_chunk_multiview():
+    """K frames x V views in one dispatch: each view of the fused chunk
+    matches the per-frame path rendered with that camera."""
+    cams = [
+        CameraParams(
+            view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+            proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+            viewport=(64, 64),
+        ),
+        CameraParams(
+            view=look_at((1.0, 0.5, 4.5), (0.0, 0.0, 0.0)),
+            proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+            viewport=(64, 64),
+        ),
+    ]
+    cfg = RasterConfig(width=64, height=64, tile_size=16, max_entries_per_tile=32)
+    K = 4
+    sA, sB = _mixed_scene(), _mixed_scene()
+    stack, sums = sA.update_render_chunk(K, DT, cams, cfg)
+    stack = np.asarray(stack)
+    assert stack.shape == (2, 64, 64, 4)
+    assert sums.shape == (K,)
+    for _ in range(K):
+        sB.update(DT)
+    for v, cam in enumerate(cams):
+        single = np.asarray(sB.render(cam, cfg))
+        np.testing.assert_allclose(stack[v], single, atol=1e-4)
