@@ -142,11 +142,14 @@ def bench_stepped_rendered():
         proj=perspective(math.radians(60.0), 1.0, 0.1, 200.0),
         viewport=(512, 512),
     )
-    # tile_slots=2: corner + dominant-spill binning (see RasterConfig) — the
-    # dense-small-particle fast path; halves the (tile, depth) sort size.
-    # The hi-fi config blends 4x the entries (T=8: less budget truncation in
-    # deep stacks — see docs/PERF.md "Raster config sweep").
-    config = RasterConfig(width=512, height=512, tile_slots=2)
+    # tile_slots=1: center-tile binning (see RasterConfig) — the sort sees
+    # exactly N entries, and under the M=64 budget it paints MORE energy
+    # than span^2 binning (spill slivers no longer consume blend slots:
+    # checksums 722k slots1 vs 610k slots2 vs 599k exact at this scene).
+    # The hi-fi config blends 4x the entries (T=8: less budget truncation
+    # in deep stacks — see docs/PERF.md "Raster config sweep").
+    config = RasterConfig(width=512, height=512, tile_slots=1)
+    slots2 = RasterConfig(width=512, height=512, tile_slots=2)
     hifi = RasterConfig(width=512, height=512, tile_slots=2, tile_size=8)
     frame = 0
 
@@ -194,8 +197,23 @@ def bench_stepped_rendered():
         best_h = min(best_h, time.perf_counter() - t0)
     hifi_res = (K / best_h, float(jnp.sum(sums)))
 
-    # exact-binning companion (tile_slots=0, span^2 binning): the headline
-    # config's approximations cost nothing in correctness-critical scenes
+    # slots=2 companion (corner + dominant-spill, the r2 headline config)
+    for _ in range(2):
+        ii, ss = chunk(frame)
+        frame += K
+        pool, img, sums = fx.step_render_chunk(pool, ii, ss, cam, slots2)
+    best_2 = float("inf")
+    for _ in range(3):
+        ii, ss = chunk(frame)
+        frame += K
+        int(pool.alive_count())
+        t0 = time.perf_counter()
+        pool, img, sums = fx.step_render_chunk(pool, ii, ss, cam, slots2)
+        int(pool.alive_count())
+        best_2 = min(best_2, time.perf_counter() - t0)
+    slots2_res = (K / best_2, float(jnp.sum(sums)))
+
+    # exact-binning companion (tile_slots=0, span^2 binning)
     exact = RasterConfig(width=512, height=512)
     for _ in range(2):
         ii, ss = chunk(frame)
@@ -210,7 +228,7 @@ def bench_stepped_rendered():
         pool, img, sums = fx.step_render_chunk(pool, ii, ss, cam, exact)
         int(pool.alive_count())
         best_e = min(best_e, time.perf_counter() - t0)
-    return headline + hifi_res + (K / best_e, float(jnp.sum(sums)))
+    return headline + slots2_res + hifi_res + (K / best_e, float(jnp.sum(sums)))
 
 
 def bench_force_field(cap=100_000):
@@ -481,6 +499,7 @@ def bench_firework_events(frames=240):
 def main() -> None:
     (
         r_pps, r_fps, r_alive, r_checksum,
+        r_s2_fps, r_s2_chk,
         r_hifi_fps, r_hifi_chk, r_exact_fps, r_exact_chk,
     ) = bench_stepped_rendered()
     s_pps, s_sps, s_alive = bench_single()
@@ -504,10 +523,21 @@ def main() -> None:
                         "alive_mean": r_alive,
                         "framebuffer_checksum": r_checksum,
                         "note": (
-                            "tile_slots=2 approximate binning (corner + "
-                            "dominant-spill; sub-splat slivers beyond one "
-                            "tile boundary drop) — see the exact config "
-                            "below for the span^2 number"
+                            "tile_slots=1 center-tile binning (approximate:"
+                            " a boundary-crossing splat keeps only its "
+                            "center tile's fragment) — under the per-tile "
+                            "blend budget it paints MORE energy than the "
+                            "span^2 configs below because spill slivers no "
+                            "longer consume blend slots; slots=2 and exact "
+                            "companions reported below"
+                        ),
+                    },
+                    "stepped_and_rendered_1M_512sq_slots2": {
+                        "frames_per_sec": r_s2_fps,
+                        "framebuffer_checksum": r_s2_chk,
+                        "note": (
+                            "tile_slots=2 corner+dominant-spill binning "
+                            "(the round-2 headline config)"
                         ),
                     },
                     "stepped_and_rendered_1M_512sq_exact": {
