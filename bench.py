@@ -383,7 +383,7 @@ def bench_mixed_scene(frames=K):
         proj=perspective(math.radians(60.0), 1.0, 0.1, 200.0),
         viewport=(512, 512),
     )
-    cfg = RasterConfig(width=512, height=512, tile_slots=2)
+    cfg = RasterConfig(width=512, height=512, tile_slots=1)
     # warm to steady state (the longest lifetime is 5 s)
     for _ in range((int(5.0 / DT) + frames) // frames + 1):
         img, sums = scene.update_render_chunk(frames, DT, cam, cfg)
@@ -558,7 +558,9 @@ def main() -> None:
                             "opaque 64k + blend 512k + firework event tree "
                             "64k->256k, whole scene stepped AND rendered "
                             "per frame in one fused chunk "
-                            "(update_render_chunk)"
+                            "(update_render_chunk); tile_slots=1 center "
+                            "binning (82.9 fps at slots=2 with 10% less "
+                            "blended energy)"
                         ),
                     },
                     **scaling,
