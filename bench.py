@@ -290,7 +290,11 @@ def bench_ribbons():
         proj=perspective(math.radians(60.0), 1.0, 0.1, 200.0),
         viewport=(512, 512),
     )
-    config = RasterConfig(width=512, height=512, tile_slots=2)
+    # tile_slots=1: measured CLOSER to a high-budget truth render than
+    # slots=2 at this dense config (L1 8.7M vs 9.7M, 2x blended energy —
+    # spill entries no longer consume the per-tile budget), and 72 vs 62
+    # fps. See docs/PERF.md.
+    config = RasterConfig(width=512, height=512, tile_slots=1)
     frame = 0
 
     def chunk(frame):

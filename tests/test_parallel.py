@@ -573,3 +573,42 @@ def test_sharded_opaque_group_writes_scene_depth():
     # scene depth carries the group's particle distance (camera z=5 - z=0)
     np.testing.assert_allclose(depth[32, 32], 5.0, atol=1e-5)
     assert np.isinf(depth[2, 2])  # untouched pixels stay +inf
+
+
+@needs_devices(8)
+def test_sharded_render_slice_capacity_truncation_is_graceful():
+    """When a slice's routed entries exceed the static capacity bound,
+    extras drop (documented) — the render stays finite and keeps at most
+    the capacity's worth of energy, never corrupting the image."""
+    from bevy_hanabi_tpu.gradient import Gradient
+    from bevy_hanabi_tpu.modifiers import SizeOverLifetimeModifier
+
+    # all particles in a tight cluster -> one slice receives nearly all
+    asset = (
+        spawn_gravity_effect(capacity=512, rate=0.0)
+        .with_alpha_mode(AlphaMode.ADD)
+        .render(SizeOverLifetimeModifier(Gradient.linear((0.03,), (0.03,))))
+    )
+    mesh = make_mesh(jax.devices()[:8], dp=1, sp=8)
+    fx = ShardedEffect(asset, 1, mesh, capacity=512)
+    pools = fx.create_pools()
+    inputs = fx.shard_inputs(
+        fx.make_inputs(np.asarray([512], np.int32), np.asarray([9], np.uint32))
+    )
+    pools, _ = fx.step(pools, inputs, SimParams(delta_time=DT))
+    cam = _camera()
+    cfg = RasterConfig(
+        width=128, height=128,
+        background=(0.0, 0.0, 0.0, 0.0), max_entries_per_tile=512,
+    )
+    img_full = np.asarray(
+        ShardedRenderer(fx, cfg, mode="slice", slice_capacity_factor=8.0)
+        .render(pools, cam)
+    )
+    # tiny capacity: at most 256-per-source rows reach each slice
+    img_tiny = np.asarray(
+        ShardedRenderer(fx, cfg, mode="slice", slice_capacity_factor=0.01)
+        .render(pools, cam)
+    )
+    assert np.isfinite(img_tiny).all()
+    assert 0.0 < img_tiny[..., :3].sum() <= img_full[..., :3].sum() + 1e-3
