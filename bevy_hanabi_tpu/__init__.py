@@ -42,4 +42,4 @@ from .time import EffectSimulationClock  # noqa: F401
 from . import modifiers  # noqa: F401
 from .modifiers import *  # noqa: F401,F403
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"

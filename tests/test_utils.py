@@ -185,3 +185,52 @@ def test_scene_remove_group():
     assert scene.group_alive("g") >= 0
     scene.remove("g")
     assert scene.total_alive() >= 0  # group gone, no KeyError
+
+
+def test_checkpoint_resume_through_fused_scene_chunk(tmp_path):
+    """Checkpoint/resume composes with the fused whole-scene chunk: saving
+    between chunks and resuming in a FRESH scene reproduces the next
+    chunk's framebuffer exactly (events, spawner cycles, and RNG streams
+    all cross the checkpoint)."""
+    import numpy as np
+
+    from bevy_hanabi_tpu.models import firework_effect, firework_trail_effect
+    from bevy_hanabi_tpu.render import (
+        CameraParams,
+        RasterConfig,
+        look_at,
+        perspective,
+    )
+    from bevy_hanabi_tpu.runtime import HanabiScene
+
+    import math
+
+    def build():
+        s = HanabiScene(seed=21)
+        s.add(firework_effect(capacity=512), "p")
+        s.add(firework_trail_effect(capacity=2048), "c", parent="p")
+        return s
+
+    cam = CameraParams(
+        view=look_at((0.0, 3.0, 8.0), (0.0, 3.0, 0.0)),
+        proj=perspective(math.radians(60.0), 1.0, 0.1, 100.0),
+        viewport=(64, 64),
+    )
+    cfg = RasterConfig(width=64, height=64)
+    DT = 1.0 / 60.0
+
+    scene = build()
+    scene.update_render_chunk(6, DT, cam, cfg)
+    path = str(tmp_path / "mid.ckpt")
+    save_scene_state(scene, path)
+    img_cont, sums_cont = scene.update_render_chunk(6, DT, cam, cfg)
+
+    fresh = build()
+    load_scene_state(fresh, path)
+    img_res, sums_res = fresh.update_render_chunk(6, DT, cam, cfg)
+    np.testing.assert_allclose(
+        np.asarray(img_cont), np.asarray(img_res), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sums_cont), np.asarray(sums_res), rtol=1e-5
+    )
