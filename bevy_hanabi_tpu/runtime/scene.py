@@ -851,9 +851,13 @@ class HanabiScene:
 
         Static per chunk (frozen at call time, like update_chunk):
         visibility, effect ordering (by emitter distance under the chunk's
-        starting transforms), batching, and phases. Sharded groups are not
-        supported (their shard_map render stays per frame via
-        :meth:`render`).
+        starting transforms), batching, and phases.
+
+        Sharded groups participate like instanced groups: their pools keep
+        their ``NamedSharding`` through the scan and GSPMD inserts the
+        step collectives and the render-side gathers automatically (the
+        explicitly-placed psum/slice collectives of
+        :class:`ShardedRenderer` remain the per-frame path).
 
         ``on_frame(scene, i)`` runs host-side before each frame's inputs
         are captured — animate properties and transforms WITHIN the chunk
@@ -875,11 +879,6 @@ class HanabiScene:
 
         from ..render.raster import RasterConfig
 
-        if any(g.get("sharded") for g in self._groups.values()):
-            raise ValueError(
-                "update_render_chunk does not support sharded groups; "
-                "render sharded scenes per frame via scene.render"
-            )
         cams = (
             list(camera) if isinstance(camera, (list, tuple)) else None
         )
@@ -973,10 +972,18 @@ class HanabiScene:
         import jax.numpy as _jnp
 
         g_ins = tuple(
-            jax.tree_util.tree_map(
-                lambda *xs: _jnp.stack(xs), *per_group_inputs[g]
+            (
+                groups[gi]["fx"].shard_inputs_stacked(
+                    jax.tree_util.tree_map(
+                        lambda *xs: _jnp.stack(xs), *per_group_inputs[g]
+                    )
+                )
+                if groups[gi].get("sharded")
+                else jax.tree_util.tree_map(
+                    lambda *xs: _jnp.stack(xs), *per_group_inputs[g]
+                )
             )
-            for g in gnames
+            for gi, g in enumerate(gnames)
         )
         pendings = tuple(
             {
@@ -1313,11 +1320,6 @@ class HanabiScene:
 
         from ..render.raster import RasterConfig
 
-        if any(g.get("sharded") for g in self._groups.values()):
-            raise ValueError(
-                "render_views does not support sharded groups; render "
-                "sharded scenes per camera via scene.render"
-            )
         cameras = list(cameras)
         if not cameras:
             raise ValueError("render_views needs at least one camera")

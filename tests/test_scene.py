@@ -1131,18 +1131,45 @@ def test_update_render_chunk_matches_per_frame_path():
     np.testing.assert_allclose(np.asarray(imgA2), imgB2, atol=1e-4)
 
 
-def test_update_render_chunk_rejects_sharded_groups():
-    from bevy_hanabi_tpu.models import instancing_effect
+def test_update_render_chunk_sharded_group_matches_plain():
+    """Sharded groups ride the fused chunk: GSPMD partitions the step and
+    inserts the render gathers automatically, and the result matches the
+    same scene with a plain (unsharded) group."""
+    import jax
 
-    scene = HanabiScene(seed=1)
-    scene.add_sharded_group(instancing_effect(capacity=64), 8, "sg", dp=4, sp=2)
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from bevy_hanabi_tpu.models import gradient_effect, instancing_effect
+
     cam = CameraParams(
         view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
         proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
         viewport=(64, 64),
     )
-    with pytest.raises(ValueError, match="sharded"):
-        scene.update_render_chunk(2, DT, cam)
+    cfg = RasterConfig(width=64, height=64, max_entries_per_tile=256)
+
+    def build(sharded):
+        s = HanabiScene(seed=6)
+        s.add(gradient_effect(capacity=128), "plain")
+        if sharded:
+            s.add_sharded_group(
+                instancing_effect(capacity=64), 8, "g", dp=4, sp=2
+            )
+        else:
+            s.add_group(instancing_effect(capacity=64), 8, "g")
+        return s
+
+    sA, sB = build(True), build(False)
+    imgA, sumsA = sA.update_render_chunk(4, DT, cam, cfg)
+    imgB, sumsB = sB.update_render_chunk(4, DT, cam, cfg)
+    assert sA.group_alive("g") == sB.group_alive("g") > 0
+    np.testing.assert_allclose(np.asarray(imgA), np.asarray(imgB), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(sumsA), np.asarray(sumsB), rtol=1e-4
+    )
+    # pools stay sharded through the scan
+    sh = sA._groups["g"]["pools"].alive.sharding
+    assert getattr(sh, "spec", None) is not None
 
 
 def test_render_views_matches_per_view_renders():
