@@ -1243,7 +1243,7 @@ class HanabiScene:
                 ))(gfx),
                 in_axes=(0, 0, None),
             )
-            for gfx in groups and [g["fx"] for g in groups] or []
+            for gfx in [g["fx"] for g in groups]
         ]
 
         def chunk_fn(carry, member_inputs, g_ins, sims, camera, scene_depth,
