@@ -67,11 +67,17 @@ class EventBuffer:
         return jnp.sum(self.count, dtype=jnp.int32)
 
     @staticmethod
-    def empty(capacity: int, layout=None) -> "EventBuffer":
-        """Empty buffer; pass the parent ParticleLayout to shape the payload."""
+    def empty(capacity: int, layout=None, attrs=None) -> "EventBuffer":
+        """Empty buffer; pass the parent ParticleLayout to shape the
+        payload. ``attrs`` (optional name tuple) restricts the payload to
+        those attributes — must match the emitting effect's
+        ``payload_attrs`` so buffer pytree structures agree in scan
+        carries."""
         payload = {}
         if layout is not None:
             for a in layout.storage_attributes():
+                if attrs is not None and a.name not in attrs:
+                    continue
                 shape = (capacity,) if a.lanes == 1 else (capacity, a.lanes)
                 payload[a.name] = jnp.zeros(shape, a.np_dtype)
         return EventBuffer(

@@ -188,9 +188,34 @@ class HanabiScene:
         # keep parents before children in step order
         if parent is not None:
             self._order.insert(self._order.index(parent) + 1, name)
+            self._restrict_parent_payload(parent)
         else:
             self._order.append(name)
         return name
+
+    def _restrict_parent_payload(self, parent: str) -> None:
+        """Recompile the parent with event payload capture restricted to
+        the union of its children's inherited attributes — each captured
+        attribute costs a per-frame scatter (~0.35 ms at 64k), and a
+        typical child inherits 1 of the parent's ~7 attributes."""
+        p = self._effects[parent]
+        union = set()
+        for e in self._effects.values():
+            if e.parent == parent:
+                union |= set(e.fx._inherited_attrs)
+        union_t = tuple(sorted(union))
+        if p.fx.payload_attrs == union_t:
+            return
+        p.fx = CompiledEffect.get(
+            p.asset,
+            parent_layout=p.fx.parent_layout,
+            parent_const_count=p.fx.parent_const_count,
+            payload_attrs=union_t,
+        )
+        # the event-buffer pytree structure changed: drop in-flight events
+        # (one frame of events at attach time — the reference similarly
+        # recompiles and resets on graph changes)
+        p.last_events = {}
 
     def add_group(
         self,
@@ -411,6 +436,7 @@ class HanabiScene:
                         events_in = EventBuffer.empty(
                             parent.pool.capacity,
                             parent.asset.particle_layout(),
+                            attrs=parent.fx.payload_attrs,
                         )
                     inst.pool, events_out = inst.fx.step(
                         inst.pool,
@@ -712,7 +738,9 @@ class HanabiScene:
                 {
                     ch: inst.last_events.get(ch)
                     or EventBuffer.empty(
-                        inst.pool.capacity, inst.asset.particle_layout()
+                        inst.pool.capacity,
+                        inst.asset.particle_layout(),
+                        attrs=inst.fx.payload_attrs,
                     )
                     for ch in range(inst.fx.num_event_channels)
                 }
@@ -989,7 +1017,9 @@ class HanabiScene:
             {
                 ch: inst.last_events.get(ch)
                 or EventBuffer.empty(
-                    inst.pool.capacity, inst.asset.particle_layout()
+                    inst.pool.capacity,
+                    inst.asset.particle_layout(),
+                    attrs=inst.fx.payload_attrs,
                 )
                 for ch in range(inst.fx.num_event_channels)
             }
