@@ -214,8 +214,13 @@ class HanabiScene:
         )
         # the event-buffer pytree structure changed: drop in-flight events
         # (one frame of events at attach time — the reference similarly
-        # recompiles and resets on graph changes)
+        # recompiles and resets on graph changes) and any cached chunk
+        # executables whose closures captured the old parent fx
         p.last_events = {}
+        self._family_jit = {
+            k: v for k, v in self._family_jit.items() if parent not in k
+        }
+        self._scene_chunk_jit.clear()
 
     def add_group(
         self,

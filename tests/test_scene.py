@@ -1436,3 +1436,27 @@ def test_per_effect_raster_override():
 
     # override forces its own pass: two same-blend effects never batch
     assert len(sA._batch_render_jit) == 0 or True  # batching bookkeeping
+
+
+def test_payload_restriction_survives_child_attach_detach():
+    """Attaching a child after the parent has stepped (and detaching it
+    again) recompiles the parent's payload capture without stale cached
+    executables: chunked stepping keeps working across the topology
+    changes and trails still inherit positions."""
+    from bevy_hanabi_tpu.models import firework_effect, firework_trail_effect
+
+    scene = HanabiScene(seed=8)
+    scene.add(firework_effect(capacity=256), "p")
+    assert scene["p"].fx.payload_attrs is None  # full capture, no children
+    scene.update_chunk(4, DT)  # caches the single-member family scan
+    scene.add(firework_trail_effect(capacity=1024), "c", parent="p")
+    assert scene["p"].fx.payload_attrs == ("position",)
+    # rockets die after 0.8-1.4 s; trails spawn OnDie
+    scene.update_chunk(90, DT)
+    assert scene["c"].alive_count() > 0  # inheritance flowed post-attach
+    pos = np.asarray(scene["c"].pool.attrs["position"])
+    alive = np.asarray(scene["c"].pool.alive)
+    assert np.isfinite(pos[alive]).all() and np.abs(pos[alive]).max() > 0.01
+    scene.remove("c")
+    scene.update_chunk(4, DT)  # single-member family again: no stale jit
+    assert scene["p"].alive_count() >= 0
