@@ -168,8 +168,8 @@ def _route_rows(rows, dest0, dest1, dp, sp, cap):
         key = (dests << idx_bits) | jnp.arange(n2, dtype=jnp.uint32)
         (key_sorted,) = jax.lax.sort((key,), num_keys=1)
         bound = jnp.arange(n_dev + 1, dtype=jnp.uint32) << idx_bits
-        starts = jnp.searchsorted(key_sorted, bound[:-1])
-        ends = jnp.searchsorted(key_sorted, bound[1:])
+        r = jnp.searchsorted(key_sorted, bound)
+        starts, ends = r[:-1], r[1:]
         raw = starts[:, None] + jnp.arange(cap, dtype=starts.dtype)[None, :]
         idx = jnp.minimum(raw, n2 - 1)
         k_win = key_sorted[idx]
@@ -177,12 +177,10 @@ def _route_rows(rows, dest0, dest1, dp, sp, cap):
     else:
         eidx = jnp.arange(n2, dtype=jnp.int32)
         key_sorted, ent_sorted = jax.lax.sort((dests, eidx), num_keys=1)
-        starts = jnp.searchsorted(
-            key_sorted, jnp.arange(n_dev, dtype=jnp.uint32)
+        r = jnp.searchsorted(
+            key_sorted, jnp.arange(n_dev + 1, dtype=jnp.uint32)
         )
-        ends = jnp.searchsorted(
-            key_sorted, jnp.arange(1, n_dev + 1, dtype=jnp.uint32)
-        )
+        starts, ends = r[:-1], r[1:]
         raw = starts[:, None] + jnp.arange(cap, dtype=starts.dtype)[None, :]
         idx = jnp.minimum(raw, n2 - 1)
         entry = ent_sorted[idx]

@@ -336,10 +336,13 @@ def rasterize(
             dq, _ = quant_depth(db)
             key = key | (dq << idx_bits)
         (key_sorted,) = jax.lax.sort((key,), num_keys=1)
-        # All keys of tile t lie in [t << shift, (t+1) << shift).
+        # All keys of tile t lie in [t << shift, (t+1) << shift), so ONE
+        # searchsorted of the nt+1 bounds yields every run: starts[t] =
+        # r[t], ends[t] = r[t+1] (two separate calls measured ~0.14 ms
+        # extra per pass — searchsorted lowers to a sequential while).
         bound = jnp.arange(nt + 1, dtype=jnp.uint32) << (db + idx_bits)
-        starts = jnp.searchsorted(key_sorted, bound[:-1])
-        ends = jnp.searchsorted(key_sorted, bound[1:])
+        r = jnp.searchsorted(key_sorted, bound)
+        starts, ends = r[:-1], r[1:]
         pidx_sorted = None  # windows decode pidx from key_sorted directly
     else:
         # The ordered path packs (tile | quantized-depth) into a uint32 key:
@@ -364,14 +367,13 @@ def rasterize(
         # size — see docs/PERF.md "Sorting & compaction: measured dead
         # ends".
         key_sorted, pidx_sorted = jax.lax.sort((key, pidxs), num_keys=1)
-        tile_sorted = (key_sorted >> depth_bits).astype(tile_ids.dtype)
-        tile_sorted = jnp.minimum(tile_sorted, nt)  # padding decodes past nt
-        starts = jnp.searchsorted(
-            tile_sorted, jnp.arange(nt, dtype=tile_sorted.dtype)
-        )
-        ends = jnp.searchsorted(
-            tile_sorted, jnp.arange(1, nt + 1, dtype=tile_sorted.dtype)
-        )
+        # Tile runs come from ONE searchsorted of the nt+1 tile-key bounds
+        # against the sorted keys: entries of tile t occupy [r[t], r[t+1])
+        # (invalid entries carry tile nt and land past the last bound).
+        # One call instead of two and no materialized tile_sorted array.
+        bound = jnp.arange(nt + 1, dtype=jnp.uint32) << depth_bits
+        r = jnp.searchsorted(key_sorted, bound)
+        starts, ends = r[:-1], r[1:]
 
     # ---- 4. bounded per-tile blend ----
     tile_row = jnp.arange(nt, dtype=jnp.int32) // ntx
@@ -433,7 +435,12 @@ def rasterize(
         entry_win = (k_win & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
         t_p = jnp.remainder(entry_win, n)
     else:
-        t_has = (raw < ends[None, :]) & (tile_sorted[idx] < nt)
+        # Tile membership is implied by the run bounds: every entry in
+        # [starts[t], ends[t]) has tile exactly t, so ``raw < ends`` alone
+        # masks the window — re-gathering the sorted tiles to check
+        # membership cost a redundant [M, nt] gather (~0.47 ms/frame per
+        # pass at M=64, nt=1024 on v5e).
+        t_has = raw < ends[None, :]
         t_p = pidx_sorted[idx]  # [M, nt]
 
     cols = [
