@@ -106,16 +106,48 @@ def build_event_buffer(
     num_events = jnp.sum(active, dtype=jnp.int32)
     slot_ids = jnp.arange(n, dtype=jnp.uint32)
     # Scatter active rows to their rank; inactive rows write past the end
-    # (mode='drop').
+    # (mode='drop'). ALL compacted fields — slot, count, every payload
+    # attribute — pack into ONE [n, F] row matrix scattered once: row
+    # scatters are row-count-bound like row gathers, and separate
+    # scatters measured ~0.3 ms EACH per 64k lanes on v5e (the packed
+    # form took the 64k→256k firework pair from 559 to ~800 steps/s).
+    # The carrier dtype is int32, NOT float32: u32 lane values like slot
+    # ids bitcast to f32 denormals, and XLA:CPU eager mode flushes
+    # denormals to zero between ops (measured: parent_slot came back all
+    # zeros). Integer lanes are bit-exact everywhere; f32 payloads bitcast
+    # to i32 and back losslessly.
     dst = jnp.where(active, rank, n)
-    parent_slot = jnp.zeros((n,), jnp.uint32).at[dst].set(slot_ids, mode="drop")
-    counts = jnp.zeros((n,), jnp.uint32).at[dst].set(
-        count.astype(jnp.uint32), mode="drop"
-    )
-    payload = {}
+
+    def to_i32_cols(arr):
+        a2 = arr[:, None] if arr.ndim == 1 else arr
+        if a2.dtype != jnp.int32:
+            a2 = jax.lax.bitcast_convert_type(a2, jnp.int32)
+        return a2
+
+    cols = [
+        to_i32_cols(slot_ids),
+        to_i32_cols(count.astype(jnp.uint32)),
+    ]
+    schema = []
     for name, arr in (parent_attrs or {}).items():
-        out = jnp.zeros_like(arr)
-        payload[name] = out.at[dst].set(arr, mode="drop")
+        a2 = to_i32_cols(arr)
+        schema.append((name, arr.ndim, a2.shape[1], arr.dtype))
+        cols.append(a2)
+    rows = jnp.concatenate(cols, axis=1)
+    packed = jnp.zeros_like(rows).at[dst].set(rows, mode="drop")
+
+    def from_i32(sl, nd, dtype):
+        if dtype != jnp.int32:
+            sl = jax.lax.bitcast_convert_type(sl, dtype)
+        return sl[:, 0] if nd == 1 else sl
+
+    parent_slot = from_i32(packed[:, 0:1], 1, jnp.dtype(jnp.uint32))
+    counts = from_i32(packed[:, 1:2], 1, jnp.dtype(jnp.uint32))
+    payload = {}
+    off = 2
+    for name, nd, w, dtype in schema:
+        payload[name] = from_i32(packed[:, off : off + w], nd, dtype)
+        off += w
     return EventBuffer(parent_slot, counts, num_events, payload)
 
 

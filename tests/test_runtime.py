@@ -402,3 +402,45 @@ def test_event_payload_immune_to_parent_slot_recycling():
     pos = np.asarray(cpool.get("position"))[np.asarray(cpool.alive)]
     # payload capture => inherits the DEAD emitter's position, not the recycler's
     np.testing.assert_allclose(pos, [[7.0, 7.0, 7.0]], atol=1e-5)
+
+
+def test_build_event_buffer_bit_exact_eager_and_jit():
+    """The compacted event buffer packs slot/count/payload lanes into one
+    row scatter via an int32 carrier. Pin bit-exactness in BOTH eager and
+    jit modes: a float32 carrier regressed here once — u32 slot ids bitcast
+    to f32 denormals, which XLA:CPU eager mode flushes to zero between ops
+    (parent_slot came back all-zero, silently killing every child spawn in
+    the per-frame scene path while the jitted tests stayed green)."""
+    from bevy_hanabi_tpu.runtime.events import build_event_buffer
+
+    active = jnp.array([0, 1, 0, 1, 0, 0, 1, 0], bool)
+    count = jnp.array([0, 4, 0, 2, 0, 0, 3, 0], jnp.int32)
+    attrs = {
+        # f32 rows incl. negative zero and tiny (denormal-adjacent) values
+        "position": jnp.array(
+            [[float(i), -0.0, 1e-40] for i in range(8)], jnp.float32
+        ),
+        # u32 lane with the high bit set (bitcasts to a negative i32)
+        "seed": (jnp.arange(8, dtype=jnp.uint32) * 7) | jnp.uint32(0x80000000),
+        "age": jnp.linspace(0.0, 1.0, 8, dtype=jnp.float32),
+    }
+    for label, fn in (("eager", build_event_buffer), ("jit", jax.jit(build_event_buffer))):
+        buf = fn(active, count, attrs)
+        assert int(buf.num_events) == 3, label
+        np.testing.assert_array_equal(np.asarray(buf.parent_slot[:3]), [1, 3, 6], label)
+        np.testing.assert_array_equal(np.asarray(buf.count[:3]), [4, 2, 3], label)
+        np.testing.assert_array_equal(
+            np.asarray(buf.payload["position"][:3]),
+            np.asarray(attrs["position"])[[1, 3, 6]],
+            label,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(buf.payload["seed"][:3]),
+            np.asarray(attrs["seed"])[[1, 3, 6]],
+            label,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(buf.payload["age"][:3]),
+            np.asarray(attrs["age"])[[1, 3, 6]],
+            label,
+        )
