@@ -102,51 +102,59 @@ def build_event_buffer(
     """
     n = mask.shape[-1]
     active = jnp.logical_and(mask, count > 0)
-    rank = jnp.cumsum(active.astype(jnp.int32)) - 1  # inclusive -> 0-based
     num_events = jnp.sum(active, dtype=jnp.int32)
     slot_ids = jnp.arange(n, dtype=jnp.uint32)
-    # Scatter active rows to their rank; inactive rows write past the end
-    # (mode='drop'). ALL compacted fields — slot, count, every payload
-    # attribute — pack into ONE [n, F] row matrix scattered once: row
-    # scatters are row-count-bound like row gathers, and separate
-    # scatters measured ~0.3 ms EACH per 64k lanes on v5e (the packed
-    # form took the 64k→256k firework pair from 559 to ~800 steps/s).
-    # The carrier dtype is int32, NOT float32: u32 lane values like slot
-    # ids bitcast to f32 denormals, and XLA:CPU eager mode flushes
-    # denormals to zero between ops (measured: parent_slot came back all
-    # zeros). Integer lanes are bit-exact everywhere; f32 payloads bitcast
-    # to i32 and back losslessly.
-    dst = jnp.where(active, rank, n)
+    # Compact by ONE stable lax.sort on the inactive flag carrying every
+    # field — slot, count, all payload lanes — as payload operands:
+    # active rows float to the front in lane order (so downstream
+    # monotone-gather hints stay valid). On v5e a stable multi-operand
+    # 65k sort measures ~0.54 ms standalone and is width-independent to
+    # ~16 operands, vs ~0.90 ms for the equivalent packed row scatter
+    # (and ~0.3 ms EACH for the per-field scatters both replaced; the
+    # packed scatter took the 64k→256k firework pair from 559 to ~813
+    # steps/s, and the sort removes the rank cumsum too).
+    # Operand dtype is int32, NOT float32: u32 slot ids bitcast to f32
+    # denormals, and XLA:CPU eager mode flushes denormals to zero
+    # between ops (measured: parent_slot came back all zeros). Integer
+    # lanes are bit-exact everywhere; f32 payloads bitcast to i32 and
+    # back losslessly.
+    # Rows past the compacted prefix hold arbitrary inactive-lane data,
+    # EXCEPT count, which is zeroed so the buffer contract (count == 0
+    # past num_events; total_spawn_count sums every row) holds.
+    count_eff = jnp.where(active, count.astype(jnp.int32), 0)
 
-    def to_i32_cols(arr):
+    def to_i32_ops(arr):
         a2 = arr[:, None] if arr.ndim == 1 else arr
         if a2.dtype != jnp.int32:
             a2 = jax.lax.bitcast_convert_type(a2, jnp.int32)
-        return a2
+        return [a2[:, j] for j in range(a2.shape[1])]
 
-    cols = [
-        to_i32_cols(slot_ids),
-        to_i32_cols(count.astype(jnp.uint32)),
+    operands = [
+        (~active).astype(jnp.int32),
+        *to_i32_ops(slot_ids),
+        count_eff,
     ]
     schema = []
     for name, arr in (parent_attrs or {}).items():
-        a2 = to_i32_cols(arr)
-        schema.append((name, arr.ndim, a2.shape[1], arr.dtype))
-        cols.append(a2)
-    rows = jnp.concatenate(cols, axis=1)
-    packed = jnp.zeros_like(rows).at[dst].set(rows, mode="drop")
+        ops = to_i32_ops(arr)
+        schema.append((name, arr.ndim, len(ops), arr.dtype))
+        operands.extend(ops)
+    sorted_ops = jax.lax.sort(
+        operands, dimension=0, is_stable=True, num_keys=1
+    )
 
-    def from_i32(sl, nd, dtype):
+    def from_i32(cols, nd, dtype):
+        out = cols[0] if nd == 1 else jnp.stack(cols, axis=1)
         if dtype != jnp.int32:
-            sl = jax.lax.bitcast_convert_type(sl, dtype)
-        return sl[:, 0] if nd == 1 else sl
+            out = jax.lax.bitcast_convert_type(out, dtype)
+        return out
 
-    parent_slot = from_i32(packed[:, 0:1], 1, jnp.dtype(jnp.uint32))
-    counts = from_i32(packed[:, 1:2], 1, jnp.dtype(jnp.uint32))
+    parent_slot = from_i32(sorted_ops[1:2], 1, jnp.dtype(jnp.uint32))
+    counts = from_i32(sorted_ops[2:3], 1, jnp.dtype(jnp.uint32))
     payload = {}
-    off = 2
+    off = 3
     for name, nd, w, dtype in schema:
-        payload[name] = from_i32(packed[:, off : off + w], nd, dtype)
+        payload[name] = from_i32(sorted_ops[off : off + w], nd, dtype)
         off += w
     return EventBuffer(parent_slot, counts, num_events, payload)
 
