@@ -563,8 +563,8 @@ def main() -> None:
                             "64k->256k, whole scene stepped AND rendered "
                             "per frame in one fused chunk "
                             "(update_render_chunk); tile_slots=1 center "
-                            "binning (82.9 fps at slots=2 with 10% less "
-                            "blended energy)"
+                            "binning (slots=2 span binning runs ~12% "
+                            "slower with ~10% less blended energy)"
                         ),
                     },
                     **scaling,
