@@ -65,6 +65,10 @@ class ParticleDrawData:
     # ((lx,ly,lz), band) Lambert params when a lighting render modifier
     # deferred shading to the rasterizer (per-fragment mesh normals)
     lighting: Any = None
+    # [N] per-entry blend mode id for the unified scene painter pass
+    # (alpha_mode="scene"): 0=blend 1=premultiply 2=add 3=multiply
+    # 4=opaque 5=mask. None everywhere else.
+    mode_id: Any = None
 
 
 jax.tree_util.register_dataclass(
@@ -85,6 +89,7 @@ jax.tree_util.register_dataclass(
         "uv_abc",
         "nrm_abc",
         "vcol_abc",
+        "mode_id",
     ],
     meta_fields=["sprite_grid_size", "texture_layers", "needs_uv", "lighting"],
 )
@@ -243,4 +248,67 @@ def extract_draw_data(
         alpha_cutoff=alpha_cutoff,
         counter=particle.get("particle_counter"),
         lighting=ctx.mesh_lighting,
+    )
+
+
+# Blend-mode ids carried per entry by the unified scene painter pass
+# (raster.py alpha_mode="scene"): one global back-to-front sort blends
+# every effect's entries with per-entry equations instead of one raster
+# pass per blend state.
+PAINTER_MODE_IDS = {
+    "blend": 0,
+    "premultiply": 1,
+    "add": 2,
+    "multiply": 3,
+    "opaque": 4,
+    "mask": 5,
+}
+
+
+def concat_painter_draws(draws, kinds):
+    """Concatenate per-effect draw sets into ONE painter draw set.
+
+    ``kinds`` are the effects' alpha-mode kinds, becoming the per-entry
+    ``mode_id`` column; mask effects contribute their per-particle
+    ``alpha_cutoff`` (others pad 0, never read). Only quad draw sets are
+    painter-eligible (no ribbon/mesh/texture columns to merge)."""
+    cat = lambda field: jnp.concatenate([getattr(d, field) for d in draws])
+    if any(d.roundness is not None for d in draws):
+        roundness = jnp.concatenate(
+            [
+                d.roundness
+                if d.roundness is not None
+                else jnp.zeros(d.alive.shape, jnp.float32)
+                for d in draws
+            ]
+        )
+    else:
+        roundness = None
+    mode_id = jnp.concatenate(
+        [
+            jnp.full(d.alive.shape, PAINTER_MODE_IDS[k], jnp.int32)
+            for d, k in zip(draws, kinds)
+        ]
+    )
+    cutoff = jnp.concatenate(
+        [
+            d.alpha_cutoff
+            if d.alpha_cutoff is not None
+            else jnp.zeros(d.alive.shape, jnp.float32)
+            for d in draws
+        ]
+    )
+    return ParticleDrawData(
+        position=cat("position"),
+        axis_x=cat("axis_x"),
+        axis_y=cat("axis_y"),
+        color=cat("color"),
+        alive=cat("alive"),
+        roundness=roundness,
+        sprite_index=cat("sprite_index"),
+        sprite_grid_size=(1, 1),
+        texture_layers=(),
+        needs_uv=False,
+        alpha_cutoff=cutoff,
+        mode_id=mode_id,
     )

@@ -155,8 +155,14 @@ def rasterize(
     scene_depth: Any = None,
     return_depth: bool = False,
     y_offset: Any = None,
+    framebuffer: Any = None,
 ) -> jnp.ndarray:
     """Render particles to a [height, width, 4] float32 image.
+
+    ``framebuffer`` (traced [height, width, 4], optional) seeds the blend
+    target instead of ``config.background`` — the painter pass
+    (``alpha_mode="scene"``) blends the whole scene directly onto it, no
+    post-hoc compositing.
 
     ``y_offset`` (traced scalar, optional) shifts projected screen y by
     ``-y_offset`` pixels: the raster grid then covers viewport rows
@@ -183,13 +189,23 @@ def rasterize(
     T = config.tile_size
     span = config.tile_span
     ntx, nty, nt = config.tiles_x, config.tiles_y, config.num_tiles
-    if return_depth and alpha_mode not in ("opaque", "mask"):
+    painter = alpha_mode == "scene"
+    if painter and draw.mode_id is None:
+        raise ValueError(
+            'alpha_mode="scene" needs per-entry blend modes: populate '
+            "draw.mode_id (0=blend 1=premultiply 2=add 3=multiply "
+            "4=opaque 5=mask)"
+        )
+    if return_depth and alpha_mode not in ("opaque", "mask", "scene"):
         raise ValueError(
             "return_depth requires an opaque or mask alpha mode (transparent"
             " modes are read-only depth clients, like the reference's"
             " Transparent3d phase)"
         )
-    need_depth = scene_depth is not None or return_depth
+    # The painter pass always threads a depth buffer: its opaque/mask
+    # entries write depth mid-loop so later (nearer) transparent entries
+    # can be tested against it.
+    need_depth = scene_depth is not None or return_depth or painter
 
     # ---- 1. project centers and half-axes ----
     center, w, _ = _project(camera, draw.position)
@@ -387,8 +403,23 @@ def rasterize(
         + jnp.arange(T, dtype=jnp.int32)[None, None, :]
     ).astype(jnp.float32) + 0.5
 
-    bg = jnp.asarray(config.background, jnp.float32)
-    fb0 = jnp.broadcast_to(bg, (nt, T, T, 4)).astype(jnp.float32)
+    if framebuffer is not None:
+        fbp = jnp.pad(
+            jnp.asarray(framebuffer, jnp.float32),
+            (
+                (0, nty * T - config.height),
+                (0, ntx * T - config.width),
+                (0, 0),
+            ),
+        )
+        fb0 = (
+            fbp.reshape(nty, T, ntx, T, 4)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(nt, T, T, 4)
+        )
+    else:
+        bg = jnp.asarray(config.background, jnp.float32)
+        fb0 = jnp.broadcast_to(bg, (nt, T, T, 4)).astype(jnp.float32)
 
     # Tiled scene-depth plane, [nt, T, T] (pad = +inf: no geometry there).
     if need_depth:
@@ -465,10 +496,13 @@ def rasterize(
     if need_sprite:
         i_sprite = len(cols)
         cols.append(draw.sprite_index.astype(jnp.float32))
-    need_cutoff = alpha_mode == "mask"
+    need_cutoff = alpha_mode == "mask" or painter
     if need_cutoff and draw.alpha_cutoff is not None:
         i_cutoff = len(cols)
         cols.append(draw.alpha_cutoff)
+    if painter:
+        i_mode = len(cols)
+        cols.append(draw.mode_id.astype(jnp.float32))
     # mesh vertex-attribute triplets (interpolated barycentrically below)
     has_mesh_uv = draw.uv_abc is not None and bool(draw.texture_layers)
     if has_mesh_uv:
@@ -505,6 +539,7 @@ def rasterize(
         t_cutoff = jnp.broadcast_to(
             jnp.asarray(alpha_cutoff, jnp.float32), t_p.shape
         )
+    t_mode = rows[..., i_mode] if painter else None
     t_uv = rows[..., i_uv : i_uv + 6] if has_mesh_uv else None
     t_nrm = rows[..., i_nrm : i_nrm + 9] if has_lighting else None
     t_vcol = rows[..., i_vcol : i_vcol + 12] if has_vcol else None
@@ -711,6 +746,46 @@ def rasterize(
             alpha = jnp.where(wr, 1.0, a_d)
             if dbuf is not None:
                 dbuf = jnp.where(write, frag_d, dbuf)
+        elif alpha_mode == "scene":
+            # Unified painter pass: ONE back-to-front loop over every
+            # entry of every effect, the per-entry mode selecting the
+            # blend equation. The phase split (opaque first writing
+            # depth, then transparents) is a GPU-ROP-ism; with a global
+            # painter order, an opaque entry simply OVERWRITES everything
+            # behind it — pixel-identical occlusion — while transparents
+            # interleave in true depth order ACROSS effects (the split
+            # pipeline can only order whole passes by emitter distance).
+            mode = t_mode[m]  # [nt], small-int-valued f32 (exact)
+            b_ = (mode == 0.0)[:, None, None, None]
+            p_ = (mode == 1.0)[:, None, None, None]
+            a_ = (mode == 2.0)[:, None, None, None]
+            m_ = (mode == 3.0)[:, None, None, None]
+            is_o = (mode == 4.0)[:, None, None]
+            is_k = (mode == 5.0)[:, None, None]
+            cov1 = coverage[..., None]
+            one_m_a = 1.0 - a
+            cs = (
+                jnp.where(b_ | a_, a, 0.0)
+                + jnp.where(p_, cov1, 0.0)
+            )
+            cd = jnp.where(b_ | p_ | m_, one_m_a, 0.0) + jnp.where(
+                a_, 1.0, 0.0
+            )
+            cm = jnp.where(m_, a, 0.0)
+            rgb_t = rgb_s * cs + rgb_d * cd + rgb_s * rgb_d * cm
+            al_t = (
+                jnp.where(b_ | p_, a + a_d * one_m_a, 0.0)
+                + jnp.where(a_, jnp.minimum(a + a_d, 1.0), 0.0)
+                + jnp.where(m_, a_d, 0.0)
+            )
+            cut_ok = src[..., 3] >= t_cutoff[m][:, None, None]
+            write = inside & (is_o | (is_k & cut_ok))
+            wr = write[..., None]
+            opq4 = (is_o | is_k)[..., None]
+            rgb = jnp.where(opq4, jnp.where(wr, rgb_s, rgb_d), rgb_t)
+            alpha = jnp.where(opq4, jnp.where(wr, 1.0, a_d), al_t)
+            if dbuf is not None:
+                dbuf = jnp.where(write, frag_d, dbuf)
         else:
             raise ValueError(f"unknown alpha mode {alpha_mode!r}")
         return jnp.concatenate([rgb, alpha], axis=-1), dbuf
@@ -724,7 +799,7 @@ def rasterize(
             fb, db = blend_one(o * unroll + j, fb, db)
         return fb, db
 
-    db0 = sd_tiles if return_depth else None
+    db0 = sd_tiles if (return_depth or painter) else None
     fb, db = jax.lax.fori_loop(0, n_outer, body, (fb0, db0))
 
     # ---- 5. untile to the image ----

@@ -770,13 +770,36 @@ class HanabiScene:
             )
             g["pools"] = g["fx"].step_chunk(g["pools"], ii, ss)
 
-    def _scene_render_plan(self, insts, groups, camera):
+    @staticmethod
+    def _painter_ok(asset, textures, raster_override, sharded=False):
+        """Can this effect/group join the unified painter pass?  Ribbons,
+        meshes, textures, per-effect raster overrides and sharded pools
+        keep their own passes (the painter concat carries none of their
+        extra draw state)."""
+        return not (
+            asset.particle_layout().contains("ribbon_id")
+            or asset.mesh is not None
+            or textures
+            or raster_override
+            or sharded
+        )
+
+    def _scene_render_plan(self, insts, groups, camera, pipeline="auto"):
         """Static render plan mirroring :meth:`render`: back-to-front
         ordering by emitter distance under ``camera``, same-blend batching,
         opaque/mask vs transparent phase split. Returns
         ``(opaque_passes, transp_passes)`` — tuples of hashable pass
         descriptors ("eff", i, kind) / ("batch", idxs, kind) /
-        ("grp", gi, kind)."""
+        ("grp", gi, kind).
+
+        ``pipeline``: "split" forces the phase-split pipeline; "painter"
+        forces the unified painter pass (raises if any effect is
+        ineligible); "auto" (default) picks the painter pass whenever every
+        visible effect/group is eligible AND the split plan would take >= 2
+        passes — one global back-to-front sort replaces per-pass sorts,
+        window gathers and blend loops, and orders transparents in true
+        depth order ACROSS effects. The painter plan is the single
+        descriptor ("painter", eff_idxs, group_idxs) in ``transp_passes``."""
         OPAQUE_KINDS = ("opaque", "mask")
         view_h = np.asarray(camera.view)
         cam_pos = -view_h[:3, :3].T @ view_h[:3, 3]
@@ -856,6 +879,38 @@ class HanabiScene:
                 for gi in trn_groups
             ]
         )
+        if pipeline not in ("auto", "split", "painter"):
+            raise ValueError(
+                f"pipeline must be 'auto', 'split' or 'painter'; got "
+                f"{pipeline!r}"
+            )
+        if pipeline in ("auto", "painter"):
+            eligible = all(
+                self._painter_ok(
+                    insts[i].asset,
+                    insts[i].textures,
+                    getattr(insts[i], "raster_override", None),
+                )
+                for i in vis_idx
+            ) and all(
+                self._painter_ok(
+                    groups[gi]["asset"],
+                    groups[gi]["textures"],
+                    groups[gi].get("raster_override"),
+                    groups[gi].get("sharded"),
+                )
+                for gi in vis_groups
+            )
+            if pipeline == "painter" and not eligible:
+                raise ValueError(
+                    "pipeline='painter' requires every visible effect/group "
+                    "to be painter-eligible (no ribbons, meshes, textures, "
+                    "raster overrides or sharded pools) — use 'auto' to "
+                    "fall back to the split pipeline automatically"
+                )
+            n_passes = len(opaque_passes) + len(transp_passes)
+            if eligible and (pipeline == "painter" or n_passes >= 2):
+                return (), (("painter", tuple(vis_idx), tuple(vis_groups)),)
         return opaque_passes, transp_passes
 
     def update_render_chunk(
@@ -867,6 +922,7 @@ class HanabiScene:
         background: Optional[Tuple[float, float, float, float]] = None,
         scene_depth=None,
         on_frame=None,
+        pipeline: str = "auto",
     ):
         """Advance AND render ``frames`` frames of the WHOLE scene in ONE
         device dispatch.
@@ -948,7 +1004,7 @@ class HanabiScene:
         index = {n: i for i, n in enumerate(names)}
 
         opaque_passes, transp_passes = self._scene_render_plan(
-            insts, groups, camera0
+            insts, groups, camera0, pipeline=pipeline
         )
 
         key = (
@@ -1208,9 +1264,48 @@ class HanabiScene:
                 needs_uv=False,
             )
 
+        def painter_concat(idxs, gidxs, pools, gpools, m_ins, g_ins_t,
+                           sim, camera):
+            """Concatenate every painter-eligible effect/group into ONE
+            draw set with per-entry blend-mode ids (and mask cutoffs) for
+            the unified painter pass (alpha_mode="scene")."""
+            from ..render.extract import concat_painter_draws
+
+            draws, kinds = [], []
+            for i in idxs:
+                draws.append(
+                    extract_draw_data(
+                        assets[i], pools[i], camera, sim=sim,
+                        properties=m_ins[i].properties, textures=[],
+                        transform=m_ins[i].transform,
+                    )
+                )
+                kinds.append(assets[i].alpha_mode.kind)
+            for gi in gidxs:
+                props0 = jax.tree_util.tree_map(
+                    lambda x: x[0], g_ins_t[gi].properties
+                )
+                draws.append(
+                    extract_draw_data(
+                        g_assets[gi], gpools[gi].flatten(), camera,
+                        sim=sim, properties=props0, textures=[],
+                    )
+                )
+                kinds.append(g_assets[gi].alpha_mode.kind)
+            return concat_painter_draws(draws, kinds)
+
         def run_pass(p, pools, gpools, m_ins, g_ins_t, sim, camera, fb,
                      depth_in, write_depth):
             tag = p[0]
+            if tag == "painter":
+                draw = painter_concat(
+                    p[1], p[2], pools, gpools, m_ins, g_ins_t, sim, camera
+                )
+                img = rasterize(
+                    draw, camera, config, alpha_mode="scene", textures=[],
+                    scene_depth=depth_in, framebuffer=fb,
+                )
+                return img, depth_in
             kind = p[2]
             if tag == "eff":
                 i = p[1]
@@ -1333,6 +1428,7 @@ class HanabiScene:
         config=None,
         background: Optional[Tuple[float, float, float, float]] = None,
         scene_depth=None,
+        pipeline: str = "auto",
     ) -> jnp.ndarray:
         """Render the CURRENT scene state from V cameras in ONE dispatch.
 
@@ -1378,7 +1474,7 @@ class HanabiScene:
         gnames = list(self._groups)
         groups = [self._groups[g] for g in gnames]
         opaque_passes, transp_passes = self._scene_render_plan(
-            insts, groups, cameras[0]
+            insts, groups, cameras[0], pipeline=pipeline
         )
         key = (
             "views",
@@ -1463,6 +1559,7 @@ class HanabiScene:
         background: Optional[Tuple[float, float, float, float]] = None,
         scene_depth=None,
         return_depth: bool = False,
+        pipeline: str = "auto",
     ) -> jnp.ndarray:
         """Composite all visible effects back-to-front by emitter distance
         (≈ Transparent3d phase sorting) / z_layer_2d for 2D ties.
@@ -1482,6 +1579,16 @@ class HanabiScene:
         the scene depth merged with everything the opaque/mask phase wrote
         (+inf where neither exists) — hand it to a game engine to composite
         the particle layer against other geometry.
+
+        ``pipeline``: "split" = the phase-split pipeline above; "painter" =
+        ONE unified back-to-front pass over every effect's entries with
+        per-entry blend equations (raises unless all effects are eligible:
+        no ribbons/meshes/textures/raster overrides/sharded pools); "auto"
+        (default) = painter whenever eligible and the split plan would
+        take >= 2 passes. The painter pass keeps pixel-identical occlusion
+        (an opaque entry simply overwrites everything behind it) and
+        orders transparents in true depth order ACROSS effects, where the
+        split pipeline can only order whole passes by emitter distance.
         """
         import dataclasses
 
@@ -1597,6 +1704,54 @@ class HanabiScene:
             (n, g) for n, g in group_items
             if g["asset"].alpha_mode.kind not in OPAQUE_KINDS
         ]
+        if pipeline not in ("auto", "split", "painter"):
+            raise ValueError(
+                f"pipeline must be 'auto', 'split' or 'painter'; got "
+                f"{pipeline!r}"
+            )
+        if pipeline in ("auto", "painter"):
+            eligible = all(
+                self._painter_ok(e.asset, e.textures, e.raster_override)
+                for e in visible
+            ) and all(
+                self._painter_ok(
+                    g["asset"], g["textures"], g.get("raster_override"),
+                    g.get("sharded"),
+                )
+                for _, g in group_items
+            )
+            if pipeline == "painter" and not eligible:
+                raise ValueError(
+                    "pipeline='painter' requires every visible effect/group "
+                    "to be painter-eligible (no ribbons, meshes, textures, "
+                    "raster overrides or sharded pools) — use 'auto' to "
+                    "fall back to the split pipeline automatically"
+                )
+            if eligible:
+
+                def count(runs):
+                    return sum(
+                        1 if (k is not None and len(members) > 1)
+                        else len(members)
+                        for k, members in runs
+                    )
+
+                n_passes = (
+                    count(build_runs(opaque_phase))
+                    + count(build_runs(transparent_phase))
+                    + len(group_items)
+                )
+                if pipeline == "painter" or n_passes >= 2:
+                    return self._render_painter(
+                        visible,
+                        [g for _, g in group_items],
+                        camera,
+                        config,
+                        sim,
+                        fb,
+                        scene_depth,
+                        return_depth,
+                    )
         depth_acc = scene_depth
         if opaque_phase or opaque_groups:
             for k, insts in build_runs(opaque_phase):
@@ -1798,6 +1953,75 @@ class HanabiScene:
             tuple(i.pool for i in insts),
             tuple(i.transform for i in insts),
             tuple(i.properties.as_dict() for i in insts),
+            camera,
+            sim,
+            fb,
+            scene_depth,
+        )
+
+    def _render_painter(
+        self, insts, groups, camera, config, sim, fb, scene_depth=None,
+        return_depth=False,
+    ):
+        """Rasterize EVERY eligible effect and group in one unified
+        painter pass (alpha_mode="scene"): one global (tile, depth) sort,
+        one window gather, one blend loop — per-entry blend-mode ids
+        select the blend equation, opaque/mask entries write depth
+        mid-loop. ``insts`` must already be in back-to-front emitter
+        order (sort ties only)."""
+        import jax
+
+        from ..render.extract import concat_painter_draws, extract_draw_data
+        from ..render.raster import rasterize
+
+        key = (
+            "painter",
+            tuple(i.asset.signature() for i in insts),
+            tuple(int(i.pool.alive.shape[-1]) for i in insts),
+            tuple(g["asset"].signature() for g in groups),
+            tuple(g["fx"].num_instances for g in groups),
+            config,
+            return_depth,
+            scene_depth is not None,
+        )
+        fn = self._batch_render_jit.get(key)
+        if fn is None:
+            assets = [i.asset for i in insts]
+            g_assets = [g["asset"] for g in groups]
+            kinds = [a.alpha_mode.kind for a in assets] + [
+                a.alpha_mode.kind for a in g_assets
+            ]
+
+            def render_fn(pools, transforms, props, gpools, gprops,
+                          camera, sim, fb, sd):
+                draws = [
+                    extract_draw_data(
+                        a, p, camera, sim=sim, properties=pr,
+                        textures=[], transform=tr,
+                    )
+                    for a, p, tr, pr in zip(assets, pools, transforms, props)
+                ]
+                draws += [
+                    extract_draw_data(
+                        a, gp, camera, sim=sim, properties=gpr, textures=[],
+                    )
+                    for a, gp, gpr in zip(g_assets, gpools, gprops)
+                ]
+                flat = concat_painter_draws(draws, kinds)
+                return rasterize(
+                    flat, camera, config, alpha_mode="scene", textures=[],
+                    scene_depth=sd, framebuffer=fb,
+                    return_depth=return_depth,
+                )
+
+            fn = jax.jit(render_fn)
+            self._batch_render_jit[key] = fn
+        return fn(
+            tuple(i.pool for i in insts),
+            tuple(i.transform for i in insts),
+            tuple(i.properties.as_dict() for i in insts),
+            tuple(self._group_flat_pool(g) for g in groups),
+            tuple(g["properties"].as_dict() for g in groups),
             camera,
             sim,
             fb,

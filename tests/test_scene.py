@@ -1460,3 +1460,165 @@ def test_payload_restriction_survives_child_attach_detach():
     scene.remove("c")
     scene.update_chunk(4, DT)  # single-member family again: no stale jit
     assert scene["p"].alive_count() >= 0
+
+
+def test_painter_pipeline_matches_split_depth_separated():
+    """The unified painter pass and the phase-split pipeline agree exactly
+    when effects are depth-separated (pass order == painter order):
+    opaque + blend + add + mask over a colored background."""
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    scene = HanabiScene()
+    scene.add(
+        _phase_asset("op", (0.0, 0.0, -0.8), "opaque", (0.2, 0.8, 0.2, 1.0)),
+        "op",
+    )
+    scene.add(
+        _phase_asset("ms", (0.3, 0.3, -0.4), "mask", (0.8, 0.8, 0.2, 0.9)),
+        "ms",
+    )
+    scene.add(
+        _phase_asset("bl", (0.1, -0.1, 0.2), "blend", (0.9, 0.1, 0.1, 0.5)),
+        "bl",
+    )
+    scene.add(
+        _phase_asset("ad", (-0.2, 0.1, 0.8), "add", (0.1, 0.1, 0.9, 0.7)),
+        "ad",
+    )
+    scene.update(DT)
+    bg = (0.05, 0.1, 0.15, 1.0)
+    img_split = np.asarray(scene.render(cam, background=bg, pipeline="split"))
+    img_paint = np.asarray(
+        scene.render(cam, background=bg, pipeline="painter")
+    )
+    np.testing.assert_allclose(img_paint, img_split, atol=1e-6)
+    # and auto picks the painter pass for this (eligible, 4-pass) scene
+    img_auto = np.asarray(scene.render(cam, background=bg))
+    np.testing.assert_array_equal(img_auto, img_paint)
+
+
+def test_painter_orders_transparents_across_effects():
+    """True per-particle depth ordering ACROSS transparent effects: when
+    emitter distances contradict particle depths, the split pipeline
+    (which orders whole passes by emitter distance) blends in the wrong
+    order; the painter pass blends back-to-front by particle depth."""
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    scene = HanabiScene()
+    # effect A: particle FAR (z=-0.5, dist 5.5) but emitter NEAR (z=4)
+    tA = np.eye(3, 4, dtype=np.float32)
+    tA[2, 3] = 4.0
+    scene.add(
+        _phase_asset("a", (0.0, 0.0, -4.5), "blend", (1.0, 0.0, 0.0, 0.5)),
+        "a",
+        transform=tA,
+    )
+    # effect B: particle NEAR (z=0.5, dist 4.5) but emitter FAR (origin)
+    scene.add(
+        _phase_asset("b", (0.0, 0.0, 0.5), "blend", (0.0, 0.0, 1.0, 0.5)),
+        "b",
+    )
+    scene.update(DT)
+    img = np.asarray(
+        scene.render(cam, background=(0, 0, 0, 0), pipeline="painter")
+    )
+    # correct back-to-front: red (far) first, blue (near) over it:
+    # rgb = blue*0.5 + (red*0.5)*(1-0.5) = (0.25, 0, 0.5)
+    # (same-blend SPLIT passes also get this right via batching's global
+    # depth sort; the painter extends that ordering across DIFFERENT
+    # blend modes, which split can only order by emitter distance)
+    np.testing.assert_allclose(
+        img[32, 32, :3], [0.25, 0.0, 0.5], atol=1e-5
+    )
+    # mixed blend modes: premultiplied near particle over blended far one.
+    # painter blends by particle depth even though the emitter order is
+    # reversed; expected = premul over (blend over bg):
+    # after red blend: rgb=(0.5,0,0); premul blue (rgb already *a):
+    # rgb = blue_rgb + prev*(1-a) = (0,0,0.5) + (0.25,0,0)
+    scene2 = HanabiScene()
+    tA2 = np.eye(3, 4, dtype=np.float32)
+    tA2[2, 3] = 4.0
+    scene2.add(
+        _phase_asset("a", (0.0, 0.0, -4.5), "blend", (1.0, 0.0, 0.0, 0.5)),
+        "a",
+        transform=tA2,
+    )
+    scene2.add(
+        _phase_asset(
+            "b", (0.0, 0.0, 0.5), "premultiply", (0.0, 0.0, 0.5, 0.5)
+        ),
+        "b",
+    )
+    scene2.update(DT)
+    img2 = np.asarray(
+        scene2.render(cam, background=(0, 0, 0, 0), pipeline="painter")
+    )
+    np.testing.assert_allclose(
+        img2[32, 32, :3], [0.25, 0.0, 0.5], atol=1e-5
+    )
+
+
+def test_painter_pipeline_eligibility():
+    """pipeline='painter' raises for ineligible scenes (textures here);
+    'auto' silently falls back to the split pipeline."""
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    from bevy_hanabi_tpu.modifiers import (
+        ImageSampleMapping,
+        ParticleTextureModifier,
+    )
+
+    w = ExprWriter()
+    tex_asset = (
+        EffectAsset("tex", 4, SpawnerSettings.once(1.0), w.finish())
+        .init(SetAttributeModifier(A.POSITION, w.lit((0.0, 0.0, 0.0)).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(100.0).expr()))
+        .render(SetSizeModifier((0.5, 0.5, 0.5)))
+        .render(ParticleTextureModifier(0, ImageSampleMapping.MODULATE))
+    )
+    scene = HanabiScene()
+    tex = np.ones((4, 4, 4), np.float32)
+    scene.add(tex_asset, "t", textures=[tex])
+    scene.add(
+        _phase_asset("bl", (0.3, 0.0, 0.5), "blend", (0.9, 0.1, 0.1, 0.5)),
+        "bl",
+    )
+    scene.update(DT)
+    with pytest.raises(ValueError, match="painter"):
+        scene.render(cam, pipeline="painter")
+    img = np.asarray(scene.render(cam, background=(0, 0, 0, 0)))
+    assert np.isfinite(img).all()
+
+
+def test_painter_mask_cutoff_honored():
+    """Mask entries in the painter pass discard fragments below their
+    per-particle cutoff."""
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    scene = HanabiScene()
+    # alpha 0.3 < cutoff 0.5: discarded
+    scene.add(
+        _phase_asset("m", (0.0, 0.0, 0.0), "mask", (0.9, 0.9, 0.1, 0.3)),
+        "m",
+    )
+    scene.add(
+        _phase_asset("bl", (0.6, 0.6, 0.5), "blend", (0.9, 0.1, 0.1, 0.5)),
+        "bl",
+    )
+    scene.update(DT)
+    img = np.asarray(
+        scene.render(cam, background=(0, 0, 0, 0), pipeline="painter")
+    )
+    np.testing.assert_allclose(img[32, 32], [0, 0, 0, 0], atol=1e-6)
