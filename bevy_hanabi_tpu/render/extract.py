@@ -270,26 +270,31 @@ def concat_painter_draws(draws, kinds):
 
     ``kinds`` are the effects' alpha-mode kinds, becoming the per-entry
     ``mode_id`` column; mask effects contribute their per-particle
-    ``alpha_cutoff`` (others pad 0, never read). Only quad draw sets are
-    painter-eligible (no ribbon/mesh/texture columns to merge)."""
+    ``alpha_cutoff`` (others pad 0, never read). Draw sets may mix plain
+    quads, expanded meshes (triangle entries pad ``tri`` 0 on quads,
+    neutral vertex colors, light-direction normals so Lambert shade is
+    exactly 1 on unlit entries) and ribbon segments (already quads after
+    ``build_ribbon_segments``). Textured draw sets cannot merge (per-
+    entry texture state doesn't exist); at most one distinct Lambert
+    lighting setup may be present."""
     cat = lambda field: jnp.concatenate([getattr(d, field) for d in draws])
-    if any(d.roundness is not None for d in draws):
-        roundness = jnp.concatenate(
-            [
-                d.roundness
-                if d.roundness is not None
-                else jnp.zeros(d.alive.shape, jnp.float32)
-                for d in draws
-            ]
-        )
-    else:
-        roundness = None
-    mode_id = jnp.concatenate(
-        [
-            jnp.full(d.alive.shape, PAINTER_MODE_IDS[k], jnp.int32)
-            for d, k in zip(draws, kinds)
-        ]
-    )
+
+    def cat_or(field, fill, width=None):
+        """Concat an optional [n] / [n, width] column, padding absentees."""
+        if not any(getattr(d, field) is not None for d in draws):
+            return None
+        parts = []
+        for d in draws:
+            v = getattr(d, field)
+            if v is None:
+                n = d.alive.shape[0]
+                shape = (n,) if width is None else (n, width)
+                v = jnp.full(shape, fill, jnp.float32)
+            parts.append(v)
+        return jnp.concatenate(parts)
+
+    roundness = cat_or("roundness", 0.0)
+    tri = cat_or("tri", 0.0)
     cutoff = jnp.concatenate(
         [
             d.alpha_cutoff
@@ -298,6 +303,41 @@ def concat_painter_draws(draws, kinds):
             for d in draws
         ]
     )
+    mode_id = jnp.concatenate(
+        [
+            jnp.full(d.alive.shape, PAINTER_MODE_IDS[k], jnp.int32)
+            for d, k in zip(draws, kinds)
+        ]
+    )
+    # Lambert lighting is per-DRAW static state; the merged pass can carry
+    # one setup. Entries from unlit draws pad their normal triplets with
+    # the LIGHT DIRECTION itself: n.l == 1 -> shade == 1, bit-neutral.
+    lightings = [
+        d.lighting
+        for d in draws
+        if d.lighting is not None and d.nrm_abc is not None
+    ]
+    if len({(tuple(l[0]), l[1]) for l in lightings}) > 1:
+        raise ValueError(
+            "painter pass cannot merge effects with DIFFERENT Lambert "
+            "lighting setups — render with pipeline='split'"
+        )
+    if lightings:
+        lighting = lightings[0]
+        ldir = jnp.asarray(list(lighting[0]) * 3, jnp.float32)
+        nrm_parts = []
+        for d in draws:
+            if d.nrm_abc is not None and d.lighting is not None:
+                nrm_parts.append(d.nrm_abc)
+            else:
+                nrm_parts.append(
+                    jnp.broadcast_to(ldir, (d.alive.shape[0], 9))
+                )
+        nrm_abc = jnp.concatenate(nrm_parts)
+    else:
+        lighting = None
+        nrm_abc = None
+    vcol_abc = cat_or("vcol_abc", 1.0, width=12)
     return ParticleDrawData(
         position=cat("position"),
         axis_x=cat("axis_x"),
@@ -311,4 +351,8 @@ def concat_painter_draws(draws, kinds):
         needs_uv=False,
         alpha_cutoff=cutoff,
         mode_id=mode_id,
+        tri=tri,
+        nrm_abc=nrm_abc,
+        vcol_abc=vcol_abc,
+        lighting=lighting,
     )

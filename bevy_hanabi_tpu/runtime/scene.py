@@ -772,17 +772,27 @@ class HanabiScene:
 
     @staticmethod
     def _painter_ok(asset, textures, raster_override, sharded=False):
-        """Can this effect/group join the unified painter pass?  Ribbons,
-        meshes, textures, per-effect raster overrides and sharded pools
-        keep their own passes (the painter concat carries none of their
-        extra draw state)."""
-        return not (
-            asset.particle_layout().contains("ribbon_id")
-            or asset.mesh is not None
-            or textures
-            or raster_override
-            or sharded
+        """Can this effect/group join the unified painter pass?  Ribbon
+        segments and expanded mesh triangles concatenate fine; textured
+        effects (per-entry texture state doesn't exist), per-effect raster
+        overrides and sharded pools keep their own passes."""
+        return not (textures or raster_override or sharded)
+
+    @staticmethod
+    def _painter_lighting_ok(assets):
+        """At most ONE visible mesh-with-normals effect may join the
+        painter pass under "auto": Lambert lighting is per-draw static
+        state discovered only at extract time (a render-modifier side
+        effect), so two lit meshes could carry conflicting setups that
+        raise at trace time — "auto" stays conservative and falls back;
+        pipeline="painter" forces the merge and raises on real
+        conflicts."""
+        lit = sum(
+            1
+            for a in assets
+            if a.mesh is not None and a.mesh.normals is not None
         )
+        return lit <= 1
 
     def _scene_render_plan(self, insts, groups, camera, pipeline="auto"):
         """Static render plan mirroring :meth:`render`: back-to-front
@@ -901,11 +911,16 @@ class HanabiScene:
                 )
                 for gi in vis_groups
             )
+            if eligible and pipeline == "auto":
+                eligible = self._painter_lighting_ok(
+                    [insts[i].asset for i in vis_idx]
+                    + [groups[gi]["asset"] for gi in vis_groups]
+                )
             if pipeline == "painter" and not eligible:
                 raise ValueError(
                     "pipeline='painter' requires every visible effect/group "
-                    "to be painter-eligible (no ribbons, meshes, textures, "
-                    "raster overrides or sharded pools) — use 'auto' to "
+                    "to be painter-eligible (no textures, per-effect raster "
+                    "overrides, sharded pools, or >1 lit mesh) — use 'auto' to "
                     "fall back to the split pipeline automatically"
                 )
             n_passes = len(opaque_passes) + len(transp_passes)
@@ -1268,28 +1283,20 @@ class HanabiScene:
                            sim, camera):
             """Concatenate every painter-eligible effect/group into ONE
             draw set with per-entry blend-mode ids (and mask cutoffs) for
-            the unified painter pass (alpha_mode="scene")."""
+            the unified painter pass (alpha_mode="scene"). Ribbon effects
+            contribute their segment quads, mesh effects their expanded
+            quad/triangle entries."""
             from ..render.extract import concat_painter_draws
 
             draws, kinds = [], []
             for i in idxs:
                 draws.append(
-                    extract_draw_data(
-                        assets[i], pools[i], camera, sim=sim,
-                        properties=m_ins[i].properties, textures=[],
-                        transform=m_ins[i].transform,
-                    )
+                    effect_draw(i, pools[i], m_ins[i], sim, camera)
                 )
                 kinds.append(assets[i].alpha_mode.kind)
             for gi in gidxs:
-                props0 = jax.tree_util.tree_map(
-                    lambda x: x[0], g_ins_t[gi].properties
-                )
                 draws.append(
-                    extract_draw_data(
-                        g_assets[gi], gpools[gi].flatten(), camera,
-                        sim=sim, properties=props0, textures=[],
-                    )
+                    group_draw(gi, gpools[gi], g_ins_t[gi], sim, camera)
                 )
                 kinds.append(g_assets[gi].alpha_mode.kind)
             return concat_painter_draws(draws, kinds)
@@ -1720,11 +1727,16 @@ class HanabiScene:
                 )
                 for _, g in group_items
             )
+            if eligible and pipeline == "auto":
+                eligible = self._painter_lighting_ok(
+                    [e.asset for e in visible]
+                    + [g["asset"] for _, g in group_items]
+                )
             if pipeline == "painter" and not eligible:
                 raise ValueError(
                     "pipeline='painter' requires every visible effect/group "
-                    "to be painter-eligible (no ribbons, meshes, textures, "
-                    "raster overrides or sharded pools) — use 'auto' to "
+                    "to be painter-eligible (no textures, per-effect raster "
+                    "overrides, sharded pools, or >1 lit mesh) — use 'auto' to "
                     "fall back to the split pipeline automatically"
                 )
             if eligible:
@@ -1992,18 +2004,38 @@ class HanabiScene:
                 a.alpha_mode.kind for a in g_assets
             ]
 
+            def expand(asset, draw, camera):
+                if asset.particle_layout().contains("ribbon_id"):
+                    from ..render.ribbon import build_ribbon_segments
+
+                    return build_ribbon_segments(draw, camera)
+                if asset.mesh is not None:
+                    from ..render.mesh import expand_mesh_draw
+
+                    return expand_mesh_draw(draw, asset.mesh)
+                return draw
+
             def render_fn(pools, transforms, props, gpools, gprops,
                           camera, sim, fb, sd):
                 draws = [
-                    extract_draw_data(
-                        a, p, camera, sim=sim, properties=pr,
-                        textures=[], transform=tr,
+                    expand(
+                        a,
+                        extract_draw_data(
+                            a, p, camera, sim=sim, properties=pr,
+                            textures=[], transform=tr,
+                        ),
+                        camera,
                     )
                     for a, p, tr, pr in zip(assets, pools, transforms, props)
                 ]
                 draws += [
-                    extract_draw_data(
-                        a, gp, camera, sim=sim, properties=gpr, textures=[],
+                    expand(
+                        a,
+                        extract_draw_data(
+                            a, gp, camera, sim=sim, properties=gpr,
+                            textures=[],
+                        ),
+                        camera,
                     )
                     for a, gp, gpr in zip(g_assets, gpools, gprops)
                 ]

@@ -1622,3 +1622,85 @@ def test_painter_mask_cutoff_honored():
         scene.render(cam, background=(0, 0, 0, 0), pipeline="painter")
     )
     np.testing.assert_allclose(img[32, 32], [0, 0, 0, 0], atol=1e-6)
+
+
+def test_painter_merges_ribbons_and_quads():
+    """Ribbon effects join the painter pass via their segment quads:
+    a depth-separated ribbon + quad scene renders identically through
+    painter and split."""
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    from bevy_hanabi_tpu.asset import AlphaMode
+
+    w = ExprWriter()
+    rib = (
+        EffectAsset("rib", 16, SpawnerSettings.once(0.0), w.finish())
+        .init(SetAttributeModifier(A.POSITION, w.lit((0.0, 0.0, 0.0)).expr()))
+        .init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(100.0).expr()))
+        .init(SetAttributeModifier(A.RIBBON_ID, w.lit(0, None).expr()))
+        .init(SetAttributeModifier(A.SIZE, w.lit(0.1).expr()))
+        .with_alpha_mode(AlphaMode.BLEND)
+    )
+    scene = HanabiScene()
+    scene.add(rib, "rib")
+    scene["rib"].pool = ribbon_pool(
+        [[-0.75, 0.0, 0.0], [0.0, 0.0, 0.0], [0.75, 0.0, 0.0]], [0, 0, 0]
+    )
+    scene.add(
+        _phase_asset("bl", (0.1, 0.3, 0.5), "blend", (0.9, 0.1, 0.1, 0.5)),
+        "bl",
+    )
+    scene.update(DT)
+    img_split = np.asarray(
+        scene.render(cam, background=(0, 0, 0, 0), pipeline="split")
+    )
+    img_paint = np.asarray(
+        scene.render(cam, background=(0, 0, 0, 0), pipeline="painter")
+    )
+    np.testing.assert_allclose(img_paint, img_split, atol=1e-6)
+    # the ribbon actually painted a continuous line
+    row = img_paint[32, :, 3]
+    assert np.flatnonzero(row > 0.2).size > 20
+
+
+def test_painter_merges_meshes_and_quads():
+    """Mesh effects join the painter pass via their expanded triangle
+    entries (tri/vertex-color columns pad neutrally on plain quads)."""
+    from bevy_hanabi_tpu.render.mesh import ParticleMesh
+
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    tri = ParticleMesh(
+        vertices=[[-0.5, -0.4, 0.0], [0.5, -0.4, 0.0], [0.0, 0.6, 0.0]],
+        indices=[[0, 1, 2]],
+        colors=[[1, 1, 1, 1]] * 3,
+    )
+    scene = HanabiScene()
+    scene.add(
+        _phase_asset(
+            "tri", (0.0, 0.0, -0.5), "opaque", (0.2, 0.3, 0.9, 1.0)
+        ).with_mesh(tri),
+        "tri",
+    )
+    scene.add(
+        _phase_asset("bl", (0.6, 0.6, 0.5), "blend", (0.9, 0.1, 0.1, 0.5)),
+        "bl",
+    )
+    scene.update(DT)
+    img_split = np.asarray(
+        scene.render(cam, background=(0, 0, 0, 0), pipeline="split")
+    )
+    img_paint = np.asarray(
+        scene.render(cam, background=(0, 0, 0, 0), pipeline="painter")
+    )
+    np.testing.assert_allclose(img_paint, img_split, atol=1e-6)
+    # the triangle is visible through the painter pass (SetSizeModifier
+    # 0.5 halves the mesh: it spans roughly y px 22-38 around center 32)
+    assert img_paint[30, 32, 2] > 0.5
