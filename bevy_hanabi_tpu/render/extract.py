@@ -311,7 +311,10 @@ def concat_painter_draws(draws, kinds):
     )
     # Lambert lighting is per-DRAW static state; the merged pass can carry
     # one setup. Entries from unlit draws pad their normal triplets with
-    # the LIGHT DIRECTION itself: n.l == 1 -> shade == 1, bit-neutral.
+    # the LIGHT DIRECTION itself: the raster normalizes the interpolated
+    # normal, so shade == clip(|light_dir|, band, 1) == exactly 1 for the
+    # conventional unit light dir (non-unit dirs shade unlit entries by
+    # min(|l|, 1), an authoring error Lambert itself already amplifies).
     lightings = [
         d.lighting
         for d in draws

@@ -1704,3 +1704,76 @@ def test_painter_merges_meshes_and_quads():
     # the triangle is visible through the painter pass (SetSizeModifier
     # 0.5 halves the mesh: it spans roughly y px 22-38 around center 32)
     assert img_paint[30, 32, 2] > 0.5
+
+
+def test_painter_merges_lit_mesh_with_quads():
+    """ONE lit mesh (per-vertex-normal Lambert) merges with unlit quads:
+    unlit entries pad normals with the unit light direction (shade
+    exactly 1), so painter == split and the mesh keeps its shading
+    asymmetry inside the merged pass."""
+    from bevy_hanabi_tpu.models.examples import LambertianLightingModifier
+    from bevy_hanabi_tpu.render.mesh import ParticleMesh
+
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    ico = ParticleMesh.icosphere(0.5, subdivisions=1)
+    lit = _phase_asset(
+        "ico", (0.0, 0.0, -0.5), "opaque", (0.8, 0.8, 0.8, 1.0)
+    ).with_mesh(ico)
+    lit.render(LambertianLightingModifier((1.0, 0.0, 0.0), 0.2))
+    scene = HanabiScene()
+    scene.add(lit, "ico")
+    scene.add(
+        _phase_asset("bl", (0.6, 0.6, 0.5), "blend", (0.9, 0.1, 0.1, 0.5)),
+        "bl",
+    )
+    scene.update(DT)
+    img_split = np.asarray(
+        scene.render(cam, background=(0, 0, 0, 0), pipeline="split")
+    )
+    img_paint = np.asarray(
+        scene.render(cam, background=(0, 0, 0, 0), pipeline="painter")
+    )
+    np.testing.assert_allclose(img_paint, img_split, atol=1e-6)
+    # lit from +x: right half of the sphere brighter than the left
+    # (radius 0.5 x size 0.5 = 8 px around center 32)
+    lit_side = img_paint[30:35, 34:39, :3].mean()
+    dark_side = img_paint[30:35, 26:31, :3].mean()
+    assert lit_side > dark_side * 1.3, (lit_side, dark_side)
+    # the unlit blend quad kept full-strength color (shade padded to 1)
+    assert img_paint[:20, 40:, 0].max() > 0.3
+
+
+def test_painter_conflicting_lambert_setups():
+    """TWO lit meshes with different Lambert setups: "auto" quietly
+    falls back to the split pipeline; forcing pipeline="painter" raises
+    on the real conflict."""
+    from bevy_hanabi_tpu.models.examples import LambertianLightingModifier
+    from bevy_hanabi_tpu.render.mesh import ParticleMesh
+
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    scene = HanabiScene()
+    for name, pos, ldir in (
+        ("a", (-0.4, 0.0, -0.5), (1.0, 0.0, 0.0)),
+        ("b", (0.4, 0.0, -0.5), (0.0, 1.0, 0.0)),
+    ):
+        a = _phase_asset(
+            name, pos, "opaque", (0.8, 0.8, 0.8, 1.0)
+        ).with_mesh(ParticleMesh.icosphere(0.4, subdivisions=0))
+        a.render(LambertianLightingModifier(ldir, 0.2))
+        scene.add(a, name)
+    scene.update(DT)
+    insts = [scene["a"], scene["b"]]
+    opaque, transp = scene._scene_render_plan(insts, [], cam)
+    assert not any(p[0] == "painter" for p in opaque + transp)
+    img = np.asarray(scene.render(cam, background=(0, 0, 0, 0)))
+    assert (img[..., 3] > 0).sum() > 0
+    with pytest.raises(ValueError, match="Lambert"):
+        scene.render(cam, background=(0, 0, 0, 0), pipeline="painter")
