@@ -202,8 +202,11 @@ def _route_rows(rows, dest0, dest1, dp, sp, cap):
 class ShardedRenderer:
     """Renders a :class:`ShardedEffect`'s pools on its device mesh.
 
-    Supports GLOBAL simulation-space quad effects (no ribbons/meshes: ribbon
-    connectivity crosses shard boundaries and is rendered single-device).
+    Supports GLOBAL simulation-space effects. Quads work in every mode;
+    ribbons and triangle meshes need ``mode="slice"`` (the default via
+    "auto"): ribbon particles route by ribbon id so each device sorts and
+    connects whole trails, meshes expand locally, then segments/triangles
+    route to their framebuffer-slice owners like plain quads.
     """
 
     def __init__(

@@ -69,6 +69,15 @@ class ParticleDrawData:
     # (alpha_mode="scene"): 0=blend 1=premultiply 2=add 3=multiply
     # 4=opaque 5=mask. None everywhere else.
     mode_id: Any = None
+    # Painter texture merging (concat_painter_draws): a stacked atlas of
+    # every merged effect's texture, [T, Hmax, Wmax, 4] (each texture
+    # zero-padded to the max extent; per-entry true sizes keep sampling
+    # off the pad), plus per-entry sampling state [N, 6]:
+    # (tex_id, tex_w, tex_h, map_mode, grid_cols, grid_rows) where
+    # map_mode 0=untextured 1=modulate 2=modulate_rgb
+    # 3=modulate_opacity_from_r. None outside merged painter draws.
+    atlas: Any = None
+    tex_entry: Any = None
 
 
 jax.tree_util.register_dataclass(
@@ -90,6 +99,8 @@ jax.tree_util.register_dataclass(
         "nrm_abc",
         "vcol_abc",
         "mode_id",
+        "atlas",
+        "tex_entry",
     ],
     meta_fields=["sprite_grid_size", "texture_layers", "needs_uv", "lighting"],
 )
@@ -265,7 +276,7 @@ PAINTER_MODE_IDS = {
 }
 
 
-def concat_painter_draws(draws, kinds):
+def concat_painter_draws(draws, kinds, textures_per_draw=None):
     """Concatenate per-effect draw sets into ONE painter draw set.
 
     ``kinds`` are the effects' alpha-mode kinds, becoming the per-entry
@@ -274,9 +285,18 @@ def concat_painter_draws(draws, kinds):
     quads, expanded meshes (triangle entries pad ``tri`` 0 on quads,
     neutral vertex colors, light-direction normals so Lambert shade is
     exactly 1 on unlit entries) and ribbon segments (already quads after
-    ``build_ribbon_segments``). Textured draw sets cannot merge (per-
-    entry texture state doesn't exist); at most one distinct Lambert
-    lighting setup may be present."""
+    ``build_ribbon_segments``).
+
+    Textured draw sets merge through a stacked atlas: each effect's
+    single texture layer is zero-padded to the common max extent and
+    stacked into ``atlas`` [T, H, W, 4], and every entry carries its
+    (tex_id, true size, sample mapping, flipbook grid) in ``tex_entry``
+    so the rasterizer samples and modulates per entry (untextured
+    entries carry map_mode 0 → factor 1, bit-neutral).
+    ``textures_per_draw`` aligns with ``draws`` (each effect's texture
+    list, as passed to extraction). Effects with MULTIPLE texture layers
+    cannot merge; at most one distinct Lambert lighting setup may be
+    present."""
     cat = lambda field: jnp.concatenate([getattr(d, field) for d in draws])
 
     def cat_or(field, fill, width=None):
@@ -341,6 +361,78 @@ def concat_painter_draws(draws, kinds):
         lighting = None
         nrm_abc = None
     vcol_abc = cat_or("vcol_abc", 1.0, width=12)
+
+    # ---- texture atlas + per-entry sampling state ----
+    atlas = None
+    tex_entry = None
+    uv_abc = None
+    if any(d.texture_layers for d in draws):
+        if textures_per_draw is None:
+            raise ValueError(
+                "textured draw sets need textures_per_draw to merge into "
+                "the painter pass"
+            )
+        MAP_CODES = {
+            "modulate": 1.0,
+            "modulate_rgb": 2.0,
+            "modulate_opacity_from_r": 3.0,
+        }
+        uniq = {}  # id(texture) -> (atlas index, texture)
+        entry_parts = []
+        for d, texs in zip(draws, textures_per_draw):
+            n = d.alive.shape[0]
+            if not d.texture_layers:
+                row = (0.0, 1.0, 1.0, 0.0, 1.0, 1.0)
+            else:
+                if len(d.texture_layers) > 1:
+                    raise ValueError(
+                        "painter pass cannot merge an effect with MULTIPLE "
+                        "texture layers — render with pipeline='split'"
+                    )
+                slot, mapping = d.texture_layers[0]
+                if slot >= len(texs):
+                    raise ValueError(
+                        f"texture slot {slot} is referenced but only "
+                        f"{len(texs)} texture(s) were provided for the "
+                        "effect — pass textures=[...] when adding it"
+                    )
+                tex = jnp.asarray(texs[slot], jnp.float32)
+                if tex.ndim != 3 or tex.shape[2] != 4:
+                    raise ValueError(
+                        "painter texture merging needs [H, W, 4] RGBA "
+                        f"textures, got shape {tex.shape} — render with "
+                        "pipeline='split'"
+                    )
+                tid = uniq.setdefault(id(tex), (len(uniq), tex))[0]
+                mode = getattr(mapping, "value", mapping)
+                gc, gr = d.sprite_grid_size
+                row = (
+                    float(tid),
+                    float(tex.shape[1]),
+                    float(tex.shape[0]),
+                    MAP_CODES[mode],
+                    float(gc),
+                    float(gr),
+                )
+            entry_parts.append(
+                jnp.broadcast_to(jnp.asarray(row, jnp.float32), (n, 6))
+            )
+        tex_entry = jnp.concatenate(entry_parts)
+        texs_u = [t for _, t in sorted(uniq.values(), key=lambda p: p[0])]
+        hm = max(t.shape[0] for t in texs_u)
+        wm = max(t.shape[1] for t in texs_u)
+        atlas = jnp.stack(
+            [
+                jnp.pad(
+                    t, ((0, hm - t.shape[0]), (0, wm - t.shape[1]), (0, 0))
+                )
+                for t in texs_u
+            ]
+        )
+        # textured MESH entries sample their vertex UVs (quads pad 0,
+        # never read: the raster substitutes mesh UVs only where tri)
+        uv_abc = cat_or("uv_abc", 0.0, width=6)
+
     return ParticleDrawData(
         position=cat("position"),
         axis_x=cat("axis_x"),
@@ -355,7 +447,10 @@ def concat_painter_draws(draws, kinds):
         alpha_cutoff=cutoff,
         mode_id=mode_id,
         tri=tri,
+        uv_abc=uv_abc,
         nrm_abc=nrm_abc,
         vcol_abc=vcol_abc,
         lighting=lighting,
+        atlas=atlas,
+        tex_entry=tex_entry,
     )

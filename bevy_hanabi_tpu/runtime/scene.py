@@ -773,10 +773,19 @@ class HanabiScene:
     @staticmethod
     def _painter_ok(asset, textures, raster_override, sharded=False):
         """Can this effect/group join the unified painter pass?  Ribbon
-        segments and expanded mesh triangles concatenate fine; textured
-        effects (per-entry texture state doesn't exist), per-effect raster
-        overrides and sharded pools keep their own passes."""
-        return not (textures or raster_override or sharded)
+        segments and expanded mesh triangles concatenate fine, and
+        single-layer textured effects merge through the painter texture
+        atlas (per-entry tex id/size/mapping columns). Effects with
+        MULTIPLE texture layers (one merged sampling state per entry),
+        per-effect raster overrides and sharded pools keep their own
+        passes."""
+        from ..modifiers.output import ParticleTextureModifier
+
+        n_layers = sum(
+            isinstance(m, ParticleTextureModifier)
+            for m in asset.render_modifiers
+        )
+        return not (n_layers > 1 or raster_override or sharded)
 
     @staticmethod
     def _painter_lighting_ok(assets):
@@ -919,8 +928,8 @@ class HanabiScene:
             if pipeline == "painter" and not eligible:
                 raise ValueError(
                     "pipeline='painter' requires every visible effect/group "
-                    "to be painter-eligible (no textures, per-effect raster "
-                    "overrides, sharded pools, or >1 lit mesh) — use 'auto' to "
+                    "to be painter-eligible (no multi-layer textures, per-effect "
+                    "raster overrides, sharded pools, or >1 lit mesh) — use 'auto' to "
                     "fall back to the split pipeline automatically"
                 )
             n_passes = len(opaque_passes) + len(transp_passes)
@@ -1288,18 +1297,20 @@ class HanabiScene:
             quad/triangle entries."""
             from ..render.extract import concat_painter_draws
 
-            draws, kinds = [], []
+            draws, kinds, texs = [], [], []
             for i in idxs:
                 draws.append(
                     effect_draw(i, pools[i], m_ins[i], sim, camera)
                 )
                 kinds.append(assets[i].alpha_mode.kind)
+                texs.append(eff_texs[i])
             for gi in gidxs:
                 draws.append(
                     group_draw(gi, gpools[gi], g_ins_t[gi], sim, camera)
                 )
                 kinds.append(g_assets[gi].alpha_mode.kind)
-            return concat_painter_draws(draws, kinds)
+                texs.append(g_texs[gi])
+            return concat_painter_draws(draws, kinds, textures_per_draw=texs)
 
         def run_pass(p, pools, gpools, m_ins, g_ins_t, sim, camera, fb,
                      depth_in, write_depth):
@@ -1589,8 +1600,10 @@ class HanabiScene:
 
         ``pipeline``: "split" = the phase-split pipeline above; "painter" =
         ONE unified back-to-front pass over every effect's entries with
-        per-entry blend equations (raises unless all effects are eligible:
-        no ribbons/meshes/textures/raster overrides/sharded pools); "auto"
+        per-entry blend equations — ribbons join via their segment quads,
+        meshes via expanded triangles, single-layer textures via a stacked
+        atlas (raises unless all effects are eligible: no multi-layer
+        textures/raster overrides/sharded pools/>1 lit mesh); "auto"
         (default) = painter whenever eligible and the split plan would
         take >= 2 passes. The painter pass keeps pixel-identical occlusion
         (an opaque entry simply overwrites everything behind it) and
@@ -1735,8 +1748,8 @@ class HanabiScene:
             if pipeline == "painter" and not eligible:
                 raise ValueError(
                     "pipeline='painter' requires every visible effect/group "
-                    "to be painter-eligible (no textures, per-effect raster "
-                    "overrides, sharded pools, or >1 lit mesh) — use 'auto' to "
+                    "to be painter-eligible (no multi-layer textures, per-effect "
+                    "raster overrides, sharded pools, or >1 lit mesh) — use 'auto' to "
                     "fall back to the split pipeline automatically"
                 )
             if eligible:
@@ -1986,12 +1999,21 @@ class HanabiScene:
         from ..render.extract import concat_painter_draws, extract_draw_data
         from ..render.raster import rasterize
 
+        eff_texs = [
+            tuple(jnp.asarray(t, jnp.float32) for t in i.textures)
+            for i in insts
+        ]
+        g_texs = [
+            tuple(jnp.asarray(t, jnp.float32) for t in g["textures"])
+            for g in groups
+        ]
         key = (
             "painter",
             tuple(i.asset.signature() for i in insts),
             tuple(int(i.pool.alive.shape[-1]) for i in insts),
             tuple(g["asset"].signature() for g in groups),
             tuple(g["fx"].num_instances for g in groups),
+            tuple(tuple(t.shape for t in ts) for ts in eff_texs + g_texs),
             config,
             return_depth,
             scene_depth is not None,
@@ -2022,24 +2044,30 @@ class HanabiScene:
                         a,
                         extract_draw_data(
                             a, p, camera, sim=sim, properties=pr,
-                            textures=[], transform=tr,
+                            textures=list(ts), transform=tr,
                         ),
                         camera,
                     )
-                    for a, p, tr, pr in zip(assets, pools, transforms, props)
+                    for a, p, tr, pr, ts in zip(
+                        assets, pools, transforms, props, eff_texs
+                    )
                 ]
                 draws += [
                     expand(
                         a,
                         extract_draw_data(
                             a, gp, camera, sim=sim, properties=gpr,
-                            textures=[],
+                            textures=list(ts),
                         ),
                         camera,
                     )
-                    for a, gp, gpr in zip(g_assets, gpools, gprops)
+                    for a, gp, gpr, ts in zip(
+                        g_assets, gpools, gprops, g_texs
+                    )
                 ]
-                flat = concat_painter_draws(draws, kinds)
+                flat = concat_painter_draws(
+                    draws, kinds, textures_per_draw=eff_texs + g_texs
+                )
                 return rasterize(
                     flat, camera, config, alpha_mode="scene", textures=[],
                     scene_depth=sd, framebuffer=fb,

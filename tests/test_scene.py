@@ -761,7 +761,8 @@ def test_render_batching_matches_sequential_for_additive():
 
 
 def test_render_batching_skips_incompatible_effects():
-    """Textured / mask / ribbon effects fall back to per-effect passes."""
+    """In the SPLIT pipeline, textured effects fall back to per-effect
+    passes (batching merges only stateless same-blend quad runs)."""
     from bevy_hanabi_tpu.asset import AlphaMode
     from bevy_hanabi_tpu.models.texutils import make_circle_texture
     from bevy_hanabi_tpu.modifiers import ParticleTextureModifier
@@ -791,9 +792,11 @@ def test_render_batching_skips_incompatible_effects():
         perspective(1.05, 1.0, 0.1, 50.0),
         (64, 64),
     )
-    img = np.asarray(scene.render(cam, RasterConfig()))
+    img = np.asarray(scene.render(cam, RasterConfig(), pipeline="split"))
     assert np.isfinite(img).all()
-    assert len(scene._batch_render_jit) == 0  # no batch formed (sizes 1)
+    # no batch formed: the textured effect keeps its own pass and the
+    # remaining run has size 1 (painter keys would start with "painter")
+    assert len(scene._batch_render_jit) == 0
 
 
 def test_ribbon_equal_age_counter_tiebreak_is_stable():
@@ -1565,8 +1568,9 @@ def test_painter_orders_transparents_across_effects():
 
 
 def test_painter_pipeline_eligibility():
-    """pipeline='painter' raises for ineligible scenes (textures here);
-    'auto' silently falls back to the split pipeline."""
+    """pipeline='painter' raises for ineligible scenes (an effect with
+    TWO texture layers here — single-layer textures merge via the
+    painter atlas); 'auto' silently falls back to the split pipeline."""
     cam = CameraParams(
         view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
         proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
@@ -1584,10 +1588,15 @@ def test_painter_pipeline_eligibility():
         .init(SetAttributeModifier(A.LIFETIME, w.lit(100.0).expr()))
         .render(SetSizeModifier((0.5, 0.5, 0.5)))
         .render(ParticleTextureModifier(0, ImageSampleMapping.MODULATE))
+        .render(
+            ParticleTextureModifier(
+                1, ImageSampleMapping.MODULATE_OPACITY_FROM_R
+            )
+        )
     )
     scene = HanabiScene()
     tex = np.ones((4, 4, 4), np.float32)
-    scene.add(tex_asset, "t", textures=[tex])
+    scene.add(tex_asset, "t", textures=[tex, tex])
     scene.add(
         _phase_asset("bl", (0.3, 0.0, 0.5), "blend", (0.9, 0.1, 0.1, 0.5)),
         "bl",
@@ -1777,3 +1786,107 @@ def test_painter_conflicting_lambert_setups():
     assert (img[..., 3] > 0).sum() > 0
     with pytest.raises(ValueError, match="Lambert"):
         scene.render(cam, background=(0, 0, 0, 0), pipeline="painter")
+
+
+def test_painter_merges_textured_effects():
+    """Single-layer textured effects merge into the painter pass through
+    the stacked texture atlas: per-entry (tex id, true size, mapping)
+    columns reproduce the split pipeline bit-exactly, across different
+    texture sizes and sample mappings, with untextured entries neutral."""
+    from bevy_hanabi_tpu.modifiers import (
+        ImageSampleMapping,
+        ParticleTextureModifier,
+    )
+
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    ch = np.indices((8, 8)).sum(0) % 2
+    checker = np.stack(
+        [ch, 1 - ch, np.zeros_like(ch), np.ones_like(ch)], -1
+    ).astype(np.float32)
+    tint = np.ones((4, 4, 4), np.float32)
+    tint[..., 0] = 0.2
+    tint[..., 2] = 0.9
+
+    a1 = _phase_asset("t1", (-0.4, 0.0, -0.5), "blend", (1, 1, 1, 0.8))
+    a1.render(ParticleTextureModifier(0, ImageSampleMapping.MODULATE))
+    a2 = _phase_asset("t2", (0.4, 0.0, 0.5), "blend", (1, 1, 1, 0.6))
+    a2.render(ParticleTextureModifier(0, ImageSampleMapping.MODULATE_RGB))
+    a3 = _phase_asset("plain", (0.0, 0.5, 0.0), "add", (0.3, 0.3, 0.1, 1.0))
+
+    scene = HanabiScene()
+    scene.add(a1, "t1", textures=[checker])
+    scene.add(a2, "t2", textures=[tint])
+    scene.add(a3, "plain")
+    scene.update(DT)
+    insts = [scene[n] for n in ("t1", "t2", "plain")]
+    opaque, transp = scene._scene_render_plan(insts, [], cam)
+    assert any(p[0] == "painter" for p in transp)
+    img_split = np.asarray(
+        scene.render(cam, background=(0, 0, 0, 0), pipeline="split")
+    )
+    img_paint = np.asarray(
+        scene.render(cam, background=(0, 0, 0, 0), pipeline="painter")
+    )
+    np.testing.assert_allclose(img_paint, img_split, atol=1e-6)
+    # the checkerboard texture actually modulated: red AND green pixels
+    # both appear in the left-hand textured quad
+    left = img_paint[16:48, 4:28]
+    assert (left[..., 0] > 0.3).any() and (left[..., 1] > 0.3).any()
+
+
+def test_painter_textured_flipbook_matches_split():
+    """Per-entry flipbook grids survive the painter texture merge: a
+    flipbook effect (grid != 1x1) merged with an untextured effect
+    samples the same cells as its own split pass."""
+    from bevy_hanabi_tpu.modifiers import (
+        FlipbookModifier,
+        ImageSampleMapping,
+        ParticleTextureModifier,
+        SetAttributeModifier as SetAttr,
+    )
+
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    # 2x2 sheet: each cell a solid color
+    sheet = np.zeros((8, 8, 4), np.float32)
+    sheet[:4, :4] = (1, 0, 0, 1)
+    sheet[:4, 4:] = (0, 1, 0, 1)
+    sheet[4:, :4] = (0, 0, 1, 1)
+    sheet[4:, 4:] = (1, 1, 0, 1)
+
+    w = ExprWriter()
+    flip = (
+        EffectAsset("flip", 4, SpawnerSettings.once(1.0), w.finish())
+        .init(SetAttr(A.POSITION, w.lit((-0.4, 0.0, -0.5)).expr()))
+        .init(SetAttr(A.LIFETIME, w.lit(100.0).expr()))
+        .init(SetAttr(A.SPRITE_INDEX, w.lit(2, None).expr()))
+        .render(SetSizeModifier((0.5, 0.5, 0.5)))
+        .render(FlipbookModifier((2, 2)))
+        .render(ParticleTextureModifier(0, ImageSampleMapping.MODULATE))
+    )
+    from bevy_hanabi_tpu.asset import AlphaMode
+
+    flip.with_alpha_mode(AlphaMode.BLEND)
+    scene = HanabiScene()
+    scene.add(flip, "flip", textures=[sheet])
+    scene.add(
+        _phase_asset("bl", (0.5, 0.5, 0.5), "blend", (0.9, 0.1, 0.1, 0.5)),
+        "bl",
+    )
+    scene.update(DT)
+    img_split = np.asarray(
+        scene.render(cam, background=(0, 0, 0, 0), pipeline="split")
+    )
+    img_paint = np.asarray(
+        scene.render(cam, background=(0, 0, 0, 0), pipeline="painter")
+    )
+    np.testing.assert_allclose(img_paint, img_split, atol=1e-6)
+    # sprite_index 2 = row 1 col 0 of the 2x2 sheet = solid blue
+    assert img_paint[32, 20, 2] > 0.5 and img_paint[32, 20, 0] < 0.2
