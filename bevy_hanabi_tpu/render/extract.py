@@ -70,12 +70,14 @@ class ParticleDrawData:
     # 4=opaque 5=mask. None everywhere else.
     mode_id: Any = None
     # Painter texture merging (concat_painter_draws): a stacked atlas of
-    # every merged effect's texture, [T, Hmax, Wmax, 4] (each texture
-    # zero-padded to the max extent; per-entry true sizes keep sampling
-    # off the pad), plus per-entry sampling state [N, 6]:
-    # (tex_id, tex_w, tex_h, map_mode, grid_cols, grid_rows) where
-    # map_mode 0=untextured 1=modulate 2=modulate_rgb
-    # 3=modulate_opacity_from_r. None outside merged painter draws.
+    # every merged effect's texture layers, [T, Hmax, Wmax, 4] (each
+    # texture zero-padded to the max extent; per-entry true sizes keep
+    # sampling off the pad), plus per-entry sampling state
+    # [N, 2 + 4*Lmax]: (grid_cols, grid_rows) then per texture layer
+    # (tex_id, tex_w, tex_h, map_mode) where map_mode 0=absent layer
+    # (modulates by exactly 1) 1=modulate 2=modulate_rgb
+    # 3=modulate_opacity_from_r. Lmax is the max layer count across the
+    # merged effects. None outside merged painter draws.
     atlas: Any = None
     tex_entry: Any = None
 
@@ -287,16 +289,16 @@ def concat_painter_draws(draws, kinds, textures_per_draw=None):
     exactly 1 on unlit entries) and ribbon segments (already quads after
     ``build_ribbon_segments``).
 
-    Textured draw sets merge through a stacked atlas: each effect's
-    single texture layer is zero-padded to the common max extent and
+    Textured draw sets merge through a stacked atlas: every texture
+    layer of every effect is zero-padded to the common max extent and
     stacked into ``atlas`` [T, H, W, 4], and every entry carries its
-    (tex_id, true size, sample mapping, flipbook grid) in ``tex_entry``
-    so the rasterizer samples and modulates per entry (untextured
-    entries carry map_mode 0 → factor 1, bit-neutral).
+    flipbook grid plus per-layer (tex_id, true size, sample mapping)
+    columns in ``tex_entry`` [N, 2 + 4*Lmax] so the rasterizer samples
+    and modulates per entry per layer, layers applied in modifier order
+    (absent layers carry map_mode 0 → factor 1, bit-neutral).
     ``textures_per_draw`` aligns with ``draws`` (each effect's texture
-    list, as passed to extraction). Effects with MULTIPLE texture layers
-    cannot merge; at most one distinct Lambert lighting setup may be
-    present."""
+    list, as passed to extraction). At most one distinct Lambert
+    lighting setup may be present."""
     cat = lambda field: jnp.concatenate([getattr(d, field) for d in draws])
 
     def cat_or(field, fill, width=None):
@@ -377,19 +379,15 @@ def concat_painter_draws(draws, kinds, textures_per_draw=None):
             "modulate_rgb": 2.0,
             "modulate_opacity_from_r": 3.0,
         }
+        lmax = max(len(d.texture_layers) for d in draws)
+        width = 2 + 4 * lmax
         uniq = {}  # id(texture) -> (atlas index, texture)
         entry_parts = []
         for d, texs in zip(draws, textures_per_draw):
             n = d.alive.shape[0]
-            if not d.texture_layers:
-                row = (0.0, 1.0, 1.0, 0.0, 1.0, 1.0)
-            else:
-                if len(d.texture_layers) > 1:
-                    raise ValueError(
-                        "painter pass cannot merge an effect with MULTIPLE "
-                        "texture layers — render with pipeline='split'"
-                    )
-                slot, mapping = d.texture_layers[0]
+            gc, gr = d.sprite_grid_size
+            row = [float(gc), float(gr)]
+            for slot, mapping in d.texture_layers:
                 if slot >= len(texs):
                     raise ValueError(
                         f"texture slot {slot} is referenced but only "
@@ -405,17 +403,15 @@ def concat_painter_draws(draws, kinds, textures_per_draw=None):
                     )
                 tid = uniq.setdefault(id(tex), (len(uniq), tex))[0]
                 mode = getattr(mapping, "value", mapping)
-                gc, gr = d.sprite_grid_size
-                row = (
+                row += [
                     float(tid),
                     float(tex.shape[1]),
                     float(tex.shape[0]),
                     MAP_CODES[mode],
-                    float(gc),
-                    float(gr),
-                )
+                ]
+            row += [0.0, 1.0, 1.0, 0.0] * (lmax - len(d.texture_layers))
             entry_parts.append(
-                jnp.broadcast_to(jnp.asarray(row, jnp.float32), (n, 6))
+                jnp.broadcast_to(jnp.asarray(row, jnp.float32), (n, width))
             )
         tex_entry = jnp.concatenate(entry_parts)
         texs_u = [t for _, t in sorted(uniq.values(), key=lambda p: p[0])]

@@ -503,7 +503,8 @@ def rasterize(
         cols.append(draw.sprite_index.astype(jnp.float32))
     if has_ptex:
         i_ptex = len(cols)
-        cols.extend(draw.tex_entry[:, j] for j in range(6))
+        n_ptex = draw.tex_entry.shape[1]  # 2 + 4 * layer count
+        cols.extend(draw.tex_entry[:, j] for j in range(n_ptex))
     need_cutoff = alpha_mode == "mask" or painter
     if need_cutoff and draw.alpha_cutoff is not None:
         i_cutoff = len(cols)
@@ -550,7 +551,7 @@ def rasterize(
             jnp.asarray(alpha_cutoff, jnp.float32), t_p.shape
         )
     t_mode = rows[..., i_mode] if painter else None
-    t_ptex = rows[..., i_ptex : i_ptex + 6] if has_ptex else None
+    t_ptex = rows[..., i_ptex : i_ptex + n_ptex] if has_ptex else None
     t_uv = rows[..., i_uv : i_uv + 6] if has_mesh_uv else None
     t_nrm = rows[..., i_nrm : i_nrm + 9] if has_lighting else None
     t_vcol = rows[..., i_vcol : i_vcol + 12] if has_vcol else None
@@ -723,59 +724,62 @@ def rasterize(
                 else:  # modulate_opacity_from_r
                     src = src.at[..., 3].multiply(texel[..., 0])
         elif has_ptex:
-            # Merged painter textures: per-entry (tex_id, true size,
-            # mapping, flipbook grid) against the stacked atlas. All
-            # index math mods by the entry's TRUE size, so the zero
-            # padding to the common atlas extent is never sampled.
-            pt = t_ptex[m]  # [nt, 6]
+            # Merged painter textures: per-entry flipbook grid plus
+            # per-LAYER (tex_id, true size, mapping) columns against the
+            # stacked atlas, layers applied in modifier order. All index
+            # math mods by the layer's TRUE size, so the zero padding to
+            # the common atlas extent is never sampled.
+            pt = t_ptex[m]  # [nt, 2 + 4*L]
             if t_uv is not None:
                 muv = bary_interp(t_uv[m], 0, 2)
                 u01 = jnp.where(is_tri, muv[..., 0], u01)
                 v01 = jnp.where(is_tri, muv[..., 1], v01)
-            gc = pt[..., 4][:, None, None]
-            gr = pt[..., 5][:, None, None]
+            gc = pt[..., 0][:, None, None]
+            gr = pt[..., 1][:, None, None]
             sprite = t_sprite[m].astype(jnp.float32)[:, None, None]
             cell_c = jnp.mod(sprite, gc)
             cell_r = jnp.floor(sprite / gc)
             tu = (u01 + cell_c) / gc
             tv = (v01 + cell_r) / gr
-            tw_e = pt[..., 1][:, None, None]
-            th_e = pt[..., 2][:, None, None]
-            tid = pt[..., 0].astype(jnp.int32)[:, None, None]
-            uu = tu * tw_e - 0.5
-            vv = tv * th_e - 0.5
-            u0 = jnp.floor(uu)
-            v0 = jnp.floor(vv)
-            fu = (uu - u0)[..., None]
-            fv = (vv - v0)[..., None]
-            u0i = jnp.mod(u0, tw_e).astype(jnp.int32)
-            v0i = jnp.mod(v0, th_e).astype(jnp.int32)
-            u1i = jnp.mod(u0 + 1.0, tw_e).astype(jnp.int32)
-            v1i = jnp.mod(v0 + 1.0, th_e).astype(jnp.int32)
             at = draw.atlas
-            t00 = at[tid, v0i, u0i]
-            t01 = at[tid, v0i, u1i]
-            t10 = at[tid, v1i, u0i]
-            t11 = at[tid, v1i, u1i]
-            top = t00 + (t01 - t00) * fu
-            bot = t10 + (t11 - t10) * fu
-            texel = top + (bot - top) * fv
-            # per-entry mapping as neutral-by-default factors:
-            # rgb ×= texel.rgb for modulate(1)/modulate_rgb(2);
-            # a ×= texel.a for modulate(1), texel.r for
-            # modulate_opacity_from_r(3); untextured (0) stays ×1
-            mm = pt[..., 3][:, None, None]
-            rgbf = jnp.where(
-                ((mm == 1.0) | (mm == 2.0))[..., None],
-                texel[..., :3],
-                1.0,
-            )
-            af = jnp.where(
-                mm == 1.0,
-                texel[..., 3],
-                jnp.where(mm == 3.0, texel[..., 0], 1.0),
-            )
-            src = src * jnp.concatenate([rgbf, af[..., None]], axis=-1)
+            for layer in range((n_ptex - 2) // 4):
+                o = 2 + 4 * layer
+                tid = pt[..., o].astype(jnp.int32)[:, None, None]
+                tw_e = pt[..., o + 1][:, None, None]
+                th_e = pt[..., o + 2][:, None, None]
+                uu = tu * tw_e - 0.5
+                vv = tv * th_e - 0.5
+                u0 = jnp.floor(uu)
+                v0 = jnp.floor(vv)
+                fu = (uu - u0)[..., None]
+                fv = (vv - v0)[..., None]
+                u0i = jnp.mod(u0, tw_e).astype(jnp.int32)
+                v0i = jnp.mod(v0, th_e).astype(jnp.int32)
+                u1i = jnp.mod(u0 + 1.0, tw_e).astype(jnp.int32)
+                v1i = jnp.mod(v0 + 1.0, th_e).astype(jnp.int32)
+                t00 = at[tid, v0i, u0i]
+                t01 = at[tid, v0i, u1i]
+                t10 = at[tid, v1i, u0i]
+                t11 = at[tid, v1i, u1i]
+                top = t00 + (t01 - t00) * fu
+                bot = t10 + (t11 - t10) * fu
+                texel = top + (bot - top) * fv
+                # per-entry mapping as neutral-by-default factors:
+                # rgb ×= texel.rgb for modulate(1)/modulate_rgb(2);
+                # a ×= texel.a for modulate(1), texel.r for
+                # modulate_opacity_from_r(3); absent layer (0) stays ×1
+                mm = pt[..., o + 3][:, None, None]
+                rgbf = jnp.where(
+                    ((mm == 1.0) | (mm == 2.0))[..., None],
+                    texel[..., :3],
+                    1.0,
+                )
+                af = jnp.where(
+                    mm == 1.0,
+                    texel[..., 3],
+                    jnp.where(mm == 3.0, texel[..., 0], 1.0),
+                )
+                src = src * jnp.concatenate([rgbf, af[..., None]], axis=-1)
 
         # Zero-coverage lanes must contribute EXACTLY zero even when src or
         # the quad math is non-finite (NaN·0 = NaN would poison every pixel

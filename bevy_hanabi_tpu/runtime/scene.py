@@ -774,18 +774,12 @@ class HanabiScene:
     def _painter_ok(asset, textures, raster_override, sharded=False):
         """Can this effect/group join the unified painter pass?  Ribbon
         segments and expanded mesh triangles concatenate fine, and
-        single-layer textured effects merge through the painter texture
-        atlas (per-entry tex id/size/mapping columns). Effects with
-        MULTIPLE texture layers (one merged sampling state per entry),
-        per-effect raster overrides and sharded pools keep their own
-        passes."""
-        from ..modifiers.output import ParticleTextureModifier
-
-        n_layers = sum(
-            isinstance(m, ParticleTextureModifier)
-            for m in asset.render_modifiers
-        )
-        return not (n_layers > 1 or raster_override or sharded)
+        textured effects (any layer count) merge through the painter
+        texture atlas (per-entry, per-layer tex id/size/mapping columns).
+        Only per-effect raster overrides (a different tile grid cannot
+        share a pass) and sharded pools (their entries live on other
+        devices) keep their own passes."""
+        return not (raster_override or sharded)
 
     @staticmethod
     def _painter_lighting_ok(assets):
@@ -928,8 +922,8 @@ class HanabiScene:
             if pipeline == "painter" and not eligible:
                 raise ValueError(
                     "pipeline='painter' requires every visible effect/group "
-                    "to be painter-eligible (no multi-layer textures, per-effect "
-                    "raster overrides, sharded pools, or >1 lit mesh) — use 'auto' to "
+                    "to be painter-eligible (no per-effect raster "
+                    "overrides, sharded pools, or >1 lit mesh) — use 'auto' to "
                     "fall back to the split pipeline automatically"
                 )
             n_passes = len(opaque_passes) + len(transp_passes)
@@ -1601,9 +1595,9 @@ class HanabiScene:
         ``pipeline``: "split" = the phase-split pipeline above; "painter" =
         ONE unified back-to-front pass over every effect's entries with
         per-entry blend equations — ribbons join via their segment quads,
-        meshes via expanded triangles, single-layer textures via a stacked
-        atlas (raises unless all effects are eligible: no multi-layer
-        textures/raster overrides/sharded pools/>1 lit mesh); "auto"
+        meshes via expanded triangles, textures (any layer count) via a
+        stacked atlas (raises unless all effects are eligible: no
+        per-effect raster overrides/sharded pools/>1 lit mesh); "auto"
         (default) = painter whenever eligible and the split plan would
         take >= 2 passes. The painter pass keeps pixel-identical occlusion
         (an opaque entry simply overwrites everything behind it) and
@@ -1748,8 +1742,8 @@ class HanabiScene:
             if pipeline == "painter" and not eligible:
                 raise ValueError(
                     "pipeline='painter' requires every visible effect/group "
-                    "to be painter-eligible (no multi-layer textures, per-effect "
-                    "raster overrides, sharded pools, or >1 lit mesh) — use 'auto' to "
+                    "to be painter-eligible (no per-effect raster "
+                    "overrides, sharded pools, or >1 lit mesh) — use 'auto' to "
                     "fall back to the split pipeline automatically"
                 )
             if eligible:

@@ -1568,35 +1568,20 @@ def test_painter_orders_transparents_across_effects():
 
 
 def test_painter_pipeline_eligibility():
-    """pipeline='painter' raises for ineligible scenes (an effect with
-    TWO texture layers here — single-layer textures merge via the
-    painter atlas); 'auto' silently falls back to the split pipeline."""
+    """pipeline='painter' raises for ineligible scenes (an effect with a
+    per-effect raster override here — a different tile grid cannot share
+    the pass); 'auto' silently falls back to the split pipeline."""
     cam = CameraParams(
         view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
         proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
         viewport=(64, 64),
     )
-    from bevy_hanabi_tpu.modifiers import (
-        ImageSampleMapping,
-        ParticleTextureModifier,
-    )
-
-    w = ExprWriter()
-    tex_asset = (
-        EffectAsset("tex", 4, SpawnerSettings.once(1.0), w.finish())
-        .init(SetAttributeModifier(A.POSITION, w.lit((0.0, 0.0, 0.0)).expr()))
-        .init(SetAttributeModifier(A.LIFETIME, w.lit(100.0).expr()))
-        .render(SetSizeModifier((0.5, 0.5, 0.5)))
-        .render(ParticleTextureModifier(0, ImageSampleMapping.MODULATE))
-        .render(
-            ParticleTextureModifier(
-                1, ImageSampleMapping.MODULATE_OPACITY_FROM_R
-            )
-        )
-    )
     scene = HanabiScene()
-    tex = np.ones((4, 4, 4), np.float32)
-    scene.add(tex_asset, "t", textures=[tex, tex])
+    scene.add(
+        _phase_asset("ov", (0.0, 0.0, 0.0), "add", (0.5, 0.5, 0.1, 1.0)),
+        "ov",
+        raster_override={"tile_size": 8},
+    )
     scene.add(
         _phase_asset("bl", (0.3, 0.0, 0.5), "blend", (0.9, 0.1, 0.1, 0.5)),
         "bl",
@@ -1606,6 +1591,62 @@ def test_painter_pipeline_eligibility():
         scene.render(cam, pipeline="painter")
     img = np.asarray(scene.render(cam, background=(0, 0, 0, 0)))
     assert np.isfinite(img).all()
+
+
+def test_painter_merges_multilayer_textures():
+    """Effects with MULTIPLE texture layers merge into the painter pass:
+    per-entry, per-LAYER (tex id, size, mapping) columns apply the
+    modulation chain in modifier order, bit-exactly vs the split
+    pipeline; effects with fewer layers pad neutral (factor 1) layers."""
+    from bevy_hanabi_tpu.modifiers import (
+        ImageSampleMapping,
+        ParticleTextureModifier,
+    )
+
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    ch = np.indices((8, 8)).sum(0) % 2
+    checker = np.stack(
+        [ch, 1 - ch, np.zeros_like(ch), np.ones_like(ch)], -1
+    ).astype(np.float32)
+    # radial opacity map sampled from R by the second layer
+    yy, xx = np.mgrid[0:6, 0:6]
+    r = np.clip(1.0 - np.hypot(xx - 2.5, yy - 2.5) / 3.0, 0.0, 1.0)
+    fade = np.stack([r, r, r, np.ones_like(r)], -1).astype(np.float32)
+
+    two = _phase_asset("two", (-0.4, 0.0, -0.5), "blend", (1, 1, 1, 0.9))
+    two.render(ParticleTextureModifier(0, ImageSampleMapping.MODULATE))
+    two.render(
+        ParticleTextureModifier(1, ImageSampleMapping.MODULATE_OPACITY_FROM_R)
+    )
+    one = _phase_asset("one", (0.4, 0.0, 0.5), "blend", (1, 1, 1, 0.6))
+    one.render(ParticleTextureModifier(0, ImageSampleMapping.MODULATE_RGB))
+    plain = _phase_asset("plain", (0.0, 0.5, 0.0), "add", (0.3, 0.3, 0.1, 1.0))
+
+    scene = HanabiScene()
+    scene.add(two, "two", textures=[checker, fade])
+    scene.add(one, "one", textures=[checker])
+    scene.add(plain, "plain")
+    scene.update(DT)
+    insts = [scene[n] for n in ("two", "one", "plain")]
+    opaque, transp = scene._scene_render_plan(insts, [], cam)
+    assert any(p[0] == "painter" for p in transp)
+    img_split = np.asarray(
+        scene.render(cam, background=(0, 0, 0, 0), pipeline="split")
+    )
+    img_paint = np.asarray(
+        scene.render(cam, background=(0, 0, 0, 0), pipeline="painter")
+    )
+    np.testing.assert_allclose(img_paint, img_split, atol=1e-6)
+    # the opacity layer actually applied: the two-layer quad's alpha
+    # falls off from its center toward its edge
+    left = img_paint[:, :32, 3]
+    assert left.max() > 0.5
+    cy, cx = np.unravel_index(np.argmax(left), left.shape)
+    assert left[cy, cx] > left[max(cy - 10, 0), cx] + 0.1
 
 
 def test_painter_mask_cutoff_honored():
