@@ -65,6 +65,11 @@ class ParticleDrawData:
     # ((lx,ly,lz), band) Lambert params when a lighting render modifier
     # deferred shading to the rasterizer (per-fragment mesh normals)
     lighting: Any = None
+    # [N, 4] per-entry Lambert params (lx, ly, lz, band) when a painter
+    # merge carries MULTIPLE distinct lighting setups (concat_painter_draws;
+    # unlit entries carry band 1.0 so shade is exactly 1). None elsewhere —
+    # a single setup stays static per-draw via ``lighting``.
+    light_entry: Any = None
     # [N] per-entry blend mode id for the unified scene painter pass
     # (alpha_mode="scene"): 0=blend 1=premultiply 2=add 3=multiply
     # 4=opaque 5=mask. None everywhere else.
@@ -103,6 +108,7 @@ jax.tree_util.register_dataclass(
         "mode_id",
         "atlas",
         "tex_entry",
+        "light_entry",
     ],
     meta_fields=["sprite_grid_size", "texture_layers", "needs_uv", "lighting"],
 )
@@ -297,8 +303,9 @@ def concat_painter_draws(draws, kinds, textures_per_draw=None):
     and modulates per entry per layer, layers applied in modifier order
     (absent layers carry map_mode 0 → factor 1, bit-neutral).
     ``textures_per_draw`` aligns with ``draws`` (each effect's texture
-    list, as passed to extraction). At most one distinct Lambert
-    lighting setup may be present."""
+    list, as passed to extraction). Lambert-lit mesh draws merge too:
+    one distinct setup stays per-draw static, several ride per-entry
+    (light dir, band) columns."""
     cat = lambda field: jnp.concatenate([getattr(d, field) for d in draws])
 
     def cat_or(field, fill, width=None):
@@ -331,23 +338,51 @@ def concat_painter_draws(draws, kinds, textures_per_draw=None):
             for d, k in zip(draws, kinds)
         ]
     )
-    # Lambert lighting is per-DRAW static state; the merged pass can carry
-    # one setup. Entries from unlit draws pad their normal triplets with
-    # the LIGHT DIRECTION itself: the raster normalizes the interpolated
-    # normal, so shade == clip(|light_dir|, band, 1) == exactly 1 for the
-    # conventional unit light dir (non-unit dirs shade unlit entries by
-    # min(|l|, 1), an authoring error Lambert itself already amplifies).
+    # Lambert lighting: ONE distinct setup stays per-draw static state
+    # (the cheap path — no extra row columns). Entries from unlit draws
+    # then pad their normal triplets with the LIGHT DIRECTION itself: the
+    # raster normalizes the interpolated normal, so shade ==
+    # clip(|light_dir|, band, 1) == exactly 1 for the conventional unit
+    # light dir (non-unit dirs shade unlit entries by min(|l|, 1), an
+    # authoring error Lambert itself already amplifies). MULTIPLE
+    # distinct setups ride per-entry (lx, ly, lz, band) columns instead
+    # (``light_entry``); unlit entries carry band 1.0, clamping their
+    # shade to exactly 1 regardless of padded normals.
     lightings = [
         d.lighting
         for d in draws
         if d.lighting is not None and d.nrm_abc is not None
     ]
+    light_entry = None
     if len({(tuple(l[0]), l[1]) for l in lightings}) > 1:
-        raise ValueError(
-            "painter pass cannot merge effects with DIFFERENT Lambert "
-            "lighting setups — render with pipeline='split'"
-        )
-    if lightings:
+        lighting = None
+        up = jnp.asarray((0.0, 0.0, 1.0) * 3, jnp.float32)
+        nrm_parts, light_parts = [], []
+        for d in draws:
+            n = d.alive.shape[0]
+            if d.nrm_abc is not None and d.lighting is not None:
+                (lx, ly, lz), band = d.lighting
+                nrm_parts.append(d.nrm_abc)
+                light_parts.append(
+                    jnp.broadcast_to(
+                        jnp.asarray(
+                            (float(lx), float(ly), float(lz), float(band)),
+                            jnp.float32,
+                        ),
+                        (n, 4),
+                    )
+                )
+            else:
+                nrm_parts.append(jnp.broadcast_to(up, (n, 9)))
+                light_parts.append(
+                    jnp.broadcast_to(
+                        jnp.asarray((0.0, 0.0, 1.0, 1.0), jnp.float32),
+                        (n, 4),
+                    )
+                )
+        nrm_abc = jnp.concatenate(nrm_parts)
+        light_entry = jnp.concatenate(light_parts)
+    elif lightings:
         lighting = lightings[0]
         ldir = jnp.asarray(list(lighting[0]) * 3, jnp.float32)
         nrm_parts = []
@@ -447,6 +482,7 @@ def concat_painter_draws(draws, kinds, textures_per_draw=None):
         nrm_abc=nrm_abc,
         vcol_abc=vcol_abc,
         lighting=lighting,
+        light_entry=light_entry,
         atlas=atlas,
         tex_entry=tex_entry,
     )

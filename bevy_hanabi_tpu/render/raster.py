@@ -519,10 +519,17 @@ def rasterize(
     if has_mesh_uv:
         i_uv = len(cols)
         cols.extend(draw.uv_abc[:, j] for j in range(6))
-    has_lighting = draw.nrm_abc is not None and draw.lighting is not None
+    has_lighting = draw.nrm_abc is not None and (
+        draw.lighting is not None or draw.light_entry is not None
+    )
     if has_lighting:
         i_nrm = len(cols)
         cols.extend(draw.nrm_abc[:, j] for j in range(9))
+    # per-entry Lambert params (painter merge of >1 distinct setup)
+    has_light_entry = has_lighting and draw.light_entry is not None
+    if has_light_entry:
+        i_light = len(cols)
+        cols.extend(draw.light_entry[:, j] for j in range(4))
     has_vcol = draw.vcol_abc is not None
     if has_vcol:
         i_vcol = len(cols)
@@ -554,6 +561,7 @@ def rasterize(
     t_ptex = rows[..., i_ptex : i_ptex + n_ptex] if has_ptex else None
     t_uv = rows[..., i_uv : i_uv + 6] if has_mesh_uv else None
     t_nrm = rows[..., i_nrm : i_nrm + 9] if has_lighting else None
+    t_light = rows[..., i_light : i_light + 4] if has_light_entry else None
     t_vcol = rows[..., i_vcol : i_vcol + 12] if has_vcol else None
     t_fragd = rows[..., i_depth] if need_depth else None
 
@@ -681,7 +689,16 @@ def rasterize(
             # multiplies mesh ATTRIBUTE_COLOR into the fragment color)
             src = src * bary_interp(t_vcol[m], 0, 4)
         if t_nrm is not None:
-            (lx, ly, lz), band = draw.lighting
+            if t_light is not None:
+                # per-entry Lambert params (>1 distinct setup merged by the
+                # painter pass; unlit entries carry band 1 → shade == 1)
+                lt = t_light[m]  # [nt, 4]
+                lx = lt[..., 0][:, None, None]
+                ly = lt[..., 1][:, None, None]
+                lz = lt[..., 2][:, None, None]
+                band = lt[..., 3][:, None, None]
+            else:
+                (lx, ly, lz), band = draw.lighting
             nvec = bary_interp(t_nrm[m], 0, 3)
             nn = nvec / jnp.maximum(
                 jnp.sqrt(jnp.sum(nvec * nvec, axis=-1, keepdims=True)), 1e-9

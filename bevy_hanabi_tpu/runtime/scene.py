@@ -781,22 +781,6 @@ class HanabiScene:
         devices) keep their own passes."""
         return not (raster_override or sharded)
 
-    @staticmethod
-    def _painter_lighting_ok(assets):
-        """At most ONE visible mesh-with-normals effect may join the
-        painter pass under "auto": Lambert lighting is per-draw static
-        state discovered only at extract time (a render-modifier side
-        effect), so two lit meshes could carry conflicting setups that
-        raise at trace time — "auto" stays conservative and falls back;
-        pipeline="painter" forces the merge and raises on real
-        conflicts."""
-        lit = sum(
-            1
-            for a in assets
-            if a.mesh is not None and a.mesh.normals is not None
-        )
-        return lit <= 1
-
     def _scene_render_plan(self, insts, groups, camera, pipeline="auto"):
         """Static render plan mirroring :meth:`render`: back-to-front
         ordering by emitter distance under ``camera``, same-blend batching,
@@ -914,16 +898,11 @@ class HanabiScene:
                 )
                 for gi in vis_groups
             )
-            if eligible and pipeline == "auto":
-                eligible = self._painter_lighting_ok(
-                    [insts[i].asset for i in vis_idx]
-                    + [groups[gi]["asset"] for gi in vis_groups]
-                )
             if pipeline == "painter" and not eligible:
                 raise ValueError(
                     "pipeline='painter' requires every visible effect/group "
                     "to be painter-eligible (no per-effect raster "
-                    "overrides, sharded pools, or >1 lit mesh) — use 'auto' to "
+                    "overrides or sharded pools) — use 'auto' to "
                     "fall back to the split pipeline automatically"
                 )
             n_passes = len(opaque_passes) + len(transp_passes)
@@ -1597,7 +1576,7 @@ class HanabiScene:
         per-entry blend equations — ribbons join via their segment quads,
         meshes via expanded triangles, textures (any layer count) via a
         stacked atlas (raises unless all effects are eligible: no
-        per-effect raster overrides/sharded pools/>1 lit mesh); "auto"
+        per-effect raster overrides or sharded pools); "auto"
         (default) = painter whenever eligible and the split plan would
         take >= 2 passes. The painter pass keeps pixel-identical occlusion
         (an opaque entry simply overwrites everything behind it) and
@@ -1734,16 +1713,11 @@ class HanabiScene:
                 )
                 for _, g in group_items
             )
-            if eligible and pipeline == "auto":
-                eligible = self._painter_lighting_ok(
-                    [e.asset for e in visible]
-                    + [g["asset"] for _, g in group_items]
-                )
             if pipeline == "painter" and not eligible:
                 raise ValueError(
                     "pipeline='painter' requires every visible effect/group "
                     "to be painter-eligible (no per-effect raster "
-                    "overrides, sharded pools, or >1 lit mesh) — use 'auto' to "
+                    "overrides or sharded pools) — use 'auto' to "
                     "fall back to the split pipeline automatically"
                 )
             if eligible:

@@ -1797,10 +1797,11 @@ def test_painter_merges_lit_mesh_with_quads():
     assert img_paint[:20, 40:, 0].max() > 0.3
 
 
-def test_painter_conflicting_lambert_setups():
-    """TWO lit meshes with different Lambert setups: "auto" quietly
-    falls back to the split pipeline; forcing pipeline="painter" raises
-    on the real conflict."""
+def test_painter_merges_conflicting_lambert_setups():
+    """TWO lit meshes with DIFFERENT Lambert setups merge into the
+    painter pass via per-entry (light dir, band) columns — bit-exact vs
+    the split pipeline, each mesh keeping its own shading, with an
+    unlit transparent quad riding along at shade exactly 1."""
     from bevy_hanabi_tpu.models.examples import LambertianLightingModifier
     from bevy_hanabi_tpu.render.mesh import ParticleMesh
 
@@ -1819,14 +1820,27 @@ def test_painter_conflicting_lambert_setups():
         ).with_mesh(ParticleMesh.icosphere(0.4, subdivisions=0))
         a.render(LambertianLightingModifier(ldir, 0.2))
         scene.add(a, name)
+    scene.add(
+        _phase_asset("bl", (0.0, 0.5, 0.5), "blend", (0.9, 0.1, 0.1, 0.5)),
+        "bl",
+    )
     scene.update(DT)
-    insts = [scene["a"], scene["b"]]
+    insts = [scene[n] for n in ("a", "b", "bl")]
     opaque, transp = scene._scene_render_plan(insts, [], cam)
-    assert not any(p[0] == "painter" for p in opaque + transp)
-    img = np.asarray(scene.render(cam, background=(0, 0, 0, 0)))
-    assert (img[..., 3] > 0).sum() > 0
-    with pytest.raises(ValueError, match="Lambert"):
+    assert any(p[0] == "painter" for p in opaque + transp)
+    img_split = np.asarray(
+        scene.render(cam, background=(0, 0, 0, 0), pipeline="split")
+    )
+    img_paint = np.asarray(
         scene.render(cam, background=(0, 0, 0, 0), pipeline="painter")
+    )
+    np.testing.assert_allclose(img_paint, img_split, atol=1e-6)
+    # the two setups actually differ: light-from-+x shades the left
+    # sphere's left half brighter than its right half and vice versa
+    left = img_paint[24:40, 4:28, :3]
+    right = img_paint[24:40, 36:60, :3]
+    assert left.sum() > 0 and right.sum() > 0
+    assert not np.allclose(left, right, atol=1e-3)
 
 
 def test_painter_merges_textured_effects():
