@@ -359,3 +359,132 @@ def test_random_scene_phase_mix_renders_cleanly(seed):
     assert img.shape == (96, 96, 4) and depth.shape == (96, 96)
     # depth is +inf where no opaque fragment (or everywhere if none)
     assert (depth > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Painter-vs-split differential fuzz: depth-separated random scenes agree
+# ---------------------------------------------------------------------------
+
+
+def _banded_render_asset(rng: np.random.Generator, lit: bool):
+    """Random render stack whose particles stay within a tight z extent
+    (sphere radius <= 0.25, |velocity| <= 0.3) so per-effect z bands
+    spaced 1.2 apart never overlap in depth — the regime where the split
+    pipeline's emitter-distance pass order equals the painter pass's
+    global depth order, making the two pixel-identical."""
+    w = ExprWriter()
+    asset = EffectAsset("bfuzz", 32, SpawnerSettings.once(32.0), w.module)
+    asset.init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
+    asset.init(SetAttributeModifier(A.LIFETIME, w.lit(100.0).expr()))
+    asset.init(
+        SetPositionSphereModifier(
+            w.lit((0.0, 0.0, 0.0)).expr(),
+            w.lit(float(rng.uniform(0.1, 0.25))).expr(),
+            ShapeDimension.VOLUME,
+        )
+    )
+    asset.init(
+        SetVelocitySphereModifier(
+            w.lit((0.0, 0.0, 0.0)).expr(),
+            w.lit(float(rng.uniform(0.05, 0.3))).expr(),
+        )
+    )
+    asset.render(
+        SetColorModifier(tuple(rng.uniform(0.1, 1.5, 4).astype(float)))
+    )
+    asset.render(
+        SetSizeModifier(tuple(rng.uniform(0.05, 0.3, 3).astype(float)))
+    )
+    textures = []
+    if lit:
+        from bevy_hanabi_tpu.models.examples import LambertianLightingModifier
+        from bevy_hanabi_tpu.render.mesh import ParticleMesh
+
+        asset.with_mesh(ParticleMesh.icosphere(0.35, subdivisions=0))
+        ldir = rng.uniform(-1, 1, 3)
+        ldir /= np.linalg.norm(ldir) + 1e-6
+        asset.render(
+            LambertianLightingModifier(
+                tuple(ldir.astype(float)), float(rng.uniform(0.0, 0.4))
+            )
+        )
+        asset.with_alpha_mode(AlphaMode.OPAQUE)
+        return asset, textures
+    if rng.integers(2):
+        asset.render(RoundModifier(w.lit(float(rng.uniform(0.0, 1.0))).expr()))
+    n_layers = int(rng.integers(0, 3))
+    from bevy_hanabi_tpu.modifiers import ImageSampleMapping
+
+    mappings = list(ImageSampleMapping)
+    for layer in range(n_layers):
+        hw = int(rng.integers(3, 9))
+        textures.append(rng.uniform(0, 1, (hw, hw, 4)).astype(np.float32))
+        asset.render(
+            ParticleTextureModifier(layer, rng.choice(mappings))
+        )
+    if n_layers and rng.integers(2):
+        asset.render(FlipbookModifier((2, 2)))
+    mode = rng.choice(["blend", "premultiply", "add", "multiply", "opaque", "mask"])
+    if mode == "mask":
+        asset.with_alpha_mode(
+            AlphaMode.mask(w.lit(float(rng.uniform(0.1, 0.9))).expr())
+        )
+    else:
+        asset.with_alpha_mode(getattr(AlphaMode, mode.upper()))
+    return asset, textures
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_painter_matches_split_depth_separated(seed):
+    """Differential fuzz for the unified painter pass: random mixed
+    scenes (multi-layer textures, flipbooks, roundness, lit meshes with
+    per-effect Lambert setups, every alpha mode) whose effects occupy
+    disjoint z bands must render PIXEL-IDENTICALLY through
+    pipeline="painter" and pipeline="split"."""
+    from bevy_hanabi_tpu.runtime import HanabiScene
+
+    rng = np.random.default_rng(seed + 9000)
+    scene = HanabiScene(seed=seed)
+    n_effects = int(rng.integers(2, 5))
+    lit_slots = set(rng.choice(n_effects, rng.integers(0, 3), replace=False))
+    for i in range(n_effects):
+        asset, textures = _banded_render_asset(rng, lit=i in lit_slots)
+        t = np.eye(3, 4, dtype=np.float32)
+        t[:2, 3] = rng.uniform(-0.6, 0.6, 2)
+        t[2, 3] = -1.8 + 1.2 * i
+        scene.add(asset, f"fx{i}", transform=t, textures=textures)
+    for _ in range(3):
+        scene.update(DT)
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 8.0), (0.0, 0.0, 0.0)),
+        proj=perspective(0.6, 1.0, 0.1, 100.0),
+        viewport=(96, 96),
+    )
+    # gray background: MULTIPLY effects modulate it visibly (on
+    # transparent black they are no-ops and a multiply-only scene is
+    # correctly blank). The per-tile budget is sized so no tile
+    # overflows: under overflow the painter pass's scene-GLOBAL
+    # nearest-M budget legitimately keeps a different entry subset than
+    # the split pipeline's per-pass budgets (documented in PERF.md).
+    bg = (0.35, 0.35, 0.35, 1.0)
+    cfg = RasterConfig(
+        width=96, height=96, tile_size=8, max_entries_per_tile=2048
+    )
+    img_split = np.asarray(
+        scene.render(cam, cfg, background=bg, pipeline="split")
+    )
+    img_paint = np.asarray(
+        scene.render(cam, cfg, background=bg, pipeline="painter")
+    )
+    assert np.isfinite(img_paint).all(), f"non-finite pixels (seed {seed})"
+    np.testing.assert_allclose(
+        img_paint, img_split, atol=1e-5,
+        err_msg=f"painter != split (seed {seed})",
+    )
+    # any non-mask effect must visibly change the background (mask-only
+    # scenes may legitimately discard every fragment below the cutoff)
+    if any(scene[f"fx{i}"].asset.alpha_mode.kind != "mask"
+           for i in range(n_effects)):
+        assert (img_paint != np.asarray(bg, np.float32)).any(), (
+            f"nothing drew (seed {seed})"
+        )
