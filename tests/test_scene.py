@@ -1945,3 +1945,50 @@ def test_painter_textured_flipbook_matches_split():
     np.testing.assert_allclose(img_paint, img_split, atol=1e-6)
     # sprite_index 2 = row 1 col 0 of the 2x2 sheet = solid blue
     assert img_paint[32, 20, 2] > 0.5 and img_paint[32, 20, 0] < 0.2
+
+
+def test_update_render_chunk_multilayer_painter():
+    """A TWO-layer textured effect merged with a plain one renders
+    identically through the fused scene chunk (painter_concat path) and
+    the per-frame render."""
+    from bevy_hanabi_tpu.modifiers import (
+        ImageSampleMapping,
+        ParticleTextureModifier,
+    )
+
+    ch = np.indices((8, 8)).sum(0) % 2
+    checker = np.stack(
+        [ch, 1 - ch, np.zeros_like(ch), np.ones_like(ch)], -1
+    ).astype(np.float32)
+    fade = np.full((4, 4, 4), 0.6, np.float32)
+
+    def build():
+        scene = HanabiScene(seed=11)
+        two = _phase_asset("two", (-0.3, 0.0, -0.5), "blend", (1, 1, 1, 0.9))
+        two.render(ParticleTextureModifier(0, ImageSampleMapping.MODULATE))
+        two.render(
+            ParticleTextureModifier(
+                1, ImageSampleMapping.MODULATE_OPACITY_FROM_R
+            )
+        )
+        scene.add(two, "two", textures=[checker, fade])
+        scene.add(
+            _phase_asset("plain", (0.3, 0.0, 0.5), "add", (0.3, 0.3, 0.1, 1.0)),
+            "plain",
+        )
+        return scene
+
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    cfg = RasterConfig(width=64, height=64, tile_size=16)
+    sA, sB = build(), build()
+    K = 4
+    for _ in range(K):
+        sB.update(DT)
+    imgB = np.asarray(sB.render(cam, cfg))
+    imgA, _ = sA.update_render_chunk(K, DT, cam, cfg)
+    np.testing.assert_allclose(np.asarray(imgA), imgB, atol=1e-5)
+    assert np.asarray(imgA)[..., :3].max() > 0.05
