@@ -106,11 +106,102 @@ def _pillar_depth(size):
     return d
 
 
+def _painter_showcase(scene):
+    """Round-3 feature reel rendered by ONE unified painter pass: a
+    two-layer textured blend cloud, two opaque icospheres lit from
+    different directions (per-entry Lambert columns), a ribbon trail,
+    and an additive spark shell — one global back-to-front sort, one
+    blend loop, per-entry blend equations."""
+    from bevy_hanabi_tpu import attributes as A
+    from bevy_hanabi_tpu.asset import AlphaMode, EffectAsset
+    from bevy_hanabi_tpu.graph import ExprWriter
+    from bevy_hanabi_tpu.models.examples import (
+        LambertianLightingModifier,
+        examples_registry as _reg,
+    )
+    from bevy_hanabi_tpu.modifiers import (
+        ImageSampleMapping,
+        ParticleTextureModifier,
+        SetAttributeModifier,
+        SetPositionSphereModifier,
+        SetSizeModifier,
+        SetVelocitySphereModifier,
+        ShapeDimension,
+    )
+    from bevy_hanabi_tpu.render.mesh import ParticleMesh
+    from bevy_hanabi_tpu.spawn import SpawnerSettings
+
+    disc = make_circle_texture(32)
+    yy, xx = np.mgrid[0:16, 0:16]
+    r = np.clip(1.0 - np.hypot(xx - 7.5, yy - 7.5) / 8.0, 0.0, 1.0)
+    fade = np.stack([r, r, r, np.ones_like(r)], -1).astype(np.float32)
+
+    def base(name, cap, rate, center, radius, speed, lifetime, color, size):
+        w = ExprWriter()
+        return (
+            EffectAsset(name, cap, SpawnerSettings.rate(rate), w.finish())
+            .init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
+            .init(SetAttributeModifier(A.LIFETIME, w.lit(lifetime).expr()))
+            .init(
+                SetPositionSphereModifier(
+                    w.lit(center).expr(), w.lit(radius).expr(),
+                    ShapeDimension.VOLUME,
+                )
+            )
+            .init(
+                SetVelocitySphereModifier(
+                    w.lit((0.0, 0.0, 0.0)).expr(), w.lit(speed).expr()
+                )
+            )
+            .init(SetAttributeModifier(A.HDR_COLOR, w.lit(color).expr()))
+            .render(SetSizeModifier((size,) * 3))
+        )
+
+    cloud = base(
+        "cloud", 4096, 1500.0, (-1.2, 0.6, -1.0), 1.0, 0.15, 3.0,
+        (0.9, 0.95, 1.0, 0.35), 0.35,
+    )
+    cloud.render(ParticleTextureModifier(0, ImageSampleMapping.MODULATE))
+    cloud.render(
+        ParticleTextureModifier(1, ImageSampleMapping.MODULATE_OPACITY_FROM_R)
+    )
+    cloud.with_alpha_mode(AlphaMode.BLEND)
+    scene.add(cloud, "cloud", textures=[disc, fade])
+
+    for name, pos, ldir, col in (
+        ("sun", (1.4, 0.9, 0.0), (1.0, 0.3, 0.4), (1.0, 0.75, 0.3, 1.0)),
+        ("moon", (1.1, -1.0, 0.8), (-0.4, 1.0, 0.2), (0.55, 0.65, 1.0, 1.0)),
+    ):
+        w = ExprWriter()
+        sphere = (
+            EffectAsset(name, 4, SpawnerSettings.once(1.0), w.finish())
+            .init(SetAttributeModifier(A.POSITION, w.lit(pos).expr()))
+            .init(SetAttributeModifier(A.LIFETIME, w.lit(100.0).expr()))
+            .init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
+            .init(SetAttributeModifier(A.HDR_COLOR, w.lit(col).expr()))
+            .render(SetSizeModifier((1.5, 1.5, 1.5)))
+            .with_mesh(ParticleMesh.icosphere(0.45, subdivisions=2))
+            .with_alpha_mode(AlphaMode.OPAQUE)
+        )
+        sphere.render(LambertianLightingModifier(ldir, 0.15))
+        scene.add(sphere, name)
+
+    scene.add(_reg()["ribbon"](), "trail")
+
+    sparks = base(
+        "sparks", 8192, 3000.0, (0.0, -0.9, 1.2), 0.15, 1.8, 1.2,
+        (2.2, 1.1, 0.25, 1.0), 0.05,
+    )
+    sparks.with_alpha_mode(AlphaMode.ADD)
+    scene.add(sparks, "sparks")
+
+
 def build_gallery_specs():
     reg = examples_registry()
     sheet = make_anim_sprite_sheet(frames=8, size=32)
     disc = make_circle_texture(64)
     return {
+        "painter": (_painter_showcase, 150, (0, 0, 7), (0, 0, 0)),
         "2d": (_single(reg["2d"]), 150, (0, 0, 4), (0, 0, 0)),
         "activate": (_activated(reg["activate"]), 180, (0, 0, 3), (0, 0.3, 0)),
         "billboard": (_single(reg["billboard"], textures=[disc]), 150, (0, 1.5, 4), (0, 0.5, 0)),
