@@ -42,4 +42,18 @@ from .time import EffectSimulationClock  # noqa: F401
 from . import modifiers  # noqa: F401
 from .modifiers import *  # noqa: F401,F403
 
+# Prelude-style re-exports of the runtime and render surface, mirroring the
+# reference's ``pub mod prelude`` (lib.rs:223-226) so a user of the reference
+# finds the whole working set at the package top level.
+from .runtime.effect import CompiledEffect, StepInputs  # noqa: F401
+from .runtime.scene import EffectInstance, HanabiScene  # noqa: F401
+from .runtime.instanced import InstancedEffect  # noqa: F401
+from .render.camera import CameraParams  # noqa: F401
+from .render.mesh import ParticleMesh  # noqa: F401
+from .render.raster import RasterConfig, rasterize  # noqa: F401
+from .render.renderer import EffectRenderer  # noqa: F401
+from .parallel.mesh import ShardedEffect, make_mesh  # noqa: F401
+from .parallel.render import ShardedRenderer  # noqa: F401
+from .utils.profiling import DebugSettings, profile_span  # noqa: F401
+
 __version__ = "0.3.0"

@@ -11,3 +11,18 @@ from .expr import (  # noqa: F401
     UnaryOp,
     WriterExpr,
 )
+from .node import (  # noqa: F401  (graph/mod.rs:62 node re-exports)
+    AddNode,
+    AttributeNode,
+    ClampNode,
+    DivNode,
+    LiteralNode,
+    MixNode,
+    MulNode,
+    Node,
+    NodeGraph,
+    NormalizeNode,
+    PropertyNode,
+    SubNode,
+    TimeNode,
+)

@@ -228,6 +228,13 @@ class Module:
     def texture_slots(self) -> List[str]:
         return list(self._texture_slots)
 
+    def get_slot_by_name(self, name: str) -> Optional[int]:
+        """Slot index for a named texture slot (TextureLayout, lib.rs:735)."""
+        try:
+            return self._texture_slots.index(name)
+        except ValueError:
+            return None
+
     def builtin(self, op: BuiltInOp, rand_type: ValueType = None) -> ExprHandle:
         if op is BuiltInOp.RAND and rand_type is None:
             raise ValueError("rand builtin requires a value type")

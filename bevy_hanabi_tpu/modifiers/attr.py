@@ -25,6 +25,7 @@ class SetAttributeModifier(Modifier):
     CONTEXT = ModifierContext.INIT | ModifierContext.UPDATE
 
     def __post_init__(self):
+        super().__post_init__()
         self.attribute = _attr_name(self.attribute)
 
     def attributes(self):
@@ -44,6 +45,7 @@ class InheritAttributeModifier(Modifier):
     CONTEXT = ModifierContext.INIT
 
     def __post_init__(self):
+        super().__post_init__()
         self.attribute = _attr_name(self.attribute)
 
     def attributes(self):

@@ -59,6 +59,24 @@ class Modifier:
     CONTEXT: ClassVar[ModifierContext] = ModifierContext.UPDATE
     ATTRIBUTES: ClassVar[Tuple[Attribute, ...]] = ()
 
+    def __post_init__(self):
+        # Ergonomics: the reference's type system forces `.expr()` on a
+        # WriterExpr; in Python the near-miss of passing the WriterExpr itself
+        # (or its un-called bound method) used to surface only as a JSON
+        # serialization failure inside asset.signature(). Coerce the former,
+        # diagnose the latter, here at construction time.
+        from ..graph.expr import WriterExpr
+
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if isinstance(v, WriterExpr):
+                setattr(self, f.name, v.expr())
+            elif callable(v) and isinstance(getattr(v, "__self__", None), WriterExpr):
+                raise TypeError(
+                    f"{type(self).__name__}.{f.name}: got the bound method "
+                    "WriterExpr.expr — call it: `.expr()`"
+                )
+
     def context(self) -> ModifierContext:
         return self.CONTEXT
 

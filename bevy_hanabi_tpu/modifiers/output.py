@@ -130,6 +130,7 @@ class SetColorModifier(Modifier):
     ATTRIBUTES = ()
 
     def __post_init__(self):
+        super().__post_init__()
         if not isinstance(self.color, CpuValue):
             self.color = CpuValue.single(tuple(self.color))
 
@@ -174,6 +175,7 @@ class SetSizeModifier(Modifier):
     ATTRIBUTES = ()
 
     def __post_init__(self):
+        super().__post_init__()
         if not isinstance(self.size, CpuValue):
             s = self.size
             if isinstance(s, (int, float)):
