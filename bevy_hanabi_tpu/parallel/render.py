@@ -266,8 +266,6 @@ class ShardedRenderer:
                      return_depth=False):
         """Image-space decomposition: this device rasterizes ONE horizontal
         framebuffer slice from the entries all peers routed to it."""
-        import dataclasses
-
         dp = self.mesh.shape["dp"]
         sp = self.mesh.shape["sp"]
         n_dev = dp * sp

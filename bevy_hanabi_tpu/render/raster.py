@@ -118,6 +118,33 @@ class RasterConfig:
         return self.tiles_x * self.tiles_y
 
 
+def _bilinear_wrap(lookup, tw, th, u, v):
+    """4-tap bilinear filtering with wrap addressing, half-texel centered.
+
+    ``lookup(vi, ui) -> [..., C]`` resolves integer texel indices (a plain
+    texture or an atlas layer); ``tw``/``th`` may be python ints or
+    per-entry float arrays — all index math mods by the TRUE size, so
+    padded atlas texels are never sampled. The single definition keeps the
+    split-pass and painter-pass filtering conventions identical."""
+    uu = u * tw - 0.5
+    vv = v * th - 0.5
+    u0 = jnp.floor(uu)
+    v0 = jnp.floor(vv)
+    fu = (uu - u0)[..., None]
+    fv = (vv - v0)[..., None]
+    u0i = jnp.mod(u0, tw).astype(jnp.int32)
+    v0i = jnp.mod(v0, th).astype(jnp.int32)
+    u1i = jnp.mod(u0 + 1.0, tw).astype(jnp.int32)
+    v1i = jnp.mod(v0 + 1.0, th).astype(jnp.int32)
+    t00 = lookup(v0i, u0i)
+    t01 = lookup(v0i, u1i)
+    t10 = lookup(v1i, u0i)
+    t11 = lookup(v1i, u1i)
+    top = t00 + (t01 - t00) * fu
+    bot = t10 + (t11 - t10) * fu
+    return top + (bot - top) * fv
+
+
 def _project(camera: CameraParams, p: jnp.ndarray):
     """World [N,3] -> (screen_xy [N,2] px, view_dist [N], ndc_z [N]).
 
@@ -567,23 +594,7 @@ def rasterize(
 
     def sample_texture(tex, u, v):
         th, tw = tex.shape[0], tex.shape[1]
-        uu = u * tw - 0.5
-        vv = v * th - 0.5
-        u0 = jnp.floor(uu)
-        v0 = jnp.floor(vv)
-        fu = (uu - u0)[..., None]
-        fv = (vv - v0)[..., None]
-        u0i = jnp.mod(u0.astype(jnp.int32), tw)
-        v0i = jnp.mod(v0.astype(jnp.int32), th)
-        u1i = jnp.mod(u0i + 1, tw)
-        v1i = jnp.mod(v0i + 1, th)
-        t00 = tex[v0i, u0i]
-        t01 = tex[v0i, u1i]
-        t10 = tex[v1i, u0i]
-        t11 = tex[v1i, u1i]
-        top = t00 + (t01 - t00) * fu
-        bot = t10 + (t11 - t10) * fu
-        return top + (bot - top) * fv
+        return _bilinear_wrap(lambda vi, ui: tex[vi, ui], tw, th, u, v)
 
     def blend_one(m, fb, dbuf):
         in_range = m < M
@@ -764,23 +775,9 @@ def rasterize(
                 tid = pt[..., o].astype(jnp.int32)[:, None, None]
                 tw_e = pt[..., o + 1][:, None, None]
                 th_e = pt[..., o + 2][:, None, None]
-                uu = tu * tw_e - 0.5
-                vv = tv * th_e - 0.5
-                u0 = jnp.floor(uu)
-                v0 = jnp.floor(vv)
-                fu = (uu - u0)[..., None]
-                fv = (vv - v0)[..., None]
-                u0i = jnp.mod(u0, tw_e).astype(jnp.int32)
-                v0i = jnp.mod(v0, th_e).astype(jnp.int32)
-                u1i = jnp.mod(u0 + 1.0, tw_e).astype(jnp.int32)
-                v1i = jnp.mod(v0 + 1.0, th_e).astype(jnp.int32)
-                t00 = at[tid, v0i, u0i]
-                t01 = at[tid, v0i, u1i]
-                t10 = at[tid, v1i, u0i]
-                t11 = at[tid, v1i, u1i]
-                top = t00 + (t01 - t00) * fu
-                bot = t10 + (t11 - t10) * fu
-                texel = top + (bot - top) * fv
+                texel = _bilinear_wrap(
+                    lambda vi, ui: at[tid, vi, ui], tw_e, th_e, tu, tv
+                )
                 # per-entry mapping as neutral-by-default factors:
                 # rgb ×= texel.rgb for modulate(1)/modulate_rgb(2);
                 # a ×= texel.a for modulate(1), texel.r for

@@ -100,17 +100,28 @@ class ParticlePool:
 
     # -- inspection -----------------------------------------------------------
 
-    def flatten(self) -> "ParticlePool":
+    def flatten(self, composite_ribbon_ids: bool = False) -> "ParticlePool":
         """View instanced [I, N, ...] pools as one flat [I*N] pool.
 
         The counter is summed (it only seeds PARTICLE_COUNTER for future
-        spawns, which a flat view never performs)."""
+        spawns, which a flat view never performs).
+
+        ``composite_ribbon_ids`` rewrites the flat ``ribbon_id`` to
+        ``rid * I + instance`` so same-rid trails from different instances
+        stay distinct ribbons after flattening (the segment sort groups by
+        raw rid; ``parallel/render.py`` composites the same way across dp).
+        """
         i, n = self.alive.shape
+        attrs = {
+            k: v.reshape((i * n,) + v.shape[2:]) for k, v in self.attrs.items()
+        }
+        if composite_ribbon_ids and "ribbon_id" in attrs:
+            inst = jnp.arange(i * n, dtype=jnp.uint32) // jnp.uint32(n)
+            attrs["ribbon_id"] = (
+                attrs["ribbon_id"].astype(jnp.uint32) * jnp.uint32(i) + inst
+            )
         return ParticlePool(
-            attrs={
-                k: v.reshape((i * n,) + v.shape[2:])
-                for k, v in self.attrs.items()
-            },
+            attrs=attrs,
             alive=self.alive.reshape(i * n),
             seed=self.seed.reshape(i * n),
             counter=jnp.sum(self.counter),

@@ -31,6 +31,21 @@ from .pool import ParticlePool
 __all__ = ["HanabiScene", "EffectInstance"]
 
 
+def _texture_key(texs):
+    """Cache-key identity for textures baked into traced closures.
+
+    The scene's jitted render/chunk builders close over texture arrays as
+    compile-time constants, so swapping an instance's texture — even for one
+    of identical shape — must produce a different cache key or the stale
+    constant keeps rendering. ``id()`` identifies the baked object (device
+    arrays are immutable; re-adding a texture makes a new object). In-place
+    mutation of a HOST numpy texture is the one case this cannot see — the
+    asset-drift warning covers deliberate mutation."""
+    return tuple(
+        (tuple(t.shape), str(getattr(t, "dtype", "")), id(t)) for t in texs
+    )
+
+
 @dataclass
 class EffectInstance:
     """One live effect instance (≈ ParticleEffect + EffectSpawner +
@@ -345,7 +360,7 @@ class HanabiScene:
 
     def _group_flat_pool(self, g) -> ParticlePool:
         """View a group's [I, N, ...] pools as one flat pool for rendering."""
-        return g["pools"].flatten()
+        return g["pools"].flatten(composite_ribbon_ids=True)
 
     def remove(self, name: str) -> None:
         if name in self._groups:
@@ -371,6 +386,24 @@ class HanabiScene:
             self._groups[name]["properties"].set(prop, value)
         else:
             self._effects[name].properties.set(prop, value)
+
+    def set_textures(self, name: str, textures: Sequence[Any]) -> None:
+        """Swap an effect's or group's texture images at runtime (the
+        EffectMaterial image swap, lib.rs:694-702).
+
+        Textures are baked as constants into the cached renderers and the
+        jitted scene paths, so the swap invalidates the per-effect renderer
+        and — via the texture-identity component of the jit cache keys —
+        retraces render/render_views/update_render_chunk on next use."""
+        texs = tuple(textures)
+        if name in self._groups:
+            g = self._groups[name]
+            g["textures"] = texs
+            g["renderer"] = None
+            return
+        inst = self._effects[name]
+        inst.textures = texs
+        inst.renderer = None
 
     def set_transform(self, name: str, transform) -> None:
         if name in self._groups:
@@ -535,7 +568,11 @@ class HanabiScene:
                         "apply changes (reference recompiles here, "
                         "lib.rs:1796).",
                     )
-        cache_size = len(self._family_jit) + len(self._batch_render_jit)
+        cache_size = (
+            len(self._family_jit)
+            + len(self._batch_render_jit)
+            + len(self._scene_chunk_jit)
+        )
         prev = getattr(self, "_jit_cache_size", 0)
         if cache_size > prev:
             streak = getattr(self, "_jit_growth_streak", 0) + 1
@@ -552,13 +589,40 @@ class HanabiScene:
             self._jit_growth_streak = 0
         self._jit_cache_size = cache_size
 
+    def _note_chunk_cache(self, hit: bool) -> None:
+        """Churn detector for the whole-scene executables: 3 consecutive
+        chunk/views calls that each compile a fresh variant means the cache
+        key changes every call — the most expensive recompile in the
+        framework, worth its own warning (per-frame update() churn has the
+        separate 'jit-churn' check)."""
+        from ..utils.diag import warn_once
+
+        if hit:
+            self._chunk_miss_streak = 0
+            return
+        streak = getattr(self, "_chunk_miss_streak", 0) + 1
+        self._chunk_miss_streak = streak
+        if streak >= 3:
+            warn_once(
+                "chunk-churn",
+                f"{streak} consecutive update_render_chunk/render_views "
+                "calls each compiled a fresh whole-scene executable — the "
+                "cache key changes every call (commonly the back-to-front "
+                "pass ordering under a moving camera, or texture/override "
+                "swaps). Each variant is a multi-second XLA compile; "
+                "stabilize the ordering or reuse one configuration.",
+            )
+
     def stats(self) -> dict:
         """Scene observability snapshot (readbacks: call off the hot path).
 
-        Returns per-effect alive counts, event-buffer fill levels (warns
-        once when a channel saturates — saturated buffers silently drop
-        spawn events, like the reference's capacity-capped append,
-        lib.rs:984-987), group totals, and the last update() wall time.
+        Returns per-effect alive counts, event-buffer fill levels, group
+        totals, and the last update() wall time. Warns once per child when
+        spawn events arrive while the child's pool is already full — those
+        spawns are silently dropped (the analogue of the reference's
+        capacity-capped event append, lib.rs:984-987; the event BUFFERS
+        themselves can never overflow — capacity equals the parent pool,
+        one event per particle per channel, events.py).
         """
         from ..utils.diag import warn_once
 
@@ -569,18 +633,29 @@ class HanabiScene:
                 num = int(ev.num_events)
                 cap = int(ev.parent_slot.shape[-1])
                 events[chan] = {"events": num, "capacity": cap}
-                if num >= cap:
-                    warn_once(
-                        f"event-saturation:{name}:{chan}",
-                        f"effect {name!r} event channel {chan} is full "
-                        f"({num}/{cap}): further spawn events this frame "
-                        "were dropped. Raise the parent's event capacity.",
-                    )
             effects[name] = {
                 "alive": inst.alive_count(),
                 "capacity": int(inst.pool.capacity),
                 "events": events,
             }
+        for name, inst in self._effects.items():
+            if inst.parent is None:
+                continue
+            pev = (self._effects[inst.parent].last_events or {}).get(
+                inst.child_channel
+            )
+            if pev is None:
+                continue
+            requested = int(jnp.sum(pev.count))
+            cap = int(inst.pool.capacity)
+            if requested > 0 and effects[name]["alive"] >= cap:
+                warn_once(
+                    f"child-saturation:{name}",
+                    f"child effect {name!r} has a full pool ({cap} alive) "
+                    f"while {requested} spawn(s) are requested by parent "
+                    f"{inst.parent!r}: those spawns are dropped. Raise the "
+                    "child's capacity.",
+                )
         groups = {
             name: {"alive": self.group_alive(name)} for name in self._groups
         }
@@ -1014,6 +1089,7 @@ class HanabiScene:
                     index.get(insts[i].parent),
                     insts[i].child_channel,
                     tuple(sorted((insts[i].raster_override or {}).items())),
+                    _texture_key(insts[i].textures),
                 )
                 for i, n in enumerate(names)
             ),
@@ -1027,6 +1103,7 @@ class HanabiScene:
                             (groups[gi].get("raster_override") or {}).items()
                         )
                     ),
+                    _texture_key(groups[gi]["textures"]),
                 )
                 for gi, g in enumerate(gnames)
             ),
@@ -1036,6 +1113,7 @@ class HanabiScene:
             scene_depth is not None,
         )
         fn = self._scene_chunk_jit.get(key)
+        self._note_chunk_cache(fn is not None)
         if fn is None:
             fn = self._build_scene_chunk(
                 insts, groups, opaque_passes, transp_passes, config,
@@ -1205,7 +1283,7 @@ class HanabiScene:
             )
             draw = extract_draw_data(
                 asset,
-                gpool.flatten(),
+                gpool.flatten(composite_ribbon_ids=True),
                 camera,
                 sim=sim,
                 properties=props0,
@@ -1472,7 +1550,8 @@ class HanabiScene:
             tuple(
                 (n, insts[i].asset.signature(),
                  int(insts[i].pool.alive.shape[-1]),
-                 tuple(sorted((insts[i].raster_override or {}).items())))
+                 tuple(sorted((insts[i].raster_override or {}).items())),
+                 _texture_key(insts[i].textures))
                 for i, n in enumerate(names)
             ),
             tuple(
@@ -1482,7 +1561,8 @@ class HanabiScene:
                      sorted(
                          (groups[gi].get("raster_override") or {}).items()
                      )
-                 ))
+                 ),
+                 _texture_key(groups[gi]["textures"]))
                 for gi, g in enumerate(gnames)
             ),
             opaque_passes,
@@ -1491,6 +1571,7 @@ class HanabiScene:
             scene_depth is not None,
         )
         fn = self._scene_chunk_jit.get(key)
+        self._note_chunk_cache(fn is not None)
         if fn is None:
             render_frame = self._make_scene_frame_renderer(
                 insts, groups, opaque_passes, transp_passes, config
@@ -1598,54 +1679,22 @@ class HanabiScene:
         elif (config.width, config.height) != (vw, vh):
             config = dataclasses.replace(config, width=vw, height=vh)
 
-        visible = [e for e in self.effects() if e.visible]
-
-        # camera position computed once on the host (reading
-        # camera.position per effect costs a device round-trip each when
-        # the view matrix lives on-device)
-        view_h = np.asarray(camera.view)
-        cam_pos = -view_h[:3, :3].T @ view_h[:3, 3]
-
-        def sort_key(e: EffectInstance):
-            t = np.asarray(e.transform)[:, 3]
-            dist = float(np.linalg.norm(cam_pos - t))
-            return (-dist, e.asset.z_layer_2d)
-
-        visible.sort(key=sort_key)
         fb = jnp.broadcast_to(
             jnp.asarray(background, jnp.float32),
             (config.height, config.width, 4),
         )
         sim = self.clock.sim_params()
 
-        # Render batching: consecutive effects sharing blend state rasterize
-        # in ONE pass (the reference's Batcher leaves render at 1 draw per
-        # instance, render/mod.rs:219-222 comment — here batching also
-        # *improves* ordering: one pass depth-sorts all batched particles
-        # globally instead of compositing whole effects by emitter
-        # distance). The dominant cost is the per-pass (tile, depth)
-        # lax.sort, so passes saved are ~30 ms each.
-        def batch_key(inst):
-            a = inst.asset
-            if (
-                a.particle_layout().contains("ribbon_id")
-                or a.mesh is not None
-                or a.alpha_mode.kind == "mask"
-                or inst.textures
-                or inst.raster_override
-            ):
-                return None  # not batchable
-            return a.alpha_mode.kind
-
-        def build_runs(effects):
-            runs: List[List[EffectInstance]] = []
-            for inst in effects:
-                k = batch_key(inst)
-                if runs and k is not None and runs[-1][0] == k:
-                    runs[-1][1].append(inst)
-                else:
-                    runs.append([k, [inst]])
-            return runs
+        # ONE source of truth for the pipeline: the same plan that drives
+        # render_views and update_render_chunk (back-to-front ordering,
+        # same-blend batching, the opaque/mask-vs-transparent phase split,
+        # painter eligibility and the auto rule all live in
+        # _scene_render_plan) — the eager path only executes descriptors.
+        insts_all = [self._effects[n] for n in self._order]
+        groups_all = list(self._groups.values())
+        opaque_passes, transp_passes = self._scene_render_plan(
+            insts_all, groups_all, camera, pipeline=pipeline
+        )
 
         def ensure_renderer(inst):
             cfg = (
@@ -1671,150 +1720,69 @@ class HanabiScene:
                 )
             return g["renderer"]
 
-        # Phase split, mirroring the reference's render phases: opaque and
-        # mask effects (and groups) draw FIRST threading a real depth
-        # buffer (Opaque3d/AlphaMask3d write depth), then transparent
-        # effects are depth-tested against it (Transparent3d). This makes
-        # cross-effect opaque interleave and transparent-behind-opaque
-        # occlusion exact per pixel instead of approximated by
-        # emitter-distance ordering.
-        OPAQUE_KINDS = ("opaque", "mask")
-        opaque_phase = [
-            e for e in visible if e.asset.alpha_mode.kind in OPAQUE_KINDS
-        ]
-        transparent_phase = [
-            e for e in visible if e.asset.alpha_mode.kind not in OPAQUE_KINDS
-        ]
-        group_items = [
-            (n, g) for n, g in self._groups.items() if g["visible"]
-        ]
-        opaque_groups = [
-            (n, g)
-            for n, g in group_items
-            if g["asset"].alpha_mode.kind in OPAQUE_KINDS
-        ]
-        other_groups = [
-            (n, g) for n, g in group_items
-            if g["asset"].alpha_mode.kind not in OPAQUE_KINDS
-        ]
-        if pipeline not in ("auto", "split", "painter"):
-            raise ValueError(
-                f"pipeline must be 'auto', 'split' or 'painter'; got "
-                f"{pipeline!r}"
+        if transp_passes and transp_passes[0][0] == "painter":
+            _, eff_idxs, grp_idxs = transp_passes[0]
+            return self._render_painter(
+                [insts_all[i] for i in eff_idxs],
+                [groups_all[gi] for gi in grp_idxs],
+                camera,
+                config,
+                sim,
+                fb,
+                scene_depth,
+                return_depth,
             )
-        if pipeline in ("auto", "painter"):
-            eligible = all(
-                self._painter_ok(e.asset, e.textures, e.raster_override)
-                for e in visible
-            ) and all(
-                self._painter_ok(
-                    g["asset"], g["textures"], g.get("raster_override"),
-                    g.get("sharded"),
-                )
-                for _, g in group_items
-            )
-            if pipeline == "painter" and not eligible:
-                raise ValueError(
-                    "pipeline='painter' requires every visible effect/group "
-                    "to be painter-eligible (no per-effect raster "
-                    "overrides or sharded pools) — use 'auto' to "
-                    "fall back to the split pipeline automatically"
-                )
-            if eligible:
 
-                def count(runs):
-                    return sum(
-                        1 if (k is not None and len(members) > 1)
-                        else len(members)
-                        for k, members in runs
-                    )
-
-                n_passes = (
-                    count(build_runs(opaque_phase))
-                    + count(build_runs(transparent_phase))
-                    + len(group_items)
+        def run_pass(desc, fb, depth, want_depth):
+            tag = desc[0]
+            if tag == "batch":
+                return self._render_batch(
+                    [insts_all[i] for i in desc[1]], desc[2], camera,
+                    config, sim, fb, depth, return_depth=want_depth,
                 )
-                if pipeline == "painter" or n_passes >= 2:
-                    return self._render_painter(
-                        visible,
-                        [g for _, g in group_items],
-                        camera,
-                        config,
-                        sim,
-                        fb,
-                        scene_depth,
-                        return_depth,
-                    )
-        depth_acc = scene_depth
-        if opaque_phase or opaque_groups:
-            for k, insts in build_runs(opaque_phase):
-                if k is not None and len(insts) > 1:
-                    fb, depth_acc = self._render_batch(
-                        insts, k, camera, config, sim, fb, depth_acc,
-                        return_depth=True,
-                    )
-                    continue
-                for inst in insts:
-                    fb, depth_acc = ensure_renderer(inst).render(
-                        inst.pool,
-                        camera,
-                        sim=sim,
-                        properties=inst.properties.as_dict(),
-                        transform=inst.transform,
-                        framebuffer=fb,
-                        scene_depth=depth_acc,
-                        return_depth=True,
-                    )
-            for gname, g in opaque_groups:
-                if g.get("sharded"):
-                    # opaque/mask sharded renders use gather mode, which
-                    # returns the replicated depth plane for free
-                    fb, depth_acc = self._render_sharded_group(
-                        g, camera, config, sim, fb, depth_acc,
-                        return_depth=True,
-                    )
-                    continue
-                fb, depth_acc = ensure_group_renderer(g).render(
-                    self._group_flat_pool(g),
-                    camera,
-                    sim=sim,
-                    properties=g["properties"].as_dict(),
-                    framebuffer=fb,
-                    scene_depth=depth_acc,
-                    return_depth=True,
-                )
-            scene_depth = depth_acc
-
-        for k, insts in build_runs(transparent_phase):
-            if k is not None and len(insts) > 1:
-                fb = self._render_batch(
-                    insts, k, camera, config, sim, fb, scene_depth
-                )
-                continue
-            for inst in insts:
-                fb = ensure_renderer(inst).render(
+            if tag == "eff":
+                inst = insts_all[desc[1]]
+                return ensure_renderer(inst).render(
                     inst.pool,
                     camera,
                     sim=sim,
                     properties=inst.properties.as_dict(),
                     transform=inst.transform,
                     framebuffer=fb,
-                    scene_depth=scene_depth,
+                    scene_depth=depth,
+                    return_depth=want_depth,
                 )
-        for gname, g in other_groups:
+            g = groups_all[desc[1]]
             if g.get("sharded"):
-                fb = self._render_sharded_group(
-                    g, camera, config, sim, fb, scene_depth
+                # opaque/mask sharded renders use gather mode, which
+                # returns the replicated depth plane for free
+                return self._render_sharded_group(
+                    g, camera, config, sim, fb, depth,
+                    return_depth=want_depth,
                 )
-                continue
-            fb = ensure_group_renderer(g).render(
+            return ensure_group_renderer(g).render(
                 self._group_flat_pool(g),
                 camera,
                 sim=sim,
                 properties=g["properties"].as_dict(),
                 framebuffer=fb,
-                scene_depth=scene_depth,
+                scene_depth=depth,
+                return_depth=want_depth,
             )
+
+        # Phase split, mirroring the reference's render phases: opaque and
+        # mask passes draw FIRST threading a real depth buffer
+        # (Opaque3d/AlphaMask3d write depth), then transparent passes are
+        # depth-tested against it (Transparent3d) — cross-effect opaque
+        # interleave and transparent-behind-opaque occlusion are exact per
+        # pixel instead of approximated by emitter-distance ordering.
+        depth_acc = scene_depth
+        for desc in opaque_passes:
+            fb, depth_acc = run_pass(desc, fb, depth_acc, True)
+        if opaque_passes:
+            scene_depth = depth_acc
+        for desc in transp_passes:
+            fb = run_pass(desc, fb, scene_depth, False)
         if return_depth:
             if depth_acc is None:
                 depth_acc = jnp.full(
@@ -1981,7 +1949,10 @@ class HanabiScene:
             tuple(int(i.pool.alive.shape[-1]) for i in insts),
             tuple(g["asset"].signature() for g in groups),
             tuple(g["fx"].num_instances for g in groups),
-            tuple(tuple(t.shape for t in ts) for ts in eff_texs + g_texs),
+            # keyed on the ORIGINAL texture objects (eff_texs/g_texs are
+            # fresh conversions every call, so their ids don't identify)
+            tuple(_texture_key(i.textures) for i in insts)
+            + tuple(_texture_key(g["textures"]) for g in groups),
             config,
             return_depth,
             scene_depth is not None,

@@ -305,6 +305,76 @@ def test_ribbon_renders_continuous_line():
     assert np.all(np.diff(xs) == 1)
 
 
+def test_group_ribbons_stay_per_instance():
+    """Same-rid trails from different group instances must not connect.
+
+    The group pool flattens [I, N] -> [I*N] for rendering; without
+    compositing ribbon ids per instance, the (rid, age, counter) segment
+    sort would chain instance 1's trail into instance 0's, drawing a
+    spurious segment between the two emitters."""
+    import jax.numpy as jnp
+    from bevy_hanabi_tpu.render import (
+        CameraParams,
+        RasterConfig,
+        look_at,
+        orthographic,
+    )
+
+    w = ExprWriter()
+    asset = (
+        EffectAsset("grib", 16, SpawnerSettings.once(0.0), w.finish())
+        .init(SetAttributeModifier(A.POSITION, w.lit([0.0, 0.0, 0.0]).expr()))
+        .init(SetAttributeModifier(A.RIBBON_ID, w.lit(0, None).expr()))
+        .init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(100.0).expr()))
+        .init(SetAttributeModifier(A.SIZE, w.lit(0.1).expr()))
+    )
+    scene = HanabiScene(seed=3)
+    scene.add_group(asset, 2, "rg")
+    pools = scene._groups["rg"]["pools"]
+    I, N = 2, 16
+    # instance 0: 3-point trail along y=-0.5; instance 1: along y=+0.5.
+    # Both use rid 0. Instance 1's ages all exceed instance 0's, so a
+    # combined sort would append trail 0 right after trail 1.
+    pos = np.zeros((I, N, 3), np.float32)
+    for k, x in enumerate((-0.75, 0.0, 0.75)):
+        pos[0, k] = [x, -0.5, 0.0]
+        pos[1, k] = [x, 0.5, 0.0]
+    age = np.zeros((I, N), np.float32)
+    age[0, :3] = [3.0, 2.0, 1.0]
+    age[1, :3] = [6.0, 5.0, 4.0]
+    alive = np.zeros((I, N), bool)
+    alive[:, :3] = True
+    pools.attrs["position"] = jnp.asarray(pos)
+    pools.attrs["age"] = jnp.asarray(age)
+    pools.attrs["lifetime"] = jnp.full((I, N), 100.0, jnp.float32)
+    pools.attrs["ribbon_id"] = jnp.zeros((I, N), jnp.uint32)
+    pools.attrs["size"] = jnp.full((I, N), 0.1, jnp.float32)
+    pools.alive = jnp.asarray(alive)
+
+    cam = CameraParams(
+        look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        (64, 64),
+    )
+    cfg = RasterConfig(
+        width=64, height=64, tile_size=16, tile_span=4,
+        max_entries_per_tile=16,
+    )
+    images = {
+        p: np.asarray(scene.render(cam, cfg, pipeline=p))
+        for p in ("split", "painter")
+    }
+    img_chunk, _ = scene.update_render_chunk(1, 1e-5, cam, cfg)
+    images["chunk"] = np.asarray(img_chunk)
+    for name, img in images.items():
+        a = img[..., 3]
+        assert (a[12:20, :] > 0.1).any(), name  # y=+0.5 trail present
+        assert (a[44:52, :] > 0.1).any(), name  # y=-0.5 trail present
+        # no cross-instance segment through the gap between the trails
+        assert not (a[28:37, :] > 0.05).any(), name
+
+
 def test_instanced_group_in_scene():
     """BASELINE config 5 shape: hundreds of instances, one dispatch."""
     from bevy_hanabi_tpu.models import instancing_effect
@@ -889,6 +959,53 @@ def test_scene_stats_and_diagnostics(caplog):
     reset_warn_once()
 
 
+def test_child_pool_saturation_warns(caplog):
+    """stats() warns when spawn events target a child whose pool is full
+    (those spawns drop silently — lib.rs:984-987 analogue). The event
+    buffers themselves cannot overflow, so a full buffer alone must NOT
+    warn."""
+    import logging
+
+    from bevy_hanabi_tpu.models import firework_effect, firework_trail_effect
+    from bevy_hanabi_tpu.utils.diag import reset_warn_once
+
+    reset_warn_once()
+    scene = HanabiScene(seed=4)
+    scene.add(firework_effect(capacity=256), "rocket")
+    # tiny child pool: trail spawn requests outrun it within a few frames
+    scene.add(firework_trail_effect(capacity=8), "trail", parent="rocket")
+    with caplog.at_level(logging.WARNING, logger="bevy_hanabi_tpu"):
+        for _ in range(90):  # rockets must die before trail events flow
+            scene.update(1 / 60)
+            scene.stats()
+    assert any("spawns are dropped" in r.message for r in caplog.records)
+    reset_warn_once()
+
+
+def test_chunk_recompile_churn_warns(caplog):
+    """Three consecutive fresh whole-scene chunk compiles warn: a cache key
+    changing every call is the most expensive recompile loop."""
+    import logging
+
+    from bevy_hanabi_tpu.models import spawn_gravity_effect
+    from bevy_hanabi_tpu.utils.diag import reset_warn_once
+
+    reset_warn_once()
+    scene = HanabiScene(seed=2)
+    scene.add(spawn_gravity_effect(128, 60.0), "fx")
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(32, 32),
+    )
+    with caplog.at_level(logging.WARNING, logger="bevy_hanabi_tpu"):
+        for ts in (16, 8, 32):  # a distinct raster config every call
+            cfg = RasterConfig(width=32, height=32, tile_size=ts)
+            scene.update_render_chunk(1, DT, cam, cfg)
+    assert any("whole-scene executable" in r.message for r in caplog.records)
+    reset_warn_once()
+
+
 def test_group_asset_drift_warns_within_120_frames(caplog):
     """Drift detection covers instanced groups too, and every entity is
     checked within 120 frames (~2 s at 60 fps) regardless of scene size."""
@@ -1245,6 +1362,51 @@ def test_update_render_chunk_local_space_and_textures():
     imgA, _ = sA.update_render_chunk(K, DT, cam, cfg)
     np.testing.assert_allclose(np.asarray(imgA), imgB, atol=1e-4)
     assert np.asarray(imgA)[..., :3].max() > 0.05  # something drew
+
+
+def test_set_textures_swap_takes_effect_on_every_path():
+    """set_textures must invalidate baked texture constants: the cached
+    renderer (eager split), the painter pass, and the fused scene chunk all
+    close over texture arrays at trace time."""
+    from bevy_hanabi_tpu.modifiers import ParticleTextureModifier
+
+    red = np.zeros((4, 4, 4), np.float32)
+    red[..., 0] = 1.0
+    red[..., 3] = 1.0
+    green = np.zeros((4, 4, 4), np.float32)
+    green[..., 1] = 1.0
+    green[..., 3] = 1.0
+
+    scene = HanabiScene(seed=7)
+    texed = _phase_asset(
+        "tex", (0.0, 0.0, 0.0), "blend", (1.0, 1.0, 1.0, 1.0)
+    ).render(ParticleTextureModifier(0))
+    scene.add(texed, "tex", textures=[red])
+    for _ in range(4):
+        scene.update(DT)
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    cfg = RasterConfig(width=64, height=64, tile_size=16)
+
+    def renders():
+        out = {
+            "split": np.asarray(scene.render(cam, cfg, pipeline="split")),
+            "painter": np.asarray(scene.render(cam, cfg, pipeline="painter")),
+        }
+        img, _ = scene.update_render_chunk(1, 0.0, cam, cfg)
+        out["chunk"] = np.asarray(img)
+        return out
+
+    before = renders()
+    scene.set_textures("tex", [green])
+    after = renders()
+    for path in ("split", "painter", "chunk"):
+        b, a = before[path], after[path]
+        assert b[..., 0].sum() > 0 and b[..., 1].sum() == 0, path  # red only
+        assert a[..., 1].sum() > 0 and a[..., 0].sum() == 0, path  # green only
 
 
 def test_update_render_chunk_when_visible_pauses():
