@@ -552,7 +552,10 @@ def _eval_binary(module: Module, e: Expr, ctx: EvalContext) -> jnp.ndarray:
         a = eval_expr(module, lh, ctx)
         b = eval_expr(module, rh, ctx)
         a, b = _align_scalar_vec(a, lvec, b, rvec)
-        vt = module.infer_type(lh)
+        # lane count from the VECTOR operand (either side may be the
+        # scalar in uniform(lo, hi) — drawing from the left type alone
+        # under-draws for uniform(scalar, vecN))
+        vt = module.infer_type(lh if lvec or not rvec else rh)
         count = num_lanes(vt) if not isinstance(vt, ScalarType) else 1
         if op is BinaryOp.UNIFORM_RAND:
             ctx.seed, v = rng.rand_uniform(ctx.seed, a, b, count)
@@ -568,6 +571,9 @@ def _eval_binary(module: Module, e: Expr, ctx: EvalContext) -> jnp.ndarray:
     if op is BinaryOp.VEC4_XYZ_W:
         if jnp.ndim(b) < jnp.ndim(a):
             b = jnp.broadcast_to(b, a.shape[:-1])
+        elif jnp.ndim(b) == jnp.ndim(a) and jnp.ndim(a) >= 1:
+            # unbatched vec3 xyz with per-particle scalar w: batch the xyz
+            a = jnp.broadcast_to(a, b.shape + a.shape[-1:])
         return jnp.concatenate([a, b[..., None]], axis=-1)
     if op is BinaryOp.CROSS:
         return jnp.cross(a, b)

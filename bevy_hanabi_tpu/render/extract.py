@@ -184,13 +184,33 @@ def extract_draw_data(
     if "alpha" in particle:
         ctx.color = ctx.color.at[:, 3].multiply(particle["alpha"])
 
+    # The FIRST size attribute in layout order wins; any further size
+    # attribute is ignored with a warning, exactly like the reference's
+    # shader generation (lib.rs:876-905) — multiplying them together would
+    # silently compound sizes on conflicting layouts.
     size = jnp.ones((n, 3), jnp.float32)
-    if "size" in particle:
-        size = size * particle["size"][:, None]
-    if "size2" in particle:
-        size = size.at[:, :2].multiply(particle["size2"])
-    if "size3" in particle:
-        size = size * particle["size3"]
+    size_attrs = [
+        a.name
+        for a in asset.particle_layout().attributes()
+        if a.name in ("size", "size2", "size3")
+    ]
+    if size_attrs:
+        first = size_attrs[0]
+        if first == "size":
+            size = size * particle["size"][:, None]
+        elif first == "size2":
+            size = size.at[:, :2].multiply(particle["size2"])
+        else:
+            size = jnp.broadcast_to(particle["size3"], (n, 3))
+        for extra in size_attrs[1:]:
+            from ..utils.diag import warn_once
+
+            warn_once(
+                f"size-conflict:{asset.name}:{extra}",
+                f"effect {asset.name!r}: attribute {extra.upper()} "
+                "conflicts with another size attribute; ignored "
+                "(lib.rs:885).",
+            )
     ctx.size = size
 
     rot = ctx_camera.rotation
@@ -460,9 +480,11 @@ def concat_painter_draws(draws, kinds, textures_per_draw=None):
                 for t in texs_u
             ]
         )
-        # textured MESH entries sample their vertex UVs (quads pad 0,
-        # never read: the raster substitutes mesh UVs only where tri)
-        uv_abc = cat_or("uv_abc", 0.0, width=6)
+        # textured MESH entries sample their vertex UVs; absentee draws
+        # (quads, and meshes WITHOUT vertex UVs — which must keep the quad
+        # parameterization, matching their own split pass) pad NaN, and the
+        # raster substitutes mesh UVs only where the triplet is finite
+        uv_abc = cat_or("uv_abc", jnp.nan, width=6)
 
     return ParticleDrawData(
         position=cat("position"),

@@ -47,7 +47,9 @@ class ParticleMesh:
         self.indices = np.asarray(
             indices if indices is not None else np.zeros((0, 3)), np.int32
         ).reshape(-1, 3)
-        if self.indices.size and self.indices.max() >= len(self.vertices):
+        if self.indices.size and (
+            self.indices.max() >= len(self.vertices) or self.indices.min() < 0
+        ):
             raise ValueError("triangle index out of range")
         if self.num_quads + self.num_triangles == 0:
             raise ValueError("mesh needs at least one quad or triangle")

@@ -721,10 +721,12 @@ def rasterize(
             if t_uv is not None:
                 # mesh vertex UVs replace the quad parameterization for
                 # triangle entries (vfx_render.wgsl:286-288: real mesh UVs
-                # feed texture sampling)
+                # feed texture sampling); NaN-padded entries (no vertex
+                # UVs) keep the quad parameterization
                 muv = bary_interp(t_uv[m], 0, 2)
-                u01 = jnp.where(is_tri, muv[..., 0], u01)
-                v01 = jnp.where(is_tri, muv[..., 1], v01)
+                uv_ok = jnp.isfinite(t_uv[m][..., 0])[:, None, None]
+                u01 = jnp.where(is_tri & uv_ok, muv[..., 0], u01)
+                v01 = jnp.where(is_tri & uv_ok, muv[..., 1], v01)
             # flipbook cell mapping (FlipbookModifier)
             if (grid_cols, grid_rows) != (1, 1):
                 sprite = t_sprite[m].astype(jnp.float32)
@@ -760,8 +762,9 @@ def rasterize(
             pt = t_ptex[m]  # [nt, 2 + 4*L]
             if t_uv is not None:
                 muv = bary_interp(t_uv[m], 0, 2)
-                u01 = jnp.where(is_tri, muv[..., 0], u01)
-                v01 = jnp.where(is_tri, muv[..., 1], v01)
+                uv_ok = jnp.isfinite(t_uv[m][..., 0])[:, None, None]
+                u01 = jnp.where(is_tri & uv_ok, muv[..., 0], u01)
+                v01 = jnp.where(is_tri & uv_ok, muv[..., 1], v01)
             gc = pt[..., 0][:, None, None]
             gr = pt[..., 1][:, None, None]
             sprite = t_sprite[m].astype(jnp.float32)[:, None, None]

@@ -103,10 +103,14 @@ def build_ribbon_segments(
     delta = pos - pos_prev
     center = 0.5 * (pos + pos_prev)
 
-    # Camera-facing side vector: width along cross(view_dir, delta), like the
-    # reference's orientation-from-delta (vfx_render.wgsl:239-282).
+    # Camera-facing side vector: width along cross(view_dir, delta) — the
+    # reference's orientation-from-delta gives axis_y = cross(axis_x, axis_z)
+    # with axis_x ∝ delta and axis_z pointing AT the camera
+    # (vfx_render.wgsl:273-276), which equals cross(view_dir, delta) for our
+    # from-camera view_dir. The sign only shows for asymmetric ribbon
+    # textures (it mirrors the V axis across the width).
     view_dir = center - camera.position
-    side = jnp.cross(delta, view_dir)
+    side = jnp.cross(view_dir, delta)
     side_norm = jnp.sqrt(jnp.sum(side * side, axis=-1, keepdims=True))
     side = side / jnp.where(side_norm > 1e-8, side_norm, 1.0)
 

@@ -36,10 +36,20 @@ class InstancedEffect:
     """
 
     def __init__(self, asset: EffectAsset, num_instances: int, capacity: Optional[int] = None):
+        from ..properties import Property
+
         self.asset = asset
-        self.effect = CompiledEffect(asset)
+        # .get shares the compiled step between instances/groups of the
+        # same asset (the ShaderCache dedupe, render/shader_cache.rs:18-62)
+        self.effect = CompiledEffect.get(asset)
         self.num_instances = int(num_instances)
         self.capacity = int(capacity or asset.capacity)
+        # declared per-instance shape+dtype of each property, for
+        # disambiguating shared vs per-instance values in make_inputs
+        self._prop_decl = {
+            n: Property(n, v).default.to_numpy()
+            for n, v in asset.module.properties().items()
+        }
         # vmap the single-instance traced body over the instance axis.
         self._jit_step = jax.jit(
             jax.vmap(
@@ -71,9 +81,25 @@ class InstancedEffect:
             transforms = np.broadcast_to(identity_transform(), (i, 3, 4))
         props = {}
         for k, v in (properties or {}).items():
-            v = np.asarray(v, np.float32)
-            if v.ndim == 0 or v.shape[0] != i:
-                v = np.broadcast_to(v, (i,) + v.shape)
+            decl = self._prop_decl.get(k)
+            if decl is not None:
+                # Declared dtype rules (float32 coercion would corrupt
+                # int properties > 2^24); the declared shape decides
+                # shared-vs-per-instance — a bare [k] vec is ALWAYS the
+                # shared value, even when k == num_instances.
+                v = np.asarray(v, decl.dtype)
+                if v.shape == decl.shape:
+                    v = np.broadcast_to(v, (i,) + v.shape)
+                elif v.shape != (i,) + decl.shape:
+                    raise ValueError(
+                        f"property {k!r}: expected shared shape "
+                        f"{decl.shape} or per-instance shape "
+                        f"{(i,) + decl.shape}, got {v.shape}"
+                    )
+            else:
+                v = np.asarray(v, np.float32)
+                if v.ndim == 0 or v.shape[0] != i:
+                    v = np.broadcast_to(v, (i,) + v.shape)
             props[k] = v
         return StepInputs(
             np.asarray(spawn_counts, np.int32).reshape(i),
@@ -92,17 +118,19 @@ class InstancedEffect:
         Leaves of ``inputs_stacked`` are [K, I, ...]; of ``sims_stacked``
         [K]. Amortizes dispatch latency like CompiledEffect.step_chunk.
         """
-        vm = jax.vmap(
-            lambda pool, inputs, sim: self.effect._step(pool, inputs, sim, None, None),
-            in_axes=(0, 0, None),
-        )
-
-        def body(p, per_frame):
-            inputs, sim = per_frame
-            new_p, _ = vm(p, inputs, sim)
-            return new_p, None
-
         if not hasattr(self, "_jit_chunk"):
+            vm = jax.vmap(
+                lambda pool, inputs, sim: self.effect._step(
+                    pool, inputs, sim, None, None
+                ),
+                in_axes=(0, 0, None),
+            )
+
+            def body(p, per_frame):
+                inputs, sim = per_frame
+                new_p, _ = vm(p, inputs, sim)
+                return new_p, None
+
             self._jit_chunk = jax.jit(
                 lambda p, ii, ss: jax.lax.scan(body, p, (ii, ss))[0],
                 donate_argnums=(0,),

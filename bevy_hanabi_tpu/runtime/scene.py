@@ -46,6 +46,24 @@ def _texture_key(texs):
     )
 
 
+def _convert_textures_shared(lists):
+    """float32 device conversions with ONE conversion per original object,
+    so the painter atlas (which dedups textures by object identity) sees a
+    texture shared across effects as a single atlas layer instead of
+    stacking an identical padded copy per effect."""
+    memo = {}
+    out = []
+    for ts in lists:
+        conv = []
+        for t in ts:
+            k = id(t)
+            if k not in memo:
+                memo[k] = jnp.asarray(t, jnp.float32)
+            conv.append(memo[k])
+        out.append(tuple(conv))
+    return out
+
+
 @dataclass
 class EffectInstance:
     """One live effect instance (≈ ParticleEffect + EffectSpawner +
@@ -1208,10 +1226,10 @@ class HanabiScene:
         from ..render.renderer import composite_by_mode
 
         assets = [inst.asset for inst in insts]
-        eff_texs = [
-            tuple(jnp.asarray(t, jnp.float32) for t in inst.textures)
-            for inst in insts
-        ]
+        _texs = _convert_textures_shared(
+            [inst.textures for inst in insts] + [g["textures"] for g in groups]
+        )
+        eff_texs, g_texs = _texs[: len(insts)], _texs[len(insts):]
         eff_cfgs = [
             dataclasses.replace(config, **inst.raster_override)
             if getattr(inst, "raster_override", None)
@@ -1219,10 +1237,6 @@ class HanabiScene:
             for inst in insts
         ]
         g_assets = [g["asset"] for g in groups]
-        g_texs = [
-            tuple(jnp.asarray(t, jnp.float32) for t in g["textures"])
-            for g in groups
-        ]
         g_cfgs = [
             dataclasses.replace(config, **g["raster_override"])
             if g.get("raster_override")
@@ -1935,14 +1949,10 @@ class HanabiScene:
         from ..render.extract import concat_painter_draws, extract_draw_data
         from ..render.raster import rasterize
 
-        eff_texs = [
-            tuple(jnp.asarray(t, jnp.float32) for t in i.textures)
-            for i in insts
-        ]
-        g_texs = [
-            tuple(jnp.asarray(t, jnp.float32) for t in g["textures"])
-            for g in groups
-        ]
+        _texs = _convert_textures_shared(
+            [i.textures for i in insts] + [g["textures"] for g in groups]
+        )
+        eff_texs, g_texs = _texs[: len(insts)], _texs[len(insts):]
         key = (
             "painter",
             tuple(i.asset.signature() for i in insts),

@@ -291,7 +291,10 @@ def as_value(v, vt: ValueType = None) -> Value:
     if isinstance(v, (int, np.integer)):
         if isinstance(vt, ScalarType):
             return ScalarValue(vt, v).cast(vt)
-        if int(v) > 0x7FFFFFFF and int(v) <= 0xFFFFFFFF:
+        # an explicit numpy unsigned scalar keeps its unsignedness
+        if isinstance(v, np.unsignedinteger) or (
+            int(v) > 0x7FFFFFFF and int(v) <= 0xFFFFFFFF
+        ):
             return ScalarValue(ScalarType.UINT, int(v))
         return ScalarValue(ScalarType.INT, int(v))
     if isinstance(v, (float, np.floating)):

@@ -57,6 +57,31 @@ def test_vector_ops():
     assert float(dist) == 4.0
 
 
+def test_uniform_rand_scalar_lo_vector_hi():
+    """uniform(scalar, vecN) must draw N lanes (the lane count comes from
+    the vector operand, not the left operand's type)."""
+    w = ExprWriter()
+    e = w.lit(0.0).uniform(w.lit((1.0, 2.0, 3.0)))
+    ctx = make_ctx(w.module)
+    out = np.asarray(ctx.eval(e.expr()))
+    assert out.shape == (N, 3)
+    assert (out >= 0.0).all()
+    assert (out <= np.array([1.0, 2.0, 3.0])).all()
+    # lanes draw independently: components differ within a particle
+    assert not np.allclose(out[:, 0] / 1.0, out[:, 2] / 3.0)
+
+
+def test_vec4_xyz_w_unbatched_vec_per_particle_w():
+    """vec4_xyz_w(lit vec3, per-particle scalar) batches the xyz."""
+    w = ExprWriter()
+    e = w.lit((0.5, 0.25, 0.125)).vec4_xyz_w(w.attr(A.AGE))
+    ctx = make_ctx(w.module)
+    out = np.asarray(ctx.eval(e.expr()))
+    assert out.shape == (N, 4)
+    np.testing.assert_allclose(out[:, :3], [[0.5, 0.25, 0.125]] * N)
+    np.testing.assert_allclose(out[:, 3], np.arange(N, dtype=np.float32))
+
+
 def test_component_extraction_and_vec_ctors():
     w = ExprWriter()
     v = w.lit((1.0, 2.0, 3.0))

@@ -47,6 +47,16 @@ def render_one(asset):
     return np.asarray(EffectRenderer(asset, CFG).render(pool, cam(), SimParams()))
 
 
+def test_triangle_indices_validated_both_bounds():
+    import pytest
+
+    verts = [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    with pytest.raises(ValueError):
+        ParticleMesh.from_triangles(verts, [[0, 1, 3]])  # past the end
+    with pytest.raises(ValueError):
+        ParticleMesh.from_triangles(verts, [[0, 1, -2]])  # silent numpy wrap
+
+
 def test_stock_meshes():
     assert ParticleMesh.quad().num_quads == 1
     assert ParticleMesh.cross().num_quads == 2

@@ -348,6 +348,45 @@ def test_edge_cases_zero_dt_negative_spawn_tiny_pool():
     assert int(tiny.alive_count()) == 1
 
 
+def test_instanced_property_shapes_and_dtypes():
+    """make_inputs must keep declared property dtypes (float32 coercion
+    corrupts ints > 2^24) and use the DECLARED shape to tell a shared
+    vec-k value from per-instance scalars when k == num_instances."""
+    import pytest
+
+    from bevy_hanabi_tpu.runtime.instanced import InstancedEffect
+
+    w = ExprWriter()
+    w.add_property("accel3", (0.0, -1.0, 0.0))
+    w.add_property("tick", np.uint32(16777217))  # not float32-representable
+    asset = (
+        EffectAsset("ip", 16, SpawnerSettings.once(4.0), w.finish())
+        .init(SetAttributeModifier(A.POSITION, w.lit([0.0, 0.0, 0.0]).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(5.0).expr()))
+    )
+    fx = InstancedEffect(asset, 3)
+    ins = fx.make_inputs(
+        [4, 4, 4],
+        [1, 2, 3],
+        properties={
+            # a bare vec3 with num_instances == 3: SHARED, not per-instance
+            "accel3": np.asarray([1.0, 2.0, 3.0], np.float32),
+            "tick": np.uint32(16777217),
+        },
+    )
+    assert ins.properties["accel3"].shape == (3, 3)
+    np.testing.assert_allclose(ins.properties["accel3"][2], [1.0, 2.0, 3.0])
+    assert ins.properties["tick"].dtype == np.uint32
+    assert int(ins.properties["tick"][0]) == 16777217
+    per = np.arange(9, dtype=np.float32).reshape(3, 3)
+    ins2 = fx.make_inputs([0] * 3, [0] * 3, properties={"accel3": per})
+    np.testing.assert_allclose(ins2.properties["accel3"], per)
+    with pytest.raises(ValueError):
+        fx.make_inputs(
+            [0] * 3, [0] * 3, properties={"accel3": np.zeros((2, 3))}
+        )
+
+
 def test_event_payload_immune_to_parent_slot_recycling():
     """Inherited attributes come from emission-time payload: even if the
     parent slot is recycled before the child consumes the event, the child

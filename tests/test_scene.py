@@ -286,6 +286,60 @@ def test_ribbon_segments_connect_same_ribbon_by_age():
     np.testing.assert_allclose(np.abs(ax[:, 0]), 0.5, atol=1e-6)
 
 
+def test_ribbon_side_matches_reference_orientation():
+    """axis_y follows the reference's cross(axis_x, axis_z) with axis_z
+    pointing AT the camera (vfx_render.wgsl:273-276): delta along +x with
+    the camera at +z gives a side along -y."""
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    pts = [[-0.5, 0.0, 0.0], [0.5, 0.0, 0.0]]  # oldest first -> delta = +x
+    pool = ribbon_pool(pts, [0, 0])
+    draw = extract_draw_data(ribbon_asset(), pool, cam)
+    segs = build_ribbon_segments(draw, cam)
+    valid = np.asarray(segs.alive)
+    assert valid.sum() == 1
+    side = np.asarray(segs.axis_y)[valid][0]
+    assert side[1] < 0 and abs(side[0]) < 1e-6 and abs(side[2]) < 1e-6
+
+
+def test_size_attribute_first_wins():
+    """Layouts with two size attributes use the FIRST in layout order and
+    ignore the rest with a warning (lib.rs:876-905) — never compound."""
+    import jax.numpy as jnp
+
+    w = ExprWriter()
+    asset = (
+        EffectAsset("sz", 8, SpawnerSettings.once(0.0), w.finish())
+        .init(SetAttributeModifier(A.POSITION, w.lit([0.0, 0.0, 0.0]).expr()))
+        .init(SetAttributeModifier(A.SIZE, w.lit(2.0).expr()))
+        .init(SetAttributeModifier(A.SIZE3, w.lit((3.0, 1.0, 1.0)).expr()))
+    )
+    layout = asset.particle_layout()
+    pool = ParticlePool.create(layout, 8)
+    pool.attrs["size"] = jnp.full(8, 2.0, jnp.float32)
+    pool.attrs["size3"] = jnp.broadcast_to(
+        jnp.asarray([3.0, 1.0, 1.0], jnp.float32), (8, 3)
+    )
+    pool.alive = jnp.ones(8, bool)
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    draw = extract_draw_data(asset, pool, cam)
+    first = next(
+        a.name
+        for a in layout.attributes()
+        if a.name in ("size", "size2", "size3")
+    )
+    expected = 2.0 if first == "size" else 3.0
+    got = float(np.abs(np.asarray(draw.axis_x)).max())
+    assert abs(got - expected) < 1e-6  # compounding would give 6.0
+
+
 def test_ribbon_renders_continuous_line():
     cam = CameraParams(
         view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
@@ -1916,6 +1970,64 @@ def test_painter_merges_meshes_and_quads():
     # the triangle is visible through the painter pass (SetSizeModifier
     # 0.5 halves the mesh: it spans roughly y px 22-38 around center 32)
     assert img_paint[30, 32, 2] > 0.5
+
+
+def test_painter_uvless_textured_mesh_matches_split():
+    """A textured triangle mesh WITHOUT vertex UVs keeps the quad
+    parameterization in the painter pass (its NaN-padded uv triplets are
+    never substituted) and matches its own split render, even when sharing
+    the pass with a mesh that HAS vertex UVs."""
+    from bevy_hanabi_tpu.modifiers import ParticleTextureModifier
+    from bevy_hanabi_tpu.render.mesh import ParticleMesh
+
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    # a ramp texture whose (0,0) texel is black: if the UV-less mesh were
+    # forced onto zero UVs it would render flat black
+    u = np.linspace(0.1, 1.0, 8, dtype=np.float32)
+    tex = np.zeros((8, 8, 4), np.float32)
+    tex[..., 0] = u[None, :]
+    tex[..., 1] = u[:, None]
+    tex[..., 3] = 1.0
+    tex[0, 0] = 0.0
+    verts = [[-0.5, -0.4, 0.0], [0.5, -0.4, 0.0], [0.0, 0.6, 0.0]]
+    no_uv = ParticleMesh(vertices=verts, indices=[[0, 1, 2]])
+    with_uv = ParticleMesh(
+        vertices=verts,
+        indices=[[0, 1, 2]],
+        uvs=[[0.0, 1.0], [1.0, 1.0], [0.5, 0.0]],
+    )
+    scene = HanabiScene()
+    scene.add(
+        _phase_asset(
+            "nu", (-0.4, 0.0, -0.5), "blend", (1.0, 1.0, 1.0, 0.8)
+        ).with_mesh(no_uv).render(ParticleTextureModifier(0)),
+        "nu",
+        textures=[tex],
+    )
+    scene.add(
+        _phase_asset(
+            "wu", (0.4, 0.0, 0.5), "blend", (1.0, 1.0, 1.0, 0.8)
+        ).with_mesh(with_uv).render(ParticleTextureModifier(0)),
+        "wu",
+        textures=[tex],
+    )
+    scene.update(DT)
+    img_split = np.asarray(
+        scene.render(cam, background=(0, 0, 0, 0), pipeline="split")
+    )
+    img_paint = np.asarray(
+        scene.render(cam, background=(0, 0, 0, 0), pipeline="painter")
+    )
+    np.testing.assert_allclose(img_paint, img_split, atol=1e-5)
+    # the UV-less mesh did not collapse to the (0,0) texel: its covered
+    # pixels vary (quad-parameterization sampling, not a constant)
+    left = img_paint[:, :32, :3]
+    lit = left[left.sum(axis=-1) > 0.01]
+    assert lit.shape[0] > 20 and lit.std() > 0.02
 
 
 def test_painter_merges_lit_mesh_with_quads():
