@@ -307,17 +307,31 @@ class ParticleLayout:
                     pad(8)
         for a in by_size[4]:
             emit(a)
-        if offset % 16 != 0:
-            pad(16 - offset % 16)
+        # Pad the struct to its ALIGN — the layout's max WGSL alignment
+        # (4 for f32-only, 8 for vec2, 16 for vec3/vec4), not a blanket 16
+        # (attributes.rs:1648-1663 next_multiple_of(align)).
+        align = ParticleLayout._wgsl_align(attributes)
+        if align and offset % align != 0:
+            pad(align - offset % align)
         return fields
 
+    @staticmethod
+    def _wgsl_align(attributes: Sequence[Attribute]) -> int:
+        """Max WGSL struct-member alignment over the attributes
+        (gpuweb: vec3/vec4 align 16, vec2 align 8, scalars 4)."""
+        if not attributes:
+            return 0
+        return max(16 if a.size >= 12 else a.size for a in attributes)
+
     def min_binding_size(self) -> int:
-        """Packed byte size of one particle (16-byte aligned)."""
+        """Packed byte size of one particle, rounded to the layout's max
+        alignment (attributes.rs:1648: next_multiple_of(align))."""
         if not self._fields:
             return 0
         last = self._fields[-1]
         end = last.offset + last.attribute.size
-        return (end + 15) // 16 * 16
+        align = self._wgsl_align(self._attributes)
+        return (end + align - 1) // align * align
 
     def byte_offset(self, attr) -> Optional[int]:
         name = attr.name if isinstance(attr, Attribute) else attr

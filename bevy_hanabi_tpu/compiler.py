@@ -371,13 +371,18 @@ def _promote(a, b):
 
 
 def eval_expr(module: Module, handle: ExprHandle, ctx: EvalContext) -> jnp.ndarray:
+    # Every handle memoizes within one context, INCLUDING side-effecting
+    # (rand) exprs — the reference stores those in a local shader var and
+    # its expr_cache explicitly refuses to re-evaluate on a cache hit "to
+    # prevent any duplicate side-effect" (modifier/mod.rs:309-313,
+    # graph/expr.rs:1044-1048). Reusing one rand handle therefore yields
+    # ONE draw per particle, shared by every use; independent draws need
+    # distinct expr handles (call writer.rand() again).
     e = module.get(handle)
-    cacheable = not module.has_side_effect(handle)
-    if cacheable and handle in ctx._memo:
+    if handle in ctx._memo:
         return ctx._memo[handle]
     out = _eval(module, e, handle, ctx)
-    if cacheable:
-        ctx._memo[handle] = out
+    ctx._memo[handle] = out
     return out
 
 

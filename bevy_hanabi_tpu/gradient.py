@@ -21,8 +21,9 @@ class Gradient:
     """Keyframe curve over ratio in [0,1] with values of any fixed width.
 
     Duplicate ratios create a step discontinuity, matching the reference's
-    behavior (gradient.rs:351: keys with equal ratio are kept in insertion
-    order and sampling returns the later key at/after the shared ratio).
+    behavior: keys with equal ratio are kept in insertion order, sampling AT
+    the exact shared ratio returns the FIRST duplicate "for determinism"
+    (gradient.rs:394-407), and ratios just past it take the later key.
     """
 
     def __init__(self, keys: Sequence[Tuple[float, Any]] = ()):
@@ -98,18 +99,20 @@ class Gradient:
     # ---- sampling --------------------------------------------------------
 
     def sample(self, x: float) -> np.ndarray:
-        """CPU reference sampling (mirrors gradient.rs:394)."""
+        """CPU reference sampling (mirrors gradient.rs:394-423)."""
         if not self._ratios:
             raise ValueError("cannot sample empty gradient")
         r = self._ratios
-        if x <= r[0]:
+        if x < r[0]:
             return self._values[0]
-        if x >= r[-1]:
+        if x > r[-1]:
             return self._values[-1]
+        for i, ri in enumerate(r):
+            if x == ri:
+                # exact hit: the FIRST duplicate (gradient.rs:400-405)
+                return self._values[i]
         for i in range(len(r) - 1):
-            if r[i] <= x < r[i + 1]:
-                if r[i + 1] == r[i]:
-                    return self._values[i + 1]
+            if r[i] < x < r[i + 1]:
                 t = (x - r[i]) / (r[i + 1] - r[i])
                 return self._values[i] * (1 - t) + self._values[i + 1] * t
         return self._values[-1]
@@ -150,13 +153,21 @@ class Gradient:
                 if span > 0.0:
                     t = jnp.clip((x - float(r[i])) / span, 0.0, 1.0)
                     seg = v[i] + (v[i + 1] - v[i]) * t[..., None]
-                else:  # step discontinuity: value jumps at r[i]
+                else:  # step discontinuity: value jumps JUST AFTER r[i]
                     seg = jnp.asarray(v[i + 1])
-                out = jnp.where((x >= float(r[i]))[..., None], seg, out)
+                # Strict inequality when the segment starts at a duplicated
+                # ratio: an exact hit must return the FIRST duplicate
+                # (gradient.rs:400-405), so later duplicates only take over
+                # past the shared ratio.
+                strict = span == 0.0 or (i > 0 and r[i] == r[i - 1])
+                pred = x > float(r[i]) if strict else x >= float(r[i])
+                out = jnp.where(pred[..., None], seg, out)
             return out
         ratios, values = self.bake()
-        # index of the right key of the surrounding segment
-        hi = jnp.clip(jnp.searchsorted(ratios, x, side="right"), 1, k - 1)
+        # side="left": an exact hit lands hi on the FIRST duplicate of the
+        # shared ratio (t then resolves to 1 and selects values[hi]),
+        # matching gradient.rs:400-405.
+        hi = jnp.clip(jnp.searchsorted(ratios, x, side="left"), 1, k - 1)
         lo = hi - 1
         r_lo = ratios[lo]
         r_hi = ratios[hi]
@@ -166,9 +177,10 @@ class Gradient:
         v_lo = values[lo]
         v_hi = values[hi]
         out = v_lo + (v_hi - v_lo) * t[..., None]
-        # clamp outside the key range to the end values
+        # clamp outside the key range to the end values (strict on the
+        # right so an exact last-ratio hit keeps the first duplicate)
         out = jnp.where((x <= ratios[0])[..., None], values[0], out)
-        out = jnp.where((x >= ratios[-1])[..., None], values[-1], out)
+        out = jnp.where((x > ratios[-1])[..., None], values[-1], out)
         return out
 
     # ---- serde ------------------------------------------------------------

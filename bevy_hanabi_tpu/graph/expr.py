@@ -8,8 +8,10 @@ same arena exists with the same operator vocabulary, but "compilation" is
 inside ``jax.jit`` and returns JAX arrays, so XLA plays the role of both the
 shader compiler and the pipeline cache. Common-subexpression caching
 (reference: modifier/mod.rs:309-319) falls out of handle-level memoization +
-XLA CSE; side-effecting expressions (the ``rand`` family) are re-evaluated
-per use, matching the reference's semantics (graph/expr.rs:1049-1064).
+XLA CSE; side-effecting expressions (the ``rand`` family) memoize too —
+the reference stores them in a local shader var so a reused handle sees ONE
+draw, never a duplicate side-effect (graph/expr.rs:1044-1064). Independent
+draws require distinct handles.
 
 Handles are 1-based integers, mirroring the reference's ``NonZeroU32``.
 """
@@ -302,8 +304,11 @@ class Module:
     def has_side_effect(self, h: ExprHandle) -> bool:
         """True if evaluating ``h`` draws random numbers.
 
-        Mirrors the reference's side-effect tracking (graph/expr.rs:1049-1064)
-        which prevents caching rand-dependent subexpressions.
+        Mirrors the reference's side-effect tracking (graph/expr.rs:1049-1064).
+        Note the evaluation-cache consequence matches the reference too: a
+        side-effecting handle is evaluated ONCE per context and its value
+        reused (the reference stores it in a local shader var) — reuse does
+        NOT re-draw.
         """
         e = self.get(h)
         if e.kind == "builtin":
@@ -382,8 +387,11 @@ class Module:
         if op is BinaryOp.VEC4_XYZ_W:
             return VectorType(FLOAT, 4)
         if op in _CMP_OPS:
+            # scalar-vs-vector comparisons broadcast to vecN<bool>
             if isinstance(lt, VectorType):
                 return VectorType(BOOL, lt.count)
+            if isinstance(rt, VectorType):
+                return VectorType(BOOL, rt.count)
             return BOOL
         # arithmetic / min / max / step / rem / rand: broadcast to vector
         if isinstance(lt, VectorType):

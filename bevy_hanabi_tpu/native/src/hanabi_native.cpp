@@ -164,7 +164,10 @@ void hanabi_spawner_bank_tick(void* handle, double dt_in, int32_t* out) {
             }
             double new_time = b->cycle_time[i] + dt;
             if (b->cycle_time[i] <= b->sampled_duration[i]) {
-                if (b->sampled_duration[i] < std::max(1e-5, dt_in / 100.0)) {
+                // threshold uses the per-cycle rebound dt (spawn.rs:878
+                // rebinds dt each cycle; the frame dt would keep later
+                // cycles in burst mode)
+                if (b->sampled_duration[i] < std::max(1e-5, dt / 100.0)) {
                     b->remainder[i] += b->sampled_count[i];
                 } else {
                     double ratio =

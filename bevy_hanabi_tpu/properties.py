@@ -43,32 +43,84 @@ class Property:
 class PropertyLayout:
     """Packed layout of a property block (properties.rs:521-870).
 
-    The reference sorts properties by decreasing alignment/size then packs
-    them back-to-back with alignment padding; offsets here follow the same
-    rule so serialized blocks interoperate with the native bridge.
+    Offsets reproduce the reference's pairing packer exactly (16-byte
+    types first, then {vec3+f32} pairs, then {vec2+vec2} pairs, then
+    remainders) so serialized blocks and the native bridge interoperate
+    byte-for-byte with the reference layout.
     """
 
     def __init__(self, properties: Sequence[Property] = ()):
         self._properties = tuple(properties)
-        # sort by decreasing alignment, then size, stable on name order
+        # The reference's pairing packer, reproduced step for step
+        # (properties.rs:561-688): sort ascending by size; emit all 16-byte
+        # types (already aligned); pair {vec3 + f32} into 16-byte rows;
+        # pair {vec2 + vec2}; then the remainders — leftover vec3s stride
+        # 16 (WGSL vec3 alignment), leftover f32s pack tightly.
         order = sorted(
             range(len(self._properties)),
-            key=lambda i: (
-                -self._properties[i].value_type.align,
-                -self._properties[i].size,
-                i,
-            ),
+            key=lambda i: self._properties[i].size,
         )
+        sizes = [self._properties[i].size for i in order]
+
+        def partition_point(limit):
+            # first index whose size >= limit
+            for k, s in enumerate(sizes):
+                if s >= limit:
+                    return k
+            return len(sizes)
+
+        index4 = partition_point(16)
+        index2 = partition_point(8)
+        index3 = partition_point(12)
+        num1, num2, num3 = index2, index3 - index2, index4 - index3
+        entries: List[Tuple[int, int]] = []  # (property index, offset)
         offset = 0
-        fields: List[Tuple[str, int]] = []
-        for i in order:
-            p = self._properties[i]
-            align = p.value_type.align
-            offset = (offset + align - 1) // align * align
-            fields.append((p.name, offset))
-            offset += p.size
-        self._fields = dict(fields)
-        self._size = (offset + 15) // 16 * 16 if fields else 0
+        for i in order[index4:]:
+            entries.append((i, offset))
+            offset += 16
+        num_pairs = min(num1, num3)
+        for k in range(num_pairs):
+            entries.append((order[index3 + k], offset))
+            offset += 12
+            entries.append((order[k], offset))
+            offset += 4
+        index1 = num_pairs
+        index3 += num_pairs
+        num1 -= num_pairs
+        num3 -= num_pairs
+        for k in range(num2 // 2):
+            for j in range(2):
+                entries.append((order[index2 + k * 2 + j], offset))
+                offset += 8
+        index2 += (num2 // 2) * 2
+        num2 %= 2
+        if num3 > num1:
+            for k in range(num3):
+                entries.append((order[index3 + k], offset))
+                offset += 16  # vec3 is 16-byte aligned in WGSL
+            if num2:
+                entries.append((order[index2], offset))
+                offset += 8
+        else:
+            if num2:
+                entries.append((order[index2], offset))
+                offset += 8
+            for k in range(num1):
+                entries.append((order[index1 + k], offset))
+                offset += 4
+        self._fields = {
+            self._properties[i].name: off for i, off in entries
+        }
+        if entries:
+            last_i, last_off = entries[-1]
+            self._cpu_size = last_off + self._properties[last_i].size
+            align = max(
+                self._properties[i].value_type.align for i, _ in entries
+            )
+            self._size = (self._cpu_size + align - 1) // align * align
+        else:
+            self._cpu_size = 0
+            self._size = 0
 
     def is_empty(self) -> bool:
         return not self._properties
@@ -80,9 +132,13 @@ class PropertyLayout:
         return self._fields.get(name)
 
     def cpu_size(self) -> int:
-        return self._size
+        """Used byte size, unpadded (properties.rs:729-736)."""
+        return self._cpu_size
 
-    min_binding_size = cpu_size
+    def min_binding_size(self) -> int:
+        """cpu_size rounded up to the layout's max alignment
+        (properties.rs:798-806); also the pack() blob size."""
+        return self._size
 
     def pack(self, values: Dict[str, Any]) -> bytes:
         """Pack property values (or defaults) into one byte block."""

@@ -30,11 +30,13 @@ def make_spawner_bank(settings: "SpawnerSettings", num_instances: int, seed: int
     implementation when the toolchain is present, else the numpy one."""
     try:
         from .native import NativeSpawnerBank, native_available
-
-        if native_available():
-            return NativeSpawnerBank(settings, num_instances, seed=seed)
-    except Exception:
-        pass
+    except ImportError:
+        # toolchain absent: the numpy bank is the documented fallback
+        return SpawnerBank(settings, num_instances, seed=seed)
+    if native_available():
+        # construction errors propagate — a broken native bank is a bug
+        # to surface, not a reason to silently run the slow path
+        return NativeSpawnerBank(settings, num_instances, seed=seed)
     return SpawnerBank(settings, num_instances, seed=seed)
 
 
@@ -283,30 +285,41 @@ class SpawnerBank:
 
         # A frame can span multiple cycles; loop until all dt consumed.
         # Bounded iterations guard against pathological dt >> period.
+        # ``proc`` marks the lanes still processing a cycle this frame:
+        # every live lane processes its FIRST iteration even at dt == 0
+        # (the scalar path and spawn.rs:838-921 emit a near-zero-duration
+        # burst on a zero-dt tick), then only rolled-over lanes continue.
+        proc = live.copy()
         for _ in range(64):
-            if not dt_left.any():
+            if not proc.any():
                 break
             in_window = self.cycle_time <= self.spawn_duration
             new_time = self.cycle_time + dt_left
-            if self.spawn_duration < max(1e-5, dt / 100.0):
-                gain = np.where(in_window & (dt_left > 0), self.count, 0.0)
-            else:
-                ratio = np.clip(
-                    (np.minimum(new_time, self.spawn_duration) - self.cycle_time)
-                    / self.spawn_duration,
-                    0.0,
-                    1.0,
-                )
-                gain = np.where(in_window & (dt_left > 0), self.count * ratio, 0.0)
+            # The burst threshold uses the PER-CYCLE leftover dt, like the
+            # scalar path which rebinds dt each cycle (spawn.rs:878).
+            burst = self.spawn_duration < np.maximum(1e-5, dt_left / 100.0)
+            ratio = np.clip(
+                (np.minimum(new_time, self.spawn_duration) - self.cycle_time)
+                / max(self.spawn_duration, 1e-300),
+                0.0,
+                1.0,
+            )
+            gain = np.where(
+                proc & in_window,
+                np.where(burst, self.count, self.count * ratio),
+                0.0,
+            )
             self.remainder += gain
-            self.cycle_time = new_time
-            rolled = self.cycle_time >= self.period
+            self.cycle_time = np.where(proc, new_time, self.cycle_time)
+            rolled = proc & (self.cycle_time >= self.period)
             dt_left = np.where(rolled, self.cycle_time - self.period, 0.0)
             self.cycle_time = np.where(rolled, 0.0, self.cycle_time)
             self.completed_cycles += rolled
+            proc = rolled
             if not s.is_forever():
                 newly_done = self.completed_cycles >= s.cycle_count
                 dt_left = np.where(newly_done, 0.0, dt_left)
+                proc &= ~newly_done
 
         counts = np.floor(self.remainder)
         self.remainder -= counts

@@ -118,14 +118,38 @@ def test_property_layout_packing():
             Property.new("count", 3),
         )
     )
-    # vec3 (align 16) first, then scalars packed after
+    # the reference's pairing packer: {vec3 + f32} share a 16-byte row,
+    # the remaining scalar follows (properties.rs:561-688)
     assert layout.offset("dir") == 0
     assert layout.offset("speed") == 12
     assert layout.offset("count") == 16
-    assert layout.cpu_size() == 32
+    assert layout.cpu_size() == 20  # unpadded (properties.rs:729)
     blob = layout.pack({"speed": 2.0})
-    assert len(blob) == 32
+    assert len(blob) == 32  # min_binding_size: padded to max align 16
     assert np.frombuffer(blob[12:16], np.float32)[0] == 2.0
+
+
+def test_property_layout_matches_reference_pairing():
+    """{vec3, vec3, f32}: reference offsets are accel@0, drag@12 (paired
+    into accel's 16-byte row), wind@16 with a 16-byte vec3 stride."""
+    layout = PropertyLayout(
+        (
+            Property.new("accel", (0.0, -9.8, 0.0)),
+            Property.new("wind", (1.0, 0.0, 0.0)),
+            Property.new("drag", 0.5),
+        )
+    )
+    assert layout.offset("accel") == 0
+    assert layout.offset("drag") == 12
+    assert layout.offset("wind") == 16
+    assert layout.cpu_size() == 28
+    assert layout.min_binding_size() == 32
+    # vec2 pairing: two vec2s share a 16-byte row
+    l2 = PropertyLayout(
+        (Property.new("a", (1.0, 2.0)), Property.new("b", (3.0, 4.0)))
+    )
+    offs = sorted((l2.offset("a"), l2.offset("b")))
+    assert offs == [0, 8] and l2.cpu_size() == 16
 
 
 def test_effect_properties_change_detection():

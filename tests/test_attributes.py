@@ -92,9 +92,14 @@ def test_packing_vec4_first():
     assert layout.min_binding_size() == 32
 
 
-def test_packing_scalar_tail_pads_struct():
+def test_packing_scalar_tail_pads_to_layout_align():
+    # scalar-only layouts align to 4 like the reference
+    # (attributes.rs:1648 pads to the layout align, not a blanket 16)
     layout = ParticleLayout([A.AGE, A.LIFETIME, A.SIZE])
-    assert layout.min_binding_size() == 16
+    assert layout.min_binding_size() == 12
+    assert ParticleLayout([A.AGE, A.LIFETIME]).min_binding_size() == 8
+    # a vec3 in the layout forces 16-byte alignment
+    assert ParticleLayout([A.POSITION, A.AGE]).min_binding_size() == 16
 
 
 def test_layout_empty():

@@ -125,7 +125,11 @@ def test_builtins_time():
     assert float(ctx.eval(w.delta_time().expr())) == 0.5
 
 
-def test_rand_is_deterministic_and_advances_seed():
+def test_rand_is_deterministic_and_memoized_per_handle():
+    """A rand handle draws ONCE per context and reuse sees the same value
+    — the reference stores side-effecting exprs in a local shader var and
+    refuses to re-evaluate on cache hit (modifier/mod.rs:309-313).
+    Independent draws need distinct handles."""
     w = ExprWriter()
     r = w.rand(FLOAT)
     seeds = jnp.arange(N, dtype=jnp.uint32)
@@ -134,17 +138,23 @@ def test_rand_is_deterministic_and_advances_seed():
     # identical to calling the rng directly
     _, want = rng.frand(np.arange(N, dtype=np.uint32))
     np.testing.assert_array_equal(v1, np.asarray(want))
-    # seed advanced: second eval of the SAME handle re-rolls (side effect)
+    # SAME handle re-used: same value, no duplicate side-effect
     v2 = np.asarray(ctx.eval(r.expr()))
-    assert not np.array_equal(v1, v2)
+    np.testing.assert_array_equal(v1, v2)
+    # a DISTINCT rand handle draws independently (seed advanced)
+    v3 = np.asarray(ctx.eval(w.rand(FLOAT).expr()))
+    assert not np.array_equal(v1, v3)
 
 
-def test_pure_subexpr_memoized_but_rand_not():
+def test_distinct_rand_handles_draw_independently():
     w = ExprWriter()
     r = w.rand(FLOAT) + w.rand(FLOAT)
     ctx = make_ctx(w.module)
     out = np.asarray(ctx.eval(r.expr()))
     assert out.shape == (N,)
+    # the two handles drew different values: the sum is not 2x either draw
+    single = np.asarray(make_ctx(w.module).eval(w.rand(FLOAT).expr()))
+    assert not np.allclose(out, 2.0 * single)
 
 
 def test_uniform_rand_vec3_bounds():

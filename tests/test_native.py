@@ -33,6 +33,30 @@ def test_native_spawner_rate_matches_python():
 
 
 @needs_native
+def test_native_spawner_zero_dt_and_multicycle_match_python():
+    """Zero-dt burst and per-cycle burst-threshold rebinding match the
+    scalar spawner (spawn.rs:838-921), like the numpy bank."""
+    from dataclasses import replace
+
+    from bevy_hanabi_tpu.cpu_value import CpuValue
+
+    nb = NativeSpawnerBank(SpawnerSettings.once(100.0), 4)
+    ref = EffectSpawner(SpawnerSettings.once(100.0))
+    np.testing.assert_array_equal(nb.tick(0.0), ref.tick(0.0))
+
+    settings = replace(
+        SpawnerSettings.burst(10.0, 1.0),
+        spawn_duration=CpuValue.single(0.05),
+    )
+    nb2 = NativeSpawnerBank(settings, 3)
+    ref2 = EffectSpawner(settings)
+    for dt in (8.0, 0.3, 0.0, 2.7, 1 / 60):
+        np.testing.assert_array_equal(
+            nb2.tick(dt), ref2.tick(dt), err_msg=f"dt={dt}"
+        )
+
+
+@needs_native
 def test_native_spawner_burst_and_once():
     nb = NativeSpawnerBank(SpawnerSettings.burst(10.0, 0.5), 4)
     total = np.zeros(4, np.int64)

@@ -139,6 +139,38 @@ def test_bank_once():
     np.testing.assert_array_equal(bank.tick(1 / 60), 100)
 
 
+def test_bank_matches_scalar_at_zero_dt():
+    """A once-bank ticked with dt=0 on its first frame bursts immediately,
+    exactly like the scalar spawner (spawn.rs emits near-zero-duration
+    bursts even on a zero-dt tick)."""
+    settings = SpawnerSettings.once(100.0)
+    bank = SpawnerBank(settings, 4)
+    ref = EffectSpawner(settings)
+    want = ref.tick(0.0)
+    np.testing.assert_array_equal(bank.tick(0.0), want)
+    assert want == 100  # the burst actually fired at dt=0
+
+
+def test_bank_matches_scalar_across_multi_cycle_catchup():
+    """One huge dt spanning many cycles: the bank's per-cycle burst
+    threshold must rebind to the leftover dt like the scalar path
+    (spawn.rs:878), or burst-vs-prorated mode flips differ."""
+    from dataclasses import replace
+
+    from bevy_hanabi_tpu.cpu_value import CpuValue
+
+    settings = replace(
+        SpawnerSettings.burst(10.0, 1.0),
+        spawn_duration=CpuValue.single(0.05),
+    )
+    bank = SpawnerBank(settings, 3)
+    ref = EffectSpawner(settings)
+    for dt in (8.0, 0.3, 0.0, 2.7, 1 / 60):
+        counts = bank.tick(dt)
+        want = ref.tick(dt)
+        np.testing.assert_array_equal(counts, want, err_msg=f"dt={dt}")
+
+
 def test_emit_on_start_false_skips_initial_burst():
     sp = EffectSpawner(SpawnerSettings.once(50.0).with_emit_on_start(False))
     assert sp.tick(1 / 60) == 0
