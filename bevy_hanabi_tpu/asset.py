@@ -303,12 +303,46 @@ class EffectAsset:
             asset.mesh = ParticleMesh.from_json(data["mesh"])
         return asset
 
-    def save(self, path: str) -> None:
-        """Write a ``.effect`` JSON file (≈ EffectAssetLoader format)."""
+    def save(self, path: str, format: Optional[str] = None) -> None:
+        """Write a ``.effect`` file.
+
+        ``format`` is ``"json"`` (this framework's native serialization) or
+        ``"ron"`` (the reference's canonical RON format, asset.rs:674 — so
+        exported assets load back into bevy_hanabi). Defaults by extension:
+        ``.ron`` saves RON, anything else JSON."""
+        if format is None:
+            format = "ron" if path.endswith(".ron") else "json"
+        if format == "ron":
+            from .ron import asset_to_ron
+
+            with open(path, "w") as f:
+                f.write(asset_to_ron(self))
+            return
         with open(path, "w") as f:
             json.dump(self.to_json(), f, indent=1)
 
     @staticmethod
     def load(path: str) -> "EffectAsset":
+        """Load a ``.effect`` file — this framework's JSON or the
+        reference's RON (EffectAssetLoader, asset.rs:1072-1130), detected
+        from the content: RON assets start with ``(``, JSON with ``{``."""
         with open(path) as f:
-            return EffectAsset.from_json(json.load(f))
+            text = f.read()
+        stripped = text.lstrip()
+        if stripped.startswith("(") or stripped.startswith("//"):
+            from .ron import asset_from_ron
+
+            return asset_from_ron(text)
+        return EffectAsset.from_json(json.loads(text))
+
+    def save_ron(self, path: str) -> None:
+        """Write the reference's canonical RON ``.effect`` format."""
+        self.save(path, format="ron")
+
+    @staticmethod
+    def load_ron(path: str) -> "EffectAsset":
+        """Load a reference-format RON ``.effect`` file."""
+        from .ron import asset_from_ron
+
+        with open(path) as f:
+            return asset_from_ron(f.read())

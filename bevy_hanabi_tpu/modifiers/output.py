@@ -122,9 +122,16 @@ class ParticleTextureModifier(Modifier):
 @register_modifier
 @dataclass
 class SetColorModifier(Modifier):
-    """Set a single base color for all particles (output.rs:229)."""
+    """Set a single base color for all particles (output.rs:229).
+
+    Like the reference, carries a blend mode and channel write mask
+    (output.rs:233-236): ``blend`` selects overwrite/add/modulate against
+    the incoming color and ``mask`` limits which channels are written.
+    """
 
     color: CpuValue  # vec4
+    blend: ColorBlendMode = ColorBlendMode.OVERWRITE
+    mask: ColorBlendMask = ColorBlendMask.RGBA
 
     CONTEXT = ModifierContext.RENDER
     ATTRIBUTES = ()
@@ -135,15 +142,25 @@ class SetColorModifier(Modifier):
             self.color = CpuValue.single(tuple(self.color))
 
     def to_json(self):
-        return {"type": type(self).__name__, "color": self.color.to_json()}
+        return {
+            "type": type(self).__name__,
+            "color": self.color.to_json(),
+            "blend": self.blend.value,
+            "mask": int(self.mask),
+        }
 
     @classmethod
     def from_json(cls, data):
-        return cls(CpuValue.from_json(data["color"]))
+        return cls(
+            CpuValue.from_json(data["color"]),
+            ColorBlendMode(data.get("blend", "overwrite")),
+            ColorBlendMask(data.get("mask", 15)),
+        )
 
     def apply_render(self, module, ctx) -> None:
         c = _eval_cpu_value(ctx, self.color, 4)
-        ctx.color = jnp.broadcast_to(c, (ctx.num_particles, 4))
+        new = jnp.broadcast_to(c, (ctx.num_particles, 4))
+        ctx.color = blend_color(ctx.color, new, self.blend, self.mask)
 
 
 @register_modifier
