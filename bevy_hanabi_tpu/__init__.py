@@ -34,7 +34,7 @@ from .asset import (  # noqa: F401
 )
 from .compiler import SimParams  # noqa: F401
 from .cpu_value import CpuValue  # noqa: F401
-from .gradient import Gradient  # noqa: F401
+from .gradient import Gradient, GradientKey  # noqa: F401
 from .graph import ExprWriter, Module  # noqa: F401
 from .properties import EffectProperties, Property, PropertyLayout  # noqa: F401
 from .spawn import EffectSpawner, SpawnerBank, SpawnerSettings  # noqa: F401

@@ -9,12 +9,21 @@ into the surrounding render math.
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, NamedTuple, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["Gradient"]
+__all__ = ["Gradient", "GradientKey"]
+
+
+class GradientKey(NamedTuple):
+    """One keyframe: ``(ratio, value)`` (reference GradientKey,
+    gradient.rs:59-68). A plain tuple subclass, so destructuring
+    ``for ratio, value in gradient.keys()`` keeps working."""
+
+    ratio: float
+    value: Any
 
 
 class Gradient:
@@ -75,8 +84,8 @@ class Gradient:
     def num_keys(self) -> int:
         return len(self._ratios)
 
-    def keys(self) -> List[Tuple[float, np.ndarray]]:
-        return list(zip(self._ratios, self._values))
+    def keys(self) -> List[GradientKey]:
+        return [GradientKey(r, v) for r, v in zip(self._ratios, self._values)]
 
     def value_width(self) -> int:
         return 0 if not self._values else int(self._values[0].shape[0])

@@ -21,6 +21,7 @@ PRELUDE = [
     "ParticleLayout",
     # gradient
     "Gradient",
+    "GradientKey",
     # graph::*
     "ExprWriter",
     "Module",

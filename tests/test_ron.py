@@ -459,3 +459,120 @@ class TestReferenceFixture:
         )
         with pytest.raises(RonError):
             asset_from_ron(text)
+
+
+# ---------------------------------------------------------------------------
+# Randomized round-trip fuzz: arbitrary assets over the full modifier and
+# value surface must survive RON export -> import -> export unchanged.
+# ---------------------------------------------------------------------------
+
+
+class TestRonFuzz:
+    @pytest.mark.parametrize("seed", range(8))
+    def test_random_asset_round_trip(self, seed):
+        rng = np.random.default_rng(seed)
+        from bevy_hanabi_tpu.modifiers import (
+            KillSphereModifier,
+            LinearDragModifier,
+            RadialAccelModifier,
+            SetPositionCircleModifier,
+            SetPositionCone3dModifier,
+            SetVelocityCircleModifier,
+            SetVelocitySphereModifier,
+            SetVelocityTangentModifier,
+            TangentAccelModifier,
+        )
+        from bevy_hanabi_tpu.values import FLOAT, VectorType
+
+        m = Module()
+
+        def lit_f():
+            return m.lit(float(np.round(rng.uniform(-10, 10), 3)))
+
+        def lit_v3():
+            return m.lit(tuple(np.round(rng.uniform(-5, 5, 3), 3).tolist()))
+
+        # random expression tangle (handles must survive renumbering)
+        exprs = [lit_f(), lit_v3(), m.rand(VectorType(FLOAT, 3)), m.time()]
+        for _ in range(int(rng.integers(2, 8))):
+            kind = rng.integers(0, 3)
+            if kind == 0:
+                exprs.append(
+                    m.unary(UnaryOp.ABS, exprs[int(rng.integers(len(exprs)))])
+                )
+            elif kind == 1:
+                a = exprs[int(rng.integers(len(exprs)))]
+                exprs.append(m.add(a, lit_f()))
+            else:
+                exprs.append(lit_v3())
+
+        spawner = [
+            SpawnerSettings.rate(float(rng.uniform(1, 500))),
+            SpawnerSettings.once(CpuValue.uniform(1.0, 64.0)),
+            SpawnerSettings.burst(16.0, float(np.round(rng.uniform(0.1, 2), 3))),
+        ][seed % 3]
+        asset = EffectAsset(f"fuzz{seed}", int(rng.integers(64, 8192)), spawner, m)
+
+        inits = [
+            lambda: SetAttributeModifier("age", m.lit(0.0)),
+            lambda: SetPositionSphereModifier(
+                lit_v3(), lit_f(), ShapeDimension.SURFACE
+            ),
+            lambda: SetPositionCircleModifier(
+                lit_v3(), lit_v3(), lit_f(), ShapeDimension.VOLUME
+            ),
+            lambda: SetPositionCone3dModifier(lit_f(), lit_f(), lit_f()),
+            lambda: SetVelocityCircleModifier(lit_v3(), lit_v3(), lit_f()),
+            lambda: SetVelocitySphereModifier(lit_v3(), lit_f()),
+            lambda: SetVelocityTangentModifier(lit_v3(), lit_v3(), lit_f()),
+        ]
+        updates = [
+            lambda: AccelModifier(lit_v3()),
+            lambda: RadialAccelModifier(lit_v3(), lit_f()),
+            lambda: TangentAccelModifier(lit_v3(), lit_v3(), lit_f()),
+            lambda: LinearDragModifier(lit_f()),
+            lambda: KillSphereModifier(lit_v3(), lit_f(), bool(rng.integers(2))),
+        ]
+        renders = [
+            lambda: SetColorModifier(
+                tuple(np.round(rng.uniform(0, 1, 4), 3).tolist()),
+                [ColorBlendMode.OVERWRITE, ColorBlendMode.ADD, ColorBlendMode.MODULATE][
+                    int(rng.integers(3))
+                ],
+                [ColorBlendMask.RGBA, ColorBlendMask.RGB, ColorBlendMask.A][
+                    int(rng.integers(3))
+                ],
+            ),
+            lambda: SetSizeModifier(
+                tuple(np.round(rng.uniform(0.01, 1, 3), 3).tolist())
+            ),
+            lambda: OrientModifier(
+                list(OrientMode)[int(rng.integers(3))],
+                None if rng.integers(2) else lit_f(),
+            ),
+            lambda: RoundModifier(lit_f()),
+        ]
+        for pool_ in (inits, updates, renders):
+            picks = rng.permutation(len(pool_))[: int(rng.integers(1, len(pool_)))]
+            for i in picks:
+                mod = pool_[int(i)]()
+                if pool_ is inits:
+                    asset.init(mod)
+                elif pool_ is updates:
+                    asset.update(mod)
+                else:
+                    asset.render(mod)
+        asset.z_layer_2d = float(np.round(rng.uniform(-4, 4), 3))
+        asset.prng_seed = int(rng.integers(1, 2**31))
+
+        once = asset_from_ron(asset_to_ron(asset))
+        twice = asset_from_ron(asset_to_ron(once))
+        # RON -> asset is a fixed point after one trip: exports agree exactly
+        assert asset_to_ron(once) == asset_to_ron(twice)
+        assert once.to_json() == twice.to_json()
+        # and the first trip preserved everything except handle numbering
+        a, b = asset.to_json(), once.to_json()
+        for field in ("name", "capacity", "spawner", "z_layer_2d", "prng_seed"):
+            assert a[field] == b[field], field
+        for ctx in ("init_modifiers", "update_modifiers", "render_modifiers"):
+            assert [x["type"] for x in a[ctx]] == [x["type"] for x in b[ctx]]
