@@ -263,13 +263,13 @@ class ShardedRenderer:
         return max(256, min(2 * n, -(-cap // 256) * 256))
 
     def _local_slice(self, pool, camera, sim, properties, scene_depth,
-                     return_depth=False):
+                     config, return_depth=False):
         """Image-space decomposition: this device rasterizes ONE horizontal
         framebuffer slice from the entries all peers routed to it."""
         dp = self.mesh.shape["dp"]
         sp = self.mesh.shape["sp"]
         n_dev = dp * sp
-        H, W = self.config.height, self.config.width
+        H, W = config.height, config.width
         slice_h = H // n_dev
         texs = list(self.textures)
         d_lin = jax.lax.axis_index("dp") * sp + jax.lax.axis_index("sp")
@@ -383,7 +383,7 @@ class ShardedRenderer:
             sdraw, alive=jnp.logical_and(sdraw.alive, valid)
         )
 
-        cfg = dataclasses.replace(self.config, height=slice_h)
+        cfg = dataclasses.replace(config, height=slice_h)
         y_off = (d_lin * slice_h).astype(jnp.float32)
         sd_slice = None
         if scene_depth is not None:
@@ -404,10 +404,10 @@ class ShardedRenderer:
         return img
 
     def _local(self, pool, camera, sim, properties, scene_depth,
-               return_depth=False):
+               config, return_depth=False):
         if self.mode == "slice":
             return self._local_slice(
-                pool, camera, sim, properties, scene_depth,
+                pool, camera, sim, properties, scene_depth, config,
                 return_depth=return_depth,
             )
         texs = list(self.textures)
@@ -421,14 +421,14 @@ class ShardedRenderer:
             # psum is additive-only, and additive never writes depth
             flat = _flatten_instances(draw)
             cfg = dataclasses.replace(
-                self.config, background=(0.0, 0.0, 0.0, 0.0)
+                config, background=(0.0, 0.0, 0.0, 0.0)
             )
             img = rasterize(
                 flat, camera, cfg, alpha_mode="add", textures=texs,
                 scene_depth=scene_depth,
             )
             img = jax.lax.psum(img, ("dp", "sp"))
-            bg = jnp.asarray(self.config.background, jnp.float32)
+            bg = jnp.asarray(config.background, jnp.float32)
             rgb = img[..., :3] + bg[:3]
             alpha = jnp.minimum(img[..., 3:4] + bg[3], 1.0)
             return jnp.concatenate([rgb, alpha], axis=-1)
@@ -444,7 +444,7 @@ class ShardedRenderer:
         # gather mode rasterizes the full particle set identically on every
         # device, so the depth plane comes out replicated for free
         return rasterize(
-            flat, camera, self.config,
+            flat, camera, config,
             alpha_mode=self._alpha_mode, textures=texs,
             scene_depth=scene_depth, return_depth=return_depth,
         )
@@ -482,10 +482,14 @@ class ShardedRenderer:
                         f"slice mode needs a viewport height ({vh}) "
                         f"divisible by the device count ({n_dev})"
                     )
-            # raster grid follows the camera viewport (see EffectRenderer)
-            self.config = dataclasses.replace(self.config, width=vw, height=vh)
-            self._jit_render = {}
-        key = (scene_depth is not None, return_depth)
+            # The raster grid follows the camera viewport (see
+            # EffectRenderer). Pure function of the inputs: the resized
+            # config rides the jit cache key instead of mutating
+            # self.config, so alternating cameras reuse both compilations.
+            config = dataclasses.replace(self.config, width=vw, height=vh)
+        else:
+            config = self.config
+        key = (config.width, config.height, scene_depth is not None, return_depth)
         fn = self._jit_render.get(key)
         if fn is None:
             in_specs = (
@@ -498,7 +502,7 @@ class ShardedRenderer:
             fn = jax.jit(
                 _shard_map(
                     lambda pool, rest: self._local(
-                        pool, *rest, return_depth=return_depth
+                        pool, *rest, config, return_depth=return_depth
                     ),
                     mesh=self.mesh,
                     in_specs=in_specs,
