@@ -1347,16 +1347,35 @@ def asset_to_ron(asset) -> str:
     for i, s in enumerate(slots):
         slot_lits[s] = i + 1
     # ParticleTextureModifier.texture_slot also needs a literal handle;
-    # reuse the module exporter's emitted literals, appending new ones if a
-    # modifier references a slot no TextureSample expression used.
+    # reuse the module exporter's emitted literals, then any existing uint
+    # literal with the slot's value (keeps export idempotent — a reimported
+    # asset carries the literal this exporter appended last time), and only
+    # append a new literal as the last resort.
+    from .values import ScalarValue
+
     extra = []
     for m in asset.render_modifiers:
         slot = getattr(m, "texture_slot", None)
         if type(m).__name__ == "ParticleTextureModifier" and slot not in slot_lits:
-            slot_lits[slot] = offset + len(extra) + len(asset.module._exprs) + 1
-            extra.append(
-                Seq("Literal", (Seq("Scalar", (Seq("Uint", (int(slot),)),)),))
-            )
+            for i, e in enumerate(asset.module._exprs):
+                if (
+                    e.kind == "literal"
+                    and isinstance(e.value, ScalarValue)
+                    and e.value.value_type.value in ("u32", "i32")
+                    and int(e.value.value) == int(slot)
+                ):
+                    slot_lits[slot] = offset + i + 1
+                    break
+            else:
+                slot_lits[slot] = (
+                    offset + len(extra) + len(asset.module._exprs) + 1
+                )
+                extra.append(
+                    Seq(
+                        "Literal",
+                        (Seq("Scalar", (Seq("Uint", (int(slot),)),)),),
+                    )
+                )
     if extra:
         fields = dict(module_rec.fields)
         fields["expressions"] = list(fields["expressions"]) + extra

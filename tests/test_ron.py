@@ -576,3 +576,68 @@ class TestRonFuzz:
             assert a[field] == b[field], field
         for ctx in ("init_modifiers", "update_modifiers", "render_modifiers"):
             assert [x["type"] for x in a[ctx]] == [x["type"] for x in b[ctx]]
+
+
+# ---------------------------------------------------------------------------
+# Every re-created reference example round-trips through the RON format —
+# the interop must cover the full breadth of real effect definitions
+# (events, ribbons, textures, LOCAL space, masks, properties, meshes).
+# ---------------------------------------------------------------------------
+
+
+def _example_assets():
+    from bevy_hanabi_tpu.models.examples import examples_registry
+
+    for name, builder in sorted(examples_registry().items()):
+        built = builder()
+        if isinstance(built, dict):
+            for sub, asset in built.items():
+                yield f"{name}/{sub}", asset
+        else:
+            yield name, built
+
+
+@pytest.mark.parametrize(
+    "name,asset", list(_example_assets()), ids=lambda v: v if isinstance(v, str) else ""
+)
+def test_example_round_trips_through_ron(name, asset):
+    if not isinstance(asset, EffectAsset):
+        pytest.skip(f"{name} is not an EffectAsset")
+    from bevy_hanabi_tpu.ron import _MOD_FIELDS
+
+    custom = [
+        type(m).__name__
+        for m in asset.init_modifiers + asset.update_modifiers + asset.render_modifiers
+        if type(m).__name__ not in _MOD_FIELDS
+    ]
+    if custom:
+        # user-defined modifiers have no reference type path by definition —
+        # the exporter must say so loudly (JSON serde still covers them)
+        with pytest.raises(RonError, match="no reference RON counterpart"):
+            asset_to_ron(asset)
+        return
+    once = asset_from_ron(asset_to_ron(asset))
+    twice = asset_from_ron(asset_to_ron(once))
+    assert asset_to_ron(once) == asset_to_ron(twice)
+    a, b = asset.to_json(), once.to_json()
+    for field in (
+        "name",
+        "capacity",
+        "spawner",
+        "simulation_space",
+        "simulation_condition",
+        "motion_integration",
+        "z_layer_2d",
+    ):
+        assert a[field] == b[field], (name, field)
+    for ctx in ("init_modifiers", "update_modifiers", "render_modifiers"):
+        assert [m["type"] for m in a[ctx]] == [m["type"] for m in b[ctx]], (
+            name,
+            ctx,
+        )
+    assert a["alpha_mode"]["kind"] == b["alpha_mode"]["kind"], name
+    # same attribute layout -> identical compiled pool structure
+    assert (
+        asset.particle_layout().signature()
+        == once.particle_layout().signature()
+    ), name
