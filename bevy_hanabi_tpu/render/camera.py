@@ -14,7 +14,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["CameraParams", "look_at", "perspective", "orthographic"]
+__all__ = [
+    "CameraParams",
+    "look_at",
+    "perspective",
+    "orthographic",
+    "frustum_planes",
+    "aabb_in_frustum",
+]
 
 
 @dataclass
@@ -126,6 +133,43 @@ def orthographic(
     m[2, 3] = near / (near - far)
     m[3, 3] = 1.0
     return m
+
+
+def frustum_planes(camera: "CameraParams") -> np.ndarray:
+    """Six world-space frustum planes of ``camera``, rows of [6, 4]
+    ``(a, b, c, d)`` with ``a*x + b*y + c*z + d >= 0`` inside.
+
+    Gribb-Hartmann extraction from the composite clip-from-world matrix.
+    The projection maps depth to [0, 1] (see :func:`perspective`), so the
+    near plane is clip row 2 itself (``z >= 0``), not ``w + z``. Host
+    numpy: culling decisions are host-side plan decisions (the analogue of
+    Bevy's frustum culling feeding RenderVisibleEntities, which the
+    reference's queue_effects consumes per view, render/mod.rs:5581).
+    """
+    m = np.asarray(camera.proj, np.float64) @ np.asarray(
+        camera.view, np.float64
+    )
+    return np.stack(
+        [
+            m[3] + m[0],  # left
+            m[3] - m[0],  # right
+            m[3] + m[1],  # bottom
+            m[3] - m[1],  # top
+            m[2],         # near (0 <= z_clip)
+            m[3] - m[2],  # far  (z_clip <= w)
+        ]
+    ).astype(np.float32)
+
+
+def aabb_in_frustum(planes: np.ndarray, mn, mx) -> bool:
+    """Conservative AABB-vs-frustum test: False only when the box is fully
+    outside some plane (the standard positive-vertex test; boxes straddling
+    plane corners may report visible — never the reverse)."""
+    mn = np.asarray(mn, np.float32)
+    mx = np.asarray(mx, np.float32)
+    n = planes[:, :3]
+    p = np.where(n > 0.0, mx[None, :], mn[None, :])
+    return bool(np.all((n * p).sum(axis=1) + planes[:, 3] >= 0.0))
 
 
 def camera_2d(viewport, scale: float = 1.0, z: float = 5.0) -> "CameraParams":

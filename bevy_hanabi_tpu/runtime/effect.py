@@ -91,17 +91,20 @@ class CompiledEffect:
         parent_layout: Optional[ParticleLayout] = None,
         parent_const_count: Optional[int] = None,
         payload_attrs: Optional[tuple] = None,
+        mesh=None,
     ) -> "CompiledEffect":
         key = (
             asset.signature(),
             parent_layout.signature() if parent_layout else None,
             parent_const_count,
             payload_attrs,
+            mesh,
         )
         fx = CompiledEffect._CACHE.get(key)
         if fx is None:
             fx = CompiledEffect(
-                asset, parent_layout, parent_const_count, payload_attrs
+                asset, parent_layout, parent_const_count, payload_attrs,
+                mesh=mesh,
             )
             CompiledEffect._CACHE[key] = fx
         return fx
@@ -112,6 +115,7 @@ class CompiledEffect:
         parent_layout: Optional[ParticleLayout] = None,
         parent_const_count: Optional[int] = None,
         payload_attrs: Optional[tuple] = None,
+        mesh=None,
     ) -> None:
         self.asset = asset
         self.layout = asset.particle_layout()
@@ -148,6 +152,33 @@ class CompiledEffect:
         )
         self.num_event_channels = asset.num_event_channels()
 
+        # Pool-axis sharding over a jax.sharding.Mesh: the particle axis
+        # shards over ALL mesh axes combined (a single effect has no
+        # instance axis to give dp). Event compaction then runs
+        # SHARD-LOCALLY (one lax.sort per shard, zero communication) and
+        # the flattened buffer keeps each shard's compacted prefix in
+        # place, separated by zero-count gaps; the child's rank->event map
+        # (consume_events' cumulative-count search) skips the gaps by
+        # construction, so trajectories are bit-identical to the
+        # single-device build. This is the cross-shard analogue of the
+        # reference's per-child event buffers (event.rs:248 +
+        # vfx_init.wgsl:123-171), with GSPMD inserting the all_gather of
+        # the (small) compacted payload columns on the consume side.
+        self.mesh = mesh
+        if mesh is not None:
+            self._mesh_axes = tuple(mesh.axis_names)
+            self.event_shards = int(
+                np.prod([mesh.shape[a] for a in mesh.axis_names])
+            )
+            if asset.capacity % self.event_shards:
+                raise ValueError(
+                    f"effect capacity {asset.capacity} not divisible by the "
+                    f"mesh device count {self.event_shards}"
+                )
+        else:
+            self._mesh_axes = ()
+            self.event_shards = 1
+
         # attributes actually read from the parent (InheritAttributeModifier
         # + parent_attr expression reads): payload gathers are limited to
         # these — a child typically inherits 1-2 of the parent's attributes
@@ -182,13 +213,54 @@ class CompiledEffect:
         self._jit_step = jax.jit(self._step, donate_argnums=(0,))
         self._jit_step_chunk = jax.jit(self._step_chunk, donate_argnums=(0,))
         self._jit_render_chunk: Dict[Any, Any] = {}
+        # checkify-instrumented step, built lazily on first validated use
+        # (DebugSettings.validate) — zero cost when validation is off
+        self._jit_step_checked = None
 
     # -- pool ------------------------------------------------------------
 
-    def create_pool(self, capacity: Optional[int] = None, poison: bool = False) -> ParticlePool:
-        return ParticlePool.create(
-            self.layout, capacity or self.asset.capacity, poison=poison
+    def _leaf_sharding(self, x):
+        """NamedSharding for a pool/event leaf: leading (particle/event)
+        axis over every mesh axis, scalars replicated."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        x = jnp.asarray(x)
+        if x.ndim == 0:
+            return NamedSharding(self.mesh, PartitionSpec())
+        return NamedSharding(
+            self.mesh,
+            PartitionSpec(self._mesh_axes, *([None] * (x.ndim - 1))),
         )
+
+    def create_pool(self, capacity: Optional[int] = None, poison: bool = False) -> ParticlePool:
+        capacity = capacity or self.asset.capacity
+        if self.mesh is not None and capacity % self.event_shards:
+            raise ValueError(
+                f"pool capacity {capacity} not divisible by the mesh device "
+                f"count {self.event_shards}"
+            )
+        pool = ParticlePool.create(self.layout, capacity, poison=poison)
+        if self.mesh is not None:
+            pool = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self._leaf_sharding(x)), pool
+            )
+        return pool
+
+    def make_empty_events(self, capacity: Optional[int] = None) -> EventBuffer:
+        """Empty event buffer shaped for THIS effect's emissions (payload
+        restricted to ``payload_attrs``), committed to the mesh when the
+        effect is sharded so the consumer's first frame compiles with the
+        same sharding signature as every later frame."""
+        buf = EventBuffer.empty(
+            capacity or self.asset.capacity,
+            self.layout,
+            attrs=self.payload_attrs,
+        )
+        if self.mesh is not None:
+            buf = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self._leaf_sharding(x)), buf
+            )
+        return buf
 
     # -- public step -------------------------------------------------------
 
@@ -203,6 +275,37 @@ class CompiledEffect:
         """Advance one frame. Returns ``(pool, events_out)`` where
         ``events_out`` is a dict channel→EventBuffer for child effects."""
         return self._jit_step(pool, inputs, sim, events_in, parent_pool)
+
+    def step_checked(
+        self,
+        pool: ParticlePool,
+        inputs: StepInputs,
+        sim: SimParams,
+        events_in: Optional[EventBuffer] = None,
+        parent_pool: Optional[ParticlePool] = None,
+    ):
+        """Advance one frame through a checkify-instrumented executable
+        (debug-mode validation, ≈ wgpu VALIDATION layers in the
+        reference's debug/test builds, test_utils.rs:150): every gather is
+        bounds-checked and every float op traps NaN/Inf production, so a
+        poison read (0xFFFFFFFF == f32 NaN, effect_cache.rs:270-296) or a
+        bad index raises ``JaxRuntimeError`` at the offending frame.
+        Separate executable (no donation, extra error state): use only
+        under ``DebugSettings.validate``."""
+        if self._jit_step_checked is None:
+            from jax.experimental import checkify
+
+            self._jit_step_checked = jax.jit(
+                checkify.checkify(
+                    self._step,
+                    errors=checkify.index_checks | checkify.float_checks,
+                )
+            )
+        err, out = self._jit_step_checked(
+            pool, inputs, sim, events_in, parent_pool
+        )
+        err.throw()
+        return out
 
     def step_chunk(self, pool: ParticlePool, inputs_stacked: StepInputs, sims_stacked: SimParams):
         """Advance K frames in ONE device dispatch via ``lax.scan``.
@@ -522,6 +625,10 @@ class CompiledEffect:
                     events_out[channel] = EventBuffer.empty(
                         n, self.layout, attrs=self.payload_attrs
                     )
+                elif self.event_shards > 1:
+                    events_out[channel] = self._build_events_sharded(
+                        counts, captured, n
+                    )
                 else:
                     events_out[channel] = build_event_buffer(
                         counts > 0, counts, parent_attrs=captured
@@ -534,3 +641,58 @@ class CompiledEffect:
             counter=counter,
         )
         return new_pool, events_out
+
+    def _build_events_sharded(self, counts, captured, n: int) -> EventBuffer:
+        """Per-shard event compaction for a mesh-sharded pool.
+
+        Each shard compacts its own (count, payload) lanes locally — the
+        stable lax.sort partitions trivially along the shard axis, so the
+        build stays communication-free — then the shards' compacted
+        prefixes flatten back in place: the buffer holds
+        ``[act_0.. gap_0.. act_1.. gap_1..]`` with ``count == 0`` in every
+        gap row and GLOBAL parent slots. The consumer's cumulative-count
+        rank->event map counts a zero-count row toward every rank at or
+        past its boundary, which steps the index past the gap — so rank k
+        lands on the k-th positive-count event in slot order, exactly as
+        with the dense single-device buffer (bit-identical trajectories).
+        The one consumer-side restriction: the ``const_count`` arithmetic
+        shortcut assumes a dense prefix, so children of sharded parents
+        must use the general path (HanabiScene passes
+        ``parent_const_count=None`` for them).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        S = self.event_shards
+        if n % S:
+            raise ValueError(
+                f"pool capacity {n} not divisible by {S} event shards"
+            )
+        L = n // S
+
+        def constrain(x):
+            if self.mesh is None:
+                return x
+            spec = PartitionSpec(
+                self._mesh_axes, *([None] * (x.ndim - 1))
+            )
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.mesh, spec)
+            )
+
+        def shard2(x):
+            return constrain(x.reshape((S, L) + x.shape[1:]))
+
+        buf = jax.vmap(
+            lambda c, at: build_event_buffer(c > 0, c, parent_attrs=at)
+        )(shard2(counts), {k: shard2(v) for k, v in captured.items()})
+        base = (jnp.arange(S, dtype=jnp.uint32) * jnp.uint32(L))[:, None]
+
+        def unshard(x):
+            return constrain(x.reshape((n,) + x.shape[2:]))
+
+        return EventBuffer(
+            unshard(buf.parent_slot + base),
+            unshard(buf.count),
+            jnp.sum(buf.num_events),
+            {k: unshard(v) for k, v in buf.payload.items()},
+        )

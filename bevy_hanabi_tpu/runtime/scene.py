@@ -92,6 +92,12 @@ class EffectInstance:
     # raising tile_span without taxing the whole scene. Overridden effects
     # render in their own pass (never batched).
     raster_override: Any = None
+    # frustum-culling pad (world units) added around the pool AABB to cover
+    # splat extents — the analogue of a user-attached Aabb in the reference
+    # (Bevy frustum culling feeds per-view visibility). None = this effect
+    # opts out of per-camera raster culling (WhenVisible assets still get
+    # simulation gating with the default pad).
+    cull_pad: Optional[float] = None
 
     def alive_count(self) -> int:
         return int(self.pool.alive_count())
@@ -114,6 +120,14 @@ class HanabiScene:
         self._batch_render_jit: Dict = {}
         # jitted whole-scene step+render chunks (update_render_chunk)
         self._scene_chunk_jit: Dict = {}
+        # jitted batched AABB reductions for frustum culling, keyed by the
+        # cullable-entity membership (names + pool shapes)
+        self._aabb_jit: Dict = {}
+        self._aabb_cache: Dict[str, tuple] = {}
+        self._aabb_frame = -1
+        # set once update(dt, cameras=...) is used: the scene is
+        # camera-driven, so WhenVisible entities join render culling too
+        self._frustum_sim = False
         # Debug capture knobs (≈ DebugSettings resource, render/mod.rs:2425)
         from ..utils.profiling import DebugSettings
 
@@ -131,6 +145,8 @@ class HanabiScene:
         capacity: Optional[int] = None,
         prng_seed: Optional[int] = None,
         raster_override: Optional[Dict[str, Any]] = None,
+        mesh=None,
+        cull_pad: Optional[float] = None,
     ) -> str:
         """Spawn an effect instance (≈ commands.spawn(ParticleEffect)).
 
@@ -138,7 +154,15 @@ class HanabiScene:
         (ParticleEffect::prng_seed, lib.rs:654-672). ``raster_override``
         (RasterConfig field -> value) customizes THIS effect's raster
         passes on top of the scene config — e.g. ``{"tile_span": 4}`` for
-        a large-splat effect."""
+        a large-splat effect.
+
+        ``mesh`` (a ``jax.sharding.Mesh``) shards THIS instance's particle
+        pool over every mesh axis combined — including event-emitting and
+        event-consuming effects: emission compacts per shard with zero
+        communication, the child consumes the gap-separated buffer with
+        bit-identical trajectories, and a whole firework tree scales
+        across chips. A child of a sharded parent inherits the parent's
+        mesh unless given its own (which must be the same mesh)."""
         name = name or f"{asset.name}#{len(self._effects)}"
         if name in self._effects:
             raise ValueError(f"effect instance {name!r} already exists")
@@ -152,6 +176,15 @@ class HanabiScene:
                 raise ValueError(
                     f"parent {parent!r} has no EmitSpawnEventModifier"
                 )
+            if p.fx.mesh is not None:
+                if mesh is None:
+                    mesh = p.fx.mesh
+                elif mesh is not p.fx.mesh:
+                    raise ValueError(
+                        f"child of sharded parent {parent!r} must shard on "
+                        "the parent's mesh (pass the same Mesh object or "
+                        "omit mesh to inherit it)"
+                    )
             parent_layout = p.asset.particle_layout()
             # Children read distinct event channels (modifier/mod.rs:664).
             # Take the lowest channel unused by surviving siblings, so a
@@ -175,10 +208,16 @@ class HanabiScene:
             if parent is not None
             else None
         )
+        if parent is not None and self._effects[parent].fx.mesh is not None:
+            # a sharded parent's buffer keeps per-shard compacted prefixes
+            # separated by zero-count gaps — the rank//K arithmetic
+            # shortcut assumes a dense prefix, so use the general map
+            parent_const = None
         fx = CompiledEffect.get(
             asset,
             parent_layout=parent_layout,
             parent_const_count=parent_const,
+            mesh=mesh,
         )
         pool = fx.create_pool(capacity)
         # asset.prng_seed pins the instance's random streams (asset.rs PRNG
@@ -215,6 +254,7 @@ class HanabiScene:
             raster_override=(
                 dict(raster_override) if raster_override else None
             ),
+            cull_pad=cull_pad,
         )
         self._effects[name] = inst
         self._new_effect_added = True
@@ -244,6 +284,7 @@ class HanabiScene:
             parent_layout=p.fx.parent_layout,
             parent_const_count=p.fx.parent_const_count,
             payload_attrs=union_t,
+            mesh=p.fx.mesh,
         )
         # the event-buffer pytree structure changed: drop in-flight events
         # (one frame of events at attach time — the reference similarly
@@ -264,6 +305,7 @@ class HanabiScene:
         capacity: Optional[int] = None,
         textures: Sequence[Any] = (),
         raster_override: Optional[Dict[str, Any]] = None,
+        cull_pad: Optional[float] = None,
     ) -> str:
         """Add ``count`` instances of one asset stepped as ONE dispatch.
 
@@ -288,6 +330,7 @@ class HanabiScene:
         else:
             tfs = np.asarray(transforms, np.float32).reshape(count, 3, 4)
         self._groups[name] = {
+            "name": name,
             "asset": asset,
             "fx": fx,
             "pools": fx.create_pools(),
@@ -305,6 +348,7 @@ class HanabiScene:
             "raster_override": (
                 dict(raster_override) if raster_override else None
             ),
+            "cull_pad": cull_pad,
         }
         self._new_effect_added = True
         return name
@@ -321,6 +365,7 @@ class HanabiScene:
         capacity: Optional[int] = None,
         textures: Sequence[Any] = (),
         render_mode: str = "auto",
+        cull_pad: Optional[float] = None,
     ) -> str:
         """Add a group whose pools shard across a ``jax.sharding.Mesh``.
 
@@ -352,6 +397,7 @@ class HanabiScene:
         else:
             tfs = np.asarray(transforms, np.float32).reshape(count, 3, 4)
         self._groups[name] = {
+            "name": name,
             "asset": asset,
             "fx": fx,
             "pools": fx.create_pools(),
@@ -368,6 +414,7 @@ class HanabiScene:
             "sharded": True,
             "render_mode": render_mode,
             "compiled_signature": asset.signature(),
+            "cull_pad": cull_pad,
         }
         self._new_effect_added = True
         return name
@@ -453,14 +500,160 @@ class HanabiScene:
         if sp is not None:
             sp.set_active(active)
 
+    # -- visibility: frustum vs emitter/pool AABB ----------------------------
+    # The reference derives per-effect visibility from Bevy: hierarchy
+    # visibility gates spawner ticking (tick_spawners, spawn.rs:983) and
+    # per-view frustum culling vs a user-attached Aabb gates the draws
+    # (queue_effects over RenderVisibleEntities, render/mod.rs:5581). Here
+    # the AABB is computed ON DEVICE from the pool itself (one batched
+    # masked min/max over all cullable effects, read back at frame start —
+    # 6 floats each), unioned with the emitter position so a fresh effect
+    # is visible at its emitter, and padded by ``cull_pad`` to cover splat
+    # extents. An entity participates when it sets ``cull_pad`` or its
+    # asset simulates WhenVisible.
+
+    DEFAULT_CULL_PAD = 0.5
+
+    @staticmethod
+    def _cullable(asset, cull_pad) -> bool:
+        return (
+            cull_pad is not None
+            or asset.simulation_condition is SimulationCondition.WHEN_VISIBLE
+        )
+
+    def _refresh_aabbs(self) -> Dict[str, tuple]:
+        """(Re)compute the world AABB of every cullable entity — at most
+        once per frame; the values describe the pools as of frame START
+        (pre-step), which is what tick gating reads."""
+        if self._aabb_frame == self._frame:
+            return self._aabb_cache
+        import jax
+
+        entries = []  # (name, pool, emitter points [K, 3], pad)
+        for n, inst in self._effects.items():
+            if self._cullable(inst.asset, inst.cull_pad):
+                pad = (
+                    inst.cull_pad
+                    if inst.cull_pad is not None
+                    else self.DEFAULT_CULL_PAD
+                )
+                entries.append(
+                    (n, inst.pool, np.asarray(inst.transform)[None, :, 3], pad)
+                )
+        for n, g in self._groups.items():
+            if self._cullable(g["asset"], g.get("cull_pad")):
+                pad = (
+                    g["cull_pad"]
+                    if g.get("cull_pad") is not None
+                    else self.DEFAULT_CULL_PAD
+                )
+                entries.append(
+                    (n, g["pools"], np.asarray(g["transforms"])[:, :, 3], pad)
+                )
+        cache: Dict[str, tuple] = {}
+        if entries:
+            key = tuple(
+                (n, tuple(p.alive.shape)) for n, p, _, _ in entries
+            )
+            fn = self._aabb_jit.get(key)
+            if fn is None:
+
+                def aabb_all(pools):
+                    out = []
+                    big = jnp.float32(3.0e38)
+                    for p in pools:
+                        pos = p.attrs["position"].reshape(-1, 3)
+                        alive = p.alive.reshape(-1)[:, None]
+                        out.append(
+                            (
+                                jnp.min(jnp.where(alive, pos, big), axis=0),
+                                jnp.max(jnp.where(alive, pos, -big), axis=0),
+                            )
+                        )
+                    return out
+
+                fn = jax.jit(aabb_all)
+                self._aabb_jit[key] = fn
+            res = fn(tuple(p for _, p, _, _ in entries))
+            for (n, _p, em, pad), (mn, mx) in zip(entries, res):
+                mn = np.minimum(np.asarray(mn), em.min(axis=0)) - pad
+                mx = np.maximum(np.asarray(mx), em.max(axis=0)) + pad
+                cache[n] = (mn, mx)
+        self._aabb_cache = cache
+        self._aabb_frame = self._frame
+        return cache
+
+    def _culled_names(self, cameras, for_render: bool = False) -> set:
+        """Names of participating entities whose padded AABB is outside
+        EVERY given camera frustum.
+
+        Participation: entities with an explicit ``cull_pad`` always;
+        WhenVisible entities additionally — but for RENDER culling only
+        once the scene is camera-driven (``update(dt, cameras=...)`` has
+        been used), because the default simulation condition is
+        WhenVisible and unconditional render culling would tax every
+        eager render with an AABB dispatch + readback (≈ a tunnel
+        round-trip on axon) that scenes not using visibility never asked
+        for."""
+        from ..render.camera import aabb_in_frustum, frustum_planes
+
+        cameras = list(cameras)
+        if not cameras:
+            return set()
+
+        def participates(asset, pad):
+            if pad is not None:
+                return True
+            return (
+                asset.simulation_condition
+                is SimulationCondition.WHEN_VISIBLE
+                and (not for_render or self._frustum_sim)
+            )
+
+        names = {
+            n
+            for n, inst in self._effects.items()
+            if participates(inst.asset, inst.cull_pad)
+        } | {
+            n
+            for n, g in self._groups.items()
+            if participates(g["asset"], g.get("cull_pad"))
+        }
+        if not names:
+            return set()
+        aabbs = self._refresh_aabbs()
+        planes = [frustum_planes(c) for c in cameras]
+        return {
+            n
+            for n in names
+            if n in aabbs
+            and not any(
+                aabb_in_frustum(p, aabbs[n][0], aabbs[n][1]) for p in planes
+            )
+        }
+
     # -- per-frame update (≈ tick_spawners + simulate()) ---------------------
 
-    def update(self, dt: float) -> None:
+    def update(self, dt: float, cameras=None) -> None:
+        """Advance one frame.
+
+        ``cameras`` (optional camera or sequence): derive WhenVisible
+        simulation gating from view frustums — a WhenVisible effect whose
+        padded pool/emitter AABB is outside every given frustum ticks no
+        spawner and does not step (the tick_spawners skip, spawn.rs:983,
+        with visibility computed from culling instead of a manual flag).
+        Without ``cameras`` the manual ``set_visible`` flag alone gates,
+        as before."""
         import time as _time
 
         _t0 = _time.perf_counter()
         self.debug.on_frame_start(self._new_effect_added)
         self._new_effect_added = False
+        if cameras is not None and not isinstance(cameras, (list, tuple)):
+            cameras = [cameras]
+        if cameras:
+            self._frustum_sim = True
+        culled = self._culled_names(cameras) if cameras else set()
         sim = self.clock.advance(dt)
         self._frame += 1
         self._check_footguns()
@@ -476,25 +669,25 @@ class HanabiScene:
 
         for name in self._order:
             inst = self._effects[name]
-            if (
-                not inst.visible
-                and inst.asset.simulation_condition
-                is SimulationCondition.WHEN_VISIBLE
-            ):
+            if inst.asset.simulation_condition is (
+                SimulationCondition.WHEN_VISIBLE
+            ) and (not inst.visible or name in culled):
                 continue
             frame_seed = np.uint32(inst.rng.integers(0, 2**32))
+            # debug-mode validation routes through the checkify executable
+            step_fn = (
+                inst.fx.step_checked if self.debug.validate else inst.fx.step
+            )
             with profile_span(f"hanabi:step:{name}"):
                 if inst.parent is not None:
                     parent = self._effects[inst.parent]
                     consumed.append((inst.parent, inst.child_channel))
                     events_in = prev_events[inst.parent].get(inst.child_channel)
                     if events_in is None:
-                        events_in = EventBuffer.empty(
-                            parent.pool.capacity,
-                            parent.asset.particle_layout(),
-                            attrs=parent.fx.payload_attrs,
+                        events_in = parent.fx.make_empty_events(
+                            parent.pool.capacity
                         )
-                    inst.pool, events_out = inst.fx.step(
+                    inst.pool, events_out = step_fn(
                         inst.pool,
                         StepInputs.make(
                             0, frame_seed, inst.transform, inst.properties.as_dict()
@@ -507,7 +700,7 @@ class HanabiScene:
                     n_spawn = (
                         inst.spawner.tick(self.clock.delta) if inst.spawner else 0
                     )
-                    inst.pool, events_out = inst.fx.step(
+                    inst.pool, events_out = step_fn(
                         inst.pool,
                         StepInputs.make(
                             n_spawn,
@@ -527,12 +720,10 @@ class HanabiScene:
                 self._effects[pname].last_events.pop(chan, None)
 
         # Instanced groups: one dispatch per group.
-        for g in self._groups.values():
-            if (
-                not g["visible"]
-                and g["asset"].simulation_condition
-                is SimulationCondition.WHEN_VISIBLE
-            ):
+        for gname, g in self._groups.items():
+            if g["asset"].simulation_condition is (
+                SimulationCondition.WHEN_VISIBLE
+            ) and (not g["visible"] or gname in culled):
                 continue
             counts = g["bank"].tick(self.clock.delta)
             n = g["fx"].num_instances
@@ -686,7 +877,9 @@ class HanabiScene:
             "groups": groups,
         }
 
-    def _collect_chunk_inputs(self, frames: int, dt: float, on_frame=None):
+    def _collect_chunk_inputs(
+        self, frames: int, dt: float, on_frame=None, culled=frozenset()
+    ):
         """Shared host-side prep for the chunked paths: freeze visibility,
         resolve event trees, precompute every frame's spawner ticks, seeds,
         transforms, and property values.
@@ -695,12 +888,15 @@ class HanabiScene:
         ``i``'s inputs are captured — the hook for animating properties
         and transforms WITHIN a chunk (``scene.set_property`` /
         ``set_transform`` calls made inside it take effect per frame;
-        visibility and scene membership stay frozen for the chunk)."""
+        visibility and scene membership stay frozen for the chunk).
 
-        def paused(visible, asset):
+        ``culled``: frustum-culled entity names (frozen for the chunk,
+        like visibility) — WhenVisible entities in it pause."""
+
+        def paused(visible, asset, name=None):
             return (
-                not visible
-                and asset.simulation_condition is SimulationCondition.WHEN_VISIBLE
+                asset.simulation_condition is SimulationCondition.WHEN_VISIBLE
+                and (not visible or name in culled)
             )
 
         def root_of(name: str) -> str:
@@ -713,14 +909,15 @@ class HanabiScene:
         # the effect is not stepped at all (matching the per-frame path).
         # Event trees follow their root.
         def family_paused(name):
-            root = self._effects[root_of(name)]
-            return paused(root.visible, root.asset)
+            rname = root_of(name)
+            root = self._effects[rname]
+            return paused(root.visible, root.asset, rname)
 
         active_effects = [n for n in self._order if not family_paused(n)]
         active_groups = [
             n
             for n, g in self._groups.items()
-            if not paused(g["visible"], g["asset"])
+            if not paused(g["visible"], g["asset"], n)
         ]
 
         # event trees: root -> topologically ordered member names (scene
@@ -835,11 +1032,7 @@ class HanabiScene:
             pendings = tuple(
                 {
                     ch: inst.last_events.get(ch)
-                    or EventBuffer.empty(
-                        inst.pool.capacity,
-                        inst.asset.particle_layout(),
-                        attrs=inst.fx.payload_attrs,
-                    )
+                    or inst.fx.make_empty_events(inst.pool.capacity)
                     for ch in range(inst.fx.num_event_channels)
                 }
                 for inst in insts
@@ -874,13 +1067,24 @@ class HanabiScene:
         devices) keep their own passes."""
         return not (raster_override or sharded)
 
-    def _scene_render_plan(self, insts, groups, camera, pipeline="auto"):
+    def _scene_render_plan(
+        self, insts, groups, camera, pipeline="auto", culled=frozenset()
+    ):
         """Static render plan mirroring :meth:`render`: back-to-front
         ordering by emitter distance under ``camera``, same-blend batching,
         opaque/mask vs transparent phase split. Returns
         ``(opaque_passes, transp_passes)`` — tuples of hashable pass
         descriptors ("eff", i, kind) / ("batch", idxs, kind) /
         ("grp", gi, kind).
+
+        ``culled``: names of frustum-culled entities (see
+        :meth:`_culled_names`) — treated exactly like invisible ones, so a
+        culled effect contributes no pass, no batch membership, and no
+        painter entries (the per-view culling of queue_effects,
+        render/mod.rs:5581). Culling is a PLAN decision: under a moving
+        camera, entities crossing the frustum boundary change the plan and
+        retrace the jitted whole-scene paths (the chunk-churn warning
+        covers pathological cases).
 
         ``pipeline``: "split" forces the phase-split pipeline; "painter"
         forces the unified painter pass (raises if any effect is
@@ -902,7 +1106,12 @@ class HanabiScene:
             )
 
         vis_idx = sorted(
-            (i for i, inst in enumerate(insts) if inst.visible), key=dist_key
+            (
+                i
+                for i, inst in enumerate(insts)
+                if inst.visible and inst.name not in culled
+            ),
+            key=dist_key,
         )
 
         def batch_key(inst):
@@ -913,6 +1122,7 @@ class HanabiScene:
                 or a.alpha_mode.kind == "mask"
                 or inst.textures
                 or inst.raster_override
+                or inst.fx.mesh is not None
             ):
                 return None
             return a.alpha_mode.kind
@@ -944,7 +1154,11 @@ class HanabiScene:
             for i in vis_idx
             if insts[i].asset.alpha_mode.kind not in OPAQUE_KINDS
         ]
-        vis_groups = [gi for gi, g in enumerate(groups) if g["visible"]]
+        vis_groups = [
+            gi
+            for gi, g in enumerate(groups)
+            if g["visible"] and g.get("name") not in culled
+        ]
         opq_groups = [
             gi
             for gi in vis_groups
@@ -980,6 +1194,7 @@ class HanabiScene:
                     insts[i].asset,
                     insts[i].textures,
                     getattr(insts[i], "raster_override", None),
+                    insts[i].fx.mesh is not None,
                 )
                 for i in vis_idx
             ) and all(
@@ -1081,6 +1296,9 @@ class HanabiScene:
         elif (config.width, config.height) != (vw, vh):
             config = dataclasses.replace(config, width=vw, height=vh)
 
+        culled = self._culled_names(
+            cams if cams is not None else [camera], for_render=True
+        )
         (
             names,
             gnames,
@@ -1088,13 +1306,13 @@ class HanabiScene:
             per_effect_inputs,
             per_group_inputs,
             sims,
-        ) = self._collect_chunk_inputs(frames, dt, on_frame)
+        ) = self._collect_chunk_inputs(frames, dt, on_frame, culled=culled)
         insts = [self._effects[n] for n in names]
         groups = [self._groups[g] for g in gnames]
         index = {n: i for i, n in enumerate(names)}
 
         opaque_passes, transp_passes = self._scene_render_plan(
-            insts, groups, camera0, pipeline=pipeline
+            insts, groups, camera0, pipeline=pipeline, culled=culled
         )
 
         key = (
@@ -1170,11 +1388,7 @@ class HanabiScene:
         pendings = tuple(
             {
                 ch: inst.last_events.get(ch)
-                or EventBuffer.empty(
-                    inst.pool.capacity,
-                    inst.asset.particle_layout(),
-                    attrs=inst.fx.payload_attrs,
-                )
+                or inst.fx.make_empty_events(inst.pool.capacity)
                 for ch in range(inst.fx.num_event_channels)
             }
             for inst in insts
@@ -1557,7 +1771,8 @@ class HanabiScene:
         gnames = list(self._groups)
         groups = [self._groups[g] for g in gnames]
         opaque_passes, transp_passes = self._scene_render_plan(
-            insts, groups, cameras[0], pipeline=pipeline
+            insts, groups, cameras[0], pipeline=pipeline,
+            culled=self._culled_names(cameras, for_render=True),
         )
         key = (
             "views",
@@ -1707,7 +1922,8 @@ class HanabiScene:
         insts_all = [self._effects[n] for n in self._order]
         groups_all = list(self._groups.values())
         opaque_passes, transp_passes = self._scene_render_plan(
-            insts_all, groups_all, camera, pipeline=pipeline
+            insts_all, groups_all, camera, pipeline=pipeline,
+            culled=self._culled_names([camera], for_render=True),
         )
 
         def ensure_renderer(inst):
@@ -1756,8 +1972,22 @@ class HanabiScene:
                 )
             if tag == "eff":
                 inst = insts_all[desc[1]]
+                pool = inst.pool
+                if inst.fx.mesh is not None:
+                    # gather-mode semantics for sharded instances: replicate
+                    # the pool (one all_gather over ICI), then rasterize the
+                    # identical single-device algorithm — bit-exact with the
+                    # unsharded render, where leaving the pool sharded lets
+                    # GSPMD repartition the raster sort and break depth ties
+                    # differently under the per-tile blend budget.
+                    import jax as _jax
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    pool = _jax.device_put(
+                        pool, NamedSharding(inst.fx.mesh, PartitionSpec())
+                    )
                 return ensure_renderer(inst).render(
-                    inst.pool,
+                    pool,
                     camera,
                     sim=sim,
                     properties=inst.properties.as_dict(),
@@ -1797,6 +2027,12 @@ class HanabiScene:
             scene_depth = depth_acc
         for desc in transp_passes:
             fb = run_pass(desc, fb, scene_depth, False)
+        if self.debug.validate and not bool(jnp.isfinite(fb).all()):
+            raise FloatingPointError(
+                "debug validation: rendered framebuffer contains non-finite "
+                "pixels — a NaN/Inf reached the raster output (poison read, "
+                "bad color expression, or degenerate projection)"
+            )
         if return_depth:
             if depth_acc is None:
                 depth_acc = jnp.full(

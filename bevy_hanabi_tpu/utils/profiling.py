@@ -41,6 +41,16 @@ class DebugSettings:
     start_capture_on_new_effect: bool = False
     capture_frame_count: int = 1
     capture_dir: str = "/tmp/hanabi_tpu_trace"
+    # Debug-mode validation (≈ the reference running wgpu VALIDATION in
+    # debug/test builds, test_utils.rs:150): when True, HanabiScene steps
+    # through checkify-instrumented executables that trap out-of-bounds
+    # gathers and non-finite float production — a poison read
+    # (0xFFFFFFFF bit-fill == f32 NaN, effect_cache.rs:270-296) surfaces
+    # as a ValidationError at the frame that consumed it instead of
+    # corrupting trajectories silently. render() additionally asserts the
+    # framebuffer is finite. Zero overhead when False: the instrumented
+    # executables are only built (and only run) while validation is on.
+    validate: bool = False
 
     # internal
     _frames_remaining: int = field(default=0, repr=False)

@@ -612,3 +612,137 @@ def test_sharded_render_slice_capacity_truncation_is_graceful():
     )
     assert np.isfinite(img_tiny).all()
     assert 0.0 < img_tiny[..., :3].sum() <= img_full[..., :3].sum() + 1e-3
+
+
+# -- cross-shard spawn events (parent -> child over the mesh) ---------------
+# The last single-device-only capability (VERDICT r3 item 1): event-emitting
+# effects shard their pool axis over a mesh; emission compacts PER SHARD
+# (zero communication, one lax.sort per shard), the flattened buffer keeps
+# each shard's compacted prefix in place with zero-count gaps, and the
+# child's cumulative-count rank->event map skips the gaps — bit-identical
+# trajectories to the single-device run. Reference contract: event.rs:248 +
+# vfx_init.wgsl:123-171 (atomicAdd append + prefix-sum consume, one frame
+# of latency — preserved here).
+
+
+def _firework_scene(mesh=None, seed=11):
+    from bevy_hanabi_tpu.models import firework_effect, firework_trail_effect
+    from bevy_hanabi_tpu.runtime import HanabiScene
+
+    scene = HanabiScene(seed=seed)
+    scene.add(firework_effect(capacity=512), "p", mesh=mesh)
+    scene.add(firework_trail_effect(capacity=2048), "c", parent="p")
+    return scene
+
+
+def _assert_pools_equal(ref, sh, names=("p", "c")):
+    for name in names:
+        a, b = ref[name].pool, sh[name].pool
+        assert np.array_equal(np.asarray(a.alive), np.asarray(b.alive)), (
+            f"{name}: alive masks diverge"
+        )
+        m = np.asarray(a.alive)
+        for k in a.attrs:
+            av, bv = np.asarray(a.attrs[k])[m], np.asarray(b.attrs[k])[m]
+            assert np.array_equal(av, bv), f"{name}.{k} diverges"
+
+
+@needs_devices(8)
+def test_sharded_event_tree_matches_single_device():
+    """Firework tree with both pools sharded 8-way: rockets die, events
+    route across shards, trails inherit — bit-exactly matching the
+    single-device trajectories frame by frame."""
+    ref = _firework_scene()
+    mesh = make_mesh(jax.devices()[:8])
+    sh = _firework_scene(mesh)
+    assert sh["p"].fx.mesh is mesh
+    assert sh["c"].fx.mesh is mesh  # child inherits the parent's mesh
+    # gap-separated sharded buffers must use the general rank->event map
+    assert sh["c"].fx.parent_const_count is None
+    max_child = 0
+    for _ in range(60):  # rockets die from ~0.6 s (age 0-0.2, life 0.8-1.4)
+        ref.update(DT)
+        sh.update(DT)
+        jax.block_until_ready(sh["c"].pool.alive)
+        max_child = max(max_child, int(sh["c"].alive_count()))
+    assert max_child > 0, "no child ever spawned — events did not flow"
+    assert int(sh["c"].alive_count()) > 0  # trails still alive at the end
+    _assert_pools_equal(ref, sh)
+    # the sharded pools really live on the mesh
+    assert sh["c"].pool.alive.sharding.mesh.devices.size == 8
+
+
+@needs_devices(8)
+def test_sharded_event_tree_update_chunk():
+    """The fused family scan (update_chunk) carries SHARDED pools and
+    event buffers through the lax.scan — K frames of the cross-shard
+    firework tree in one dispatch, matching the single-device chunk."""
+    ref = _firework_scene(seed=7)
+    sh = _firework_scene(make_mesh(jax.devices()[:8]), seed=7)
+    ref.update_chunk(60, DT)
+    sh.update_chunk(60, DT)
+    jax.block_until_ready(sh["c"].pool.alive)
+    assert int(sh["c"].alive_count()) > 0
+    _assert_pools_equal(ref, sh)
+
+
+@needs_devices(8)
+def test_sharded_event_tree_renders():
+    """A sharded event tree renders through the scene pipeline (sharded
+    instances are painter/batch-ineligible, so they take per-effect
+    passes; the eager path replicates the pool — one all_gather — and
+    rasterizes the identical single-device algorithm). The reference
+    image pins per-effect passes too via a no-op raster override, since
+    batching/painter would share one per-tile blend budget across both
+    effects and legitimately truncate differently."""
+    from bevy_hanabi_tpu.models import firework_effect, firework_trail_effect
+    from bevy_hanabi_tpu.runtime import HanabiScene
+
+    cfg = RasterConfig(width=64, height=64)
+    noop = {"max_entries_per_tile": cfg.max_entries_per_tile}
+    ref = HanabiScene(seed=3)
+    ref.add(firework_effect(capacity=512), "p", raster_override=noop)
+    ref.add(
+        firework_trail_effect(capacity=2048), "c", parent="p",
+        raster_override=noop,
+    )
+    sh = _firework_scene(make_mesh(jax.devices()[:8]), seed=3)
+    for _ in range(45):
+        ref.update(DT)
+        sh.update(DT)
+        jax.block_until_ready(sh["c"].pool.alive)
+    cam = _camera()
+    img_ref = np.asarray(ref.render(cam, cfg))
+    img_sh = np.asarray(sh.render(cam, cfg))
+    assert np.isfinite(img_sh).all()
+    assert img_sh[..., :3].sum() > 0.0
+    np.testing.assert_allclose(img_sh, img_ref, rtol=1e-5, atol=1e-5)
+
+
+@needs_devices(8)
+def test_sharded_child_mesh_mismatch_rejected():
+    from bevy_hanabi_tpu.models import firework_effect, firework_trail_effect
+    from bevy_hanabi_tpu.runtime import HanabiScene
+
+    scene = HanabiScene(seed=0)
+    mesh_a = make_mesh(jax.devices()[:8], dp=8, sp=1)
+    mesh_b = make_mesh(jax.devices()[:8], dp=4, sp=2)
+    scene.add(firework_effect(capacity=512), "p", mesh=mesh_a)
+    with pytest.raises(ValueError, match="parent's mesh"):
+        scene.add(
+            firework_trail_effect(capacity=2048), "c", parent="p",
+            mesh=mesh_b,
+        )
+
+
+@needs_devices(8)
+def test_sharded_capacity_divisibility_rejected():
+    from bevy_hanabi_tpu.runtime import HanabiScene
+
+    scene = HanabiScene(seed=0)
+    with pytest.raises(ValueError, match="divisible"):
+        scene.add(
+            spawn_gravity_effect(capacity=500),
+            "odd",
+            mesh=make_mesh(jax.devices()[:8]),
+        )

@@ -234,3 +234,84 @@ def test_checkpoint_resume_through_fused_scene_chunk(tmp_path):
     np.testing.assert_allclose(
         np.asarray(sums_cont), np.asarray(sums_res), rtol=1e-5
     )
+
+
+# -- debug-mode validation (VERDICT r3 item 5) -------------------------------
+# Reference analogue: wgpu VALIDATION in debug/test builds plus the
+# 0xFFFFFFFF poison fill (test_utils.rs:150, effect_cache.rs:270-296). Here
+# DebugSettings.validate routes steps through checkify-instrumented
+# executables (index bounds + NaN/Inf traps) and asserts finite
+# framebuffers; it costs nothing when off.
+
+
+def test_debug_validate_traps_poison_pool():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from bevy_hanabi_tpu.models import spawn_gravity_effect
+    from bevy_hanabi_tpu.runtime import HanabiScene
+    from bevy_hanabi_tpu.runtime.pool import ParticlePool
+
+    scene = HanabiScene(seed=0)
+    scene.add(spawn_gravity_effect(capacity=256, rate=60.0), "fx")
+    scene.update(1 / 60)
+    inst = scene["fx"]
+    # corrupt the pool the way a stale/poison read would look: a live lane
+    # whose position carries the 0xFFFFFFFF bit pattern (f32 NaN)
+    poison = np.array(inst.pool.get("position"))
+    poison[0] = np.float32(np.nan)
+    attrs = dict(inst.pool.attrs)
+    attrs["position"] = jnp.asarray(poison)
+    alive = np.array(inst.pool.alive)
+    alive[0] = True
+    inst.pool = ParticlePool(
+        attrs=attrs,
+        alive=jnp.asarray(alive),
+        seed=inst.pool.seed,
+        counter=inst.pool.counter,
+    )
+    # validation off (default): the corrupt frame steps silently
+    assert scene.debug.validate is False
+    assert inst.fx._jit_step_checked is None  # zero overhead when off
+    scene.update(1 / 60)
+    # re-corrupt and turn validation on: the step traps the NaN
+    poison2 = np.array(inst.pool.get("position"))
+    poison2[0] = np.float32(np.nan)
+    attrs2 = dict(inst.pool.attrs)
+    attrs2["position"] = jnp.asarray(poison2)
+    alive2 = np.array(inst.pool.alive)
+    alive2[0] = True
+    inst.pool = ParticlePool(
+        attrs=attrs2,
+        alive=jnp.asarray(alive2),
+        seed=inst.pool.seed,
+        counter=inst.pool.counter,
+    )
+    scene.debug.validate = True
+    with pytest.raises(Exception, match="nan"):
+        scene.update(1 / 60)
+
+
+def test_debug_validate_clean_scene_passes():
+    from bevy_hanabi_tpu.models import gradient_effect
+    from bevy_hanabi_tpu.render import CameraParams, RasterConfig, look_at, perspective
+    import math
+    import numpy as np
+
+    from bevy_hanabi_tpu.runtime import HanabiScene
+
+    scene = HanabiScene(seed=1)
+    scene.add(gradient_effect(capacity=256), "fx")
+    scene.debug.validate = True
+    for _ in range(3):
+        scene.update(1 / 60)  # no error on healthy pools
+    cam = CameraParams(
+        view=look_at(np.asarray([0.0, 0.0, 6.0]), np.zeros(3)),
+        proj=perspective(math.radians(60.0), 1.0, 0.1, 100.0),
+        viewport=(64, 64),
+    )
+    img = scene.render(cam, RasterConfig(width=64, height=64))
+    assert np.isfinite(np.asarray(img)).all()
+    assert scene["fx"].alive_count() > 0

@@ -1,0 +1,240 @@
+"""Visibility-driven simulation + per-camera frustum culling.
+
+The reference gates spawner ticking on computed visibility
+(tick_spawners, /root/reference/src/spawn.rs:983) and culls draws per view
+against an entity Aabb via Bevy's frustum culling feeding
+RenderVisibleEntities (queue_effects, render/mod.rs:5581). Here the AABB is
+computed on device from the pool + emitter position, padded by ``cull_pad``,
+and tested host-side against Gribb-Hartmann frustum planes.
+"""
+
+import math
+
+import jax
+import numpy as np
+import pytest
+
+from bevy_hanabi_tpu.asset import SimulationCondition
+from bevy_hanabi_tpu.models import spawn_gravity_effect
+from bevy_hanabi_tpu.render import CameraParams, RasterConfig, look_at, perspective
+from bevy_hanabi_tpu.render.camera import aabb_in_frustum, frustum_planes
+from bevy_hanabi_tpu.runtime import HanabiScene
+
+DT = 1.0 / 60.0
+
+
+def _cam(eye=(0.0, 0.0, 6.0), target=(0.0, 0.0, 0.0)):
+    return CameraParams(
+        view=look_at(np.asarray(eye, np.float32), np.asarray(target, np.float32)),
+        proj=perspective(math.radians(60.0), 1.0, 0.1, 100.0),
+        viewport=(64, 64),
+    )
+
+
+# -- frustum math ------------------------------------------------------------
+
+
+def test_frustum_planes_point_classification():
+    cam = _cam()  # at +6z looking at origin, forward = -z
+    planes = frustum_planes(cam)
+    # origin: inside
+    assert aabb_in_frustum(planes, (-0.1,) * 3, (0.1,) * 3)
+    # behind the camera (z = +20): outside
+    assert not aabb_in_frustum(
+        planes, (-0.1, -0.1, 19.9), (0.1, 0.1, 20.1)
+    )
+    # beyond the far plane (z = -200): outside
+    assert not aabb_in_frustum(
+        planes, (-0.1, -0.1, -200.1), (0.1, 0.1, -199.9)
+    )
+    # far off to the side: outside
+    assert not aabb_in_frustum(planes, (49.9, -0.1, -0.1), (50.1, 0.1, 0.1))
+    # a big box straddling the frustum: visible (conservative)
+    assert aabb_in_frustum(planes, (-100.0,) * 3, (100.0,) * 3)
+
+
+def test_frustum_rotated_camera():
+    cam = _cam(eye=(10.0, 0.0, 0.0))  # looking down -x at the origin
+    planes = frustum_planes(cam)
+    assert aabb_in_frustum(planes, (-1.0,) * 3, (1.0,) * 3)
+    assert not aabb_in_frustum(
+        planes, (19.0, -1.0, -1.0), (21.0, 1.0, 1.0)
+    )  # behind
+
+
+# -- WhenVisible simulation gating -------------------------------------------
+
+
+def _offset_transform(t):
+    m = np.concatenate(
+        [np.eye(3, dtype=np.float32), np.asarray(t, np.float32)[:, None]],
+        axis=1,
+    )
+    return m
+
+
+def test_when_visible_behind_camera_ticks_no_spawner():
+    """The VERDICT contract: a WhenVisible effect behind the camera ticks
+    no spawner (spawn.rs:983 with frustum-derived visibility) and costs no
+    raster pass."""
+    asset = spawn_gravity_effect(capacity=256, rate=600.0)
+    assert asset.simulation_condition is SimulationCondition.WHEN_VISIBLE
+    cam = _cam()  # forward is -z from +6z
+    scene = HanabiScene(seed=0)
+    scene.add(asset, "behind", transform=_offset_transform((0.0, 0.0, 30.0)))
+    for _ in range(5):
+        scene.update(DT, cameras=cam)
+    assert scene["behind"].alive_count() == 0  # never ticked
+    # ...and costs no raster pass
+    insts = scene.effects()
+    opq, trn = scene._scene_render_plan(
+        insts, [], cam, culled=scene._culled_names([cam], for_render=True)
+    )
+    assert opq == () and trn == ()
+    cfg = RasterConfig(width=64, height=64)
+    img = np.asarray(scene.render(cam, cfg))
+    np.testing.assert_allclose(
+        img, np.broadcast_to(np.asarray(cfg.background, np.float32), img.shape)
+    )
+
+
+def test_when_visible_in_view_spawns():
+    asset = spawn_gravity_effect(capacity=256, rate=600.0)
+    scene = HanabiScene(seed=0)
+    scene.add(asset, "front")  # at the origin, inside the frustum
+    for _ in range(5):
+        scene.update(DT, cameras=_cam())
+    assert scene["front"].alive_count() > 0
+
+
+def test_when_visible_follows_camera_rotation():
+    """An effect paused behind the camera resumes when the camera turns."""
+    asset = spawn_gravity_effect(capacity=256, rate=600.0)
+    scene = HanabiScene(seed=0)
+    scene.add(asset, "fx", transform=_offset_transform((0.0, 0.0, 30.0)))
+    away = _cam()  # looking at the origin: (0,0,30) is behind
+    toward = _cam(eye=(0.0, 0.0, 6.0), target=(0.0, 0.0, 30.0))
+    for _ in range(3):
+        scene.update(DT, cameras=away)
+    assert scene["fx"].alive_count() == 0
+    for _ in range(3):
+        scene.update(DT, cameras=toward)
+    assert scene["fx"].alive_count() > 0
+
+
+def test_manual_visibility_still_gates_without_cameras():
+    asset = spawn_gravity_effect(capacity=256, rate=600.0)
+    scene = HanabiScene(seed=0)
+    scene.add(asset, "fx")
+    scene.set_visible("fx", False)
+    for _ in range(3):
+        scene.update(DT)
+    assert scene["fx"].alive_count() == 0
+    scene.set_visible("fx", True)
+    scene.update(DT)
+    assert scene["fx"].alive_count() > 0
+
+
+# -- per-camera raster culling ----------------------------------------------
+
+
+def test_cull_pad_drops_raster_pass_per_camera():
+    """An Always-simulated effect with an explicit cull_pad renders only
+    for cameras whose frustum its AABB touches (multicam analogue of
+    RenderVisibleEntities)."""
+    asset = spawn_gravity_effect(capacity=256, rate=600.0).with_simulation_condition(
+        SimulationCondition.ALWAYS
+    )
+    scene = HanabiScene(seed=0)
+    scene.add(
+        asset, "side", transform=_offset_transform((30.0, 0.0, 0.0)),
+        cull_pad=1.0,
+    )
+    for _ in range(4):
+        scene.update(DT)
+    assert scene["side"].alive_count() > 0  # Always: never sim-gated
+    cam_origin = _cam()  # cannot see x=30
+    cam_side = _cam(eye=(30.0, 0.0, 6.0), target=(30.0, 0.0, 0.0))
+    insts = scene.effects()
+    opq, trn = scene._scene_render_plan(
+        insts, [], cam_origin,
+        culled=scene._culled_names([cam_origin], for_render=True),
+    )
+    assert opq == () and trn == ()
+    opq, trn = scene._scene_render_plan(
+        insts, [], cam_side,
+        culled=scene._culled_names([cam_side], for_render=True),
+    )
+    assert len(opq) + len(trn) == 1
+    # the actual renders agree with the plans
+    img0 = np.asarray(scene.render(cam_origin, RasterConfig(width=64, height=64)))
+    img1 = np.asarray(scene.render(cam_side, RasterConfig(width=64, height=64)))
+    assert img0[..., :3].sum() == 0.0
+    assert img1[..., :3].sum() > 0.0
+
+
+def test_always_effects_without_cull_pad_never_culled():
+    """Opt-in only: no cull_pad and condition Always => never dropped from
+    the plan, even fully off-frustum (reference parity: no Aabb, no
+    culling)."""
+    asset = spawn_gravity_effect(capacity=256, rate=600.0).with_simulation_condition(
+        SimulationCondition.ALWAYS
+    )
+    scene = HanabiScene(seed=0)
+    scene.add(asset, "side", transform=_offset_transform((30.0, 0.0, 0.0)))
+    scene.update(DT)
+    cam = _cam()
+    assert scene._culled_names([cam], for_render=True) == set()
+    opq, trn = scene._scene_render_plan(
+        scene.effects(), [], cam,
+        culled=scene._culled_names([cam], for_render=True),
+    )
+    assert len(opq) + len(trn) == 1
+
+
+def test_aabb_includes_emitter_before_first_spawn():
+    """A fresh WhenVisible effect (no particles yet) must count as visible
+    at its emitter, or it could never start spawning."""
+    asset = spawn_gravity_effect(capacity=256, rate=600.0)
+    scene = HanabiScene(seed=0)
+    scene.add(asset, "fx")  # emitter at origin, zero alive
+    assert scene._culled_names([_cam()], for_render=False) == set()
+    scene.update(DT, cameras=_cam())
+    assert scene["fx"].alive_count() > 0
+
+
+def test_group_culling():
+    from bevy_hanabi_tpu.models import instancing_effect
+
+    asset = instancing_effect(capacity=64)
+    scene = HanabiScene(seed=0)
+    tfs = np.broadcast_to(
+        _offset_transform((0.0, 40.0, 0.0)), (4, 3, 4)
+    )
+    scene.add_group(asset, 4, name="grp", transforms=tfs, cull_pad=1.0)
+    scene.update(DT)
+    cam = _cam()
+    assert "grp" in scene._culled_names([cam], for_render=True)
+    opq, trn = scene._scene_render_plan(
+        [], [scene._groups["grp"]], cam,
+        culled=scene._culled_names([cam], for_render=True),
+    )
+    assert opq == () and trn == ()
+
+
+def test_update_render_chunk_honors_culling():
+    """The fused chunk freezes culling at chunk start: an off-frustum
+    WhenVisible effect neither steps nor draws inside the chunk."""
+    asset = spawn_gravity_effect(capacity=256, rate=600.0)
+    scene = HanabiScene(seed=0)
+    scene.add(asset, "vis")
+    scene.add(
+        asset, "hidden", transform=_offset_transform((0.0, 0.0, 30.0))
+    )
+    scene.update(DT, cameras=_cam())  # camera-driven scene
+    img, sums = scene.update_render_chunk(
+        4, DT, _cam(), RasterConfig(width=64, height=64)
+    )
+    jax.block_until_ready(img)
+    assert scene["vis"].alive_count() > 0
+    assert scene["hidden"].alive_count() == 0
