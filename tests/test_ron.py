@@ -8,6 +8,7 @@ round-trip test asset, asset.rs:1304-1366).
 """
 
 import math
+import os
 
 import numpy as np
 import pytest
@@ -641,3 +642,118 @@ def test_example_round_trips_through_ron(name, asset):
         asset.particle_layout().signature()
         == once.particle_layout().signature()
     ), name
+
+
+# ---------------------------------------------------------------------------
+# Committed golden corpus (VERDICT r3 item 7b): every exported example
+# `.effect` file is committed under tests/goldens/ and must keep parsing AND
+# re-exporting byte-identically — a serde dialect drift (float formats,
+# implicit Some, map ordering) breaks these before it can break real files.
+# Regenerate deliberately after an intentional format/example change:
+#   python -c "see tests/goldens generation in git history"
+# ---------------------------------------------------------------------------
+
+_GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def _golden_files():
+    return sorted(
+        f for f in os.listdir(_GOLDEN_DIR) if f.endswith(".effect")
+    )
+
+
+def test_golden_corpus_exists():
+    assert len(_golden_files()) >= 20
+
+
+@pytest.mark.parametrize("fname", _golden_files())
+def test_golden_effect_file_stable(fname):
+    with open(os.path.join(_GOLDEN_DIR, fname)) as f:
+        text = f.read()
+    asset = asset_from_ron(text)
+    assert asset_to_ron(asset) == text, (
+        f"{fname}: export drifted from the committed golden — if the "
+        "format change is intentional, regenerate tests/goldens/"
+    )
+
+
+@pytest.mark.parametrize("fname", _golden_files())
+def test_golden_matches_fresh_example(fname):
+    """The freshly-built example still exports to the committed bytes —
+    catches silent example-definition drift too."""
+    from bevy_hanabi_tpu.models.examples import examples_registry
+
+    stem = fname[: -len(".effect")]
+    name, _, sub = stem.partition("__")
+    built = examples_registry()[name]()
+    asset = built[sub] if sub else built
+    with open(os.path.join(_GOLDEN_DIR, fname)) as f:
+        assert asset_to_ron(asset) == f.read()
+
+
+# ---------------------------------------------------------------------------
+# Mirror of the reference's own serde round-trip test (asset.rs:1303
+# `serde_asset`): the same unusual knob values — Local space, Always
+# condition, prng_seed 4284, PreUpdate integration, Multiply alpha,
+# z_layer_2d 1.5 — and the same field-level equality assertions.
+# ---------------------------------------------------------------------------
+
+
+def test_serde_asset_mirror():
+    import numpy as np
+
+    from bevy_hanabi_tpu import attributes as A
+    from bevy_hanabi_tpu.asset import (
+        AlphaMode,
+        MotionIntegration,
+        SimulationCondition,
+        SimulationSpace,
+    )
+    from bevy_hanabi_tpu.graph import ExprWriter
+    from bevy_hanabi_tpu.modifiers import SetAttributeModifier
+    from bevy_hanabi_tpu.spawn import SpawnerSettings
+
+    w = ExprWriter()
+    pos = w.lit((1.2, -3.45, 87.54485))
+    mod_pos = SetAttributeModifier(A.POSITION, pos.expr())
+    module = w.finish()
+    prop = module.add_property("my_prop", np.asarray(
+        [1.2, -2.3, 55.32], np.float32))
+    module.unary(UnaryOp.ABS, module.prop("my_prop"))
+
+    effect = EffectAsset("Effect", 4096, SpawnerSettings.rate(30.0), module)
+    effect.z_layer_2d = 1.5
+    effect.simulation_space = SimulationSpace.LOCAL
+    effect.simulation_condition = SimulationCondition.ALWAYS
+    effect.prng_seed = 4284
+    effect.motion_integration = MotionIntegration.PRE_UPDATE
+    effect.alpha_mode = AlphaMode.MULTIPLY
+    effect.init(mod_pos)
+
+    s = asset_to_ron(effect)
+    effect_serde = asset_from_ron(s)
+
+    assert effect.name == effect_serde.name
+    assert effect.capacity == effect_serde.capacity
+    assert effect.spawner.to_json() == effect_serde.spawner.to_json()
+    assert effect.z_layer_2d == effect_serde.z_layer_2d
+    assert effect.simulation_space is effect_serde.simulation_space
+    assert effect.simulation_condition is effect_serde.simulation_condition
+    assert effect.prng_seed == effect_serde.prng_seed
+    assert effect.motion_integration is effect_serde.motion_integration
+    assert effect.alpha_mode.kind == effect_serde.alpha_mode.kind
+    assert len(effect.init_modifiers) == len(effect_serde.init_modifiers)
+    assert len(effect.update_modifiers) == len(effect_serde.update_modifiers)
+    assert len(effect.render_modifiers) == len(effect_serde.render_modifiers)
+    # the property survives with its exact default value
+    props = effect_serde.module.properties()
+    assert "my_prop" in props
+    val = props["my_prop"]
+    val = np.asarray(getattr(val, "values", val), np.float32)
+    np.testing.assert_array_equal(
+        val, np.asarray([1.2, -2.3, 55.32], np.float32)
+    )
+    # export is a fixed point after one trip
+    assert asset_to_ron(effect_serde) == asset_to_ron(
+        asset_from_ron(asset_to_ron(effect_serde))
+    )
