@@ -407,8 +407,10 @@ def bench_ribbons():
     )
     # tile_slots=1: measured CLOSER to a high-budget truth render than
     # slots=2 at this dense config (L1 8.7M vs 9.7M, 2x blended energy —
-    # spill entries no longer consume the per-tile budget), and 72 vs 62
-    # fps. See docs/PERF.md.
+    # spill entries no longer consume the per-tile budget). r4: segment
+    # geometry rides the (rid, age) sort as free payload operands and
+    # appearance stays behind the remap indirection — 116 fps, was 72.
+    # See docs/PERF.md "Ribbon frame anatomy".
     config = RasterConfig(width=512, height=512, tile_slots=1)
     frame = 0
 

@@ -328,9 +328,14 @@ class ShardedRenderer:
             rdraw = dataclasses.replace(
                 rdraw, alive=jnp.logical_and(rdraw.alive, valid)
             )
+            from ..render.extract import resolve_remap
             from ..render.ribbon import build_ribbon_segments
 
-            draw = build_ribbon_segments(rdraw, camera)
+            # Slice routing below reorders draw ROWS across devices, so
+            # the segment build's appearance indirection must be
+            # materialized here (the local arrays it points into don't
+            # travel).
+            draw = resolve_remap(build_ribbon_segments(rdraw, camera))
         elif self.asset.mesh is not None:
             from ..render.mesh import expand_mesh_draw
 

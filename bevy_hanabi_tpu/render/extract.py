@@ -20,7 +20,49 @@ from ..compiler import RenderContext, SimParams
 from ..runtime.pool import ParticlePool
 from .camera import CameraParams
 
-__all__ = ["ParticleDrawData", "extract_draw_data", "flatten_instance_axis"]
+__all__ = [
+    "ParticleDrawData",
+    "extract_draw_data",
+    "flatten_instance_axis",
+    "resolve_remap",
+    "APPEARANCE_FIELDS",
+]
+
+# Per-entry columns read in SOURCE order via ``ParticleDrawData.remap``
+# (everything the blend phase samples that is not derived from the
+# projected geometry).
+APPEARANCE_FIELDS = (
+    "color",
+    "roundness",
+    "sprite_index",
+    "alpha_cutoff",
+    "mode_id",
+    "tex_entry",
+    "tri",
+    "uv_abc",
+    "nrm_abc",
+    "vcol_abc",
+    "light_entry",
+)
+
+
+def resolve_remap(draw):
+    """Materialize a draw's appearance indirection (full-N gather).
+
+    Paths that reorder or route draw ROWS across devices (sharded slice
+    rendering) need appearance in draw-row order; everything else leaves
+    the indirection in place for the rasterizer's cheap window-level
+    composition."""
+    if draw.remap is None:
+        return draw
+    import dataclasses
+
+    upd = {"remap": None}
+    for f in APPEARANCE_FIELDS:
+        v = getattr(draw, f)
+        if v is not None:
+            upd[f] = v[draw.remap]
+    return dataclasses.replace(draw, **upd)
 
 
 def flatten_instance_axis(tree):
@@ -74,6 +116,16 @@ class ParticleDrawData:
     # (alpha_mode="scene"): 0=blend 1=premultiply 2=add 3=multiply
     # 4=opaque 5=mask. None everywhere else.
     mode_id: Any = None
+    # int32[N] appearance indirection (ribbon segments): when set, the
+    # APPEARANCE columns (color, roundness, sprite_index, alpha_cutoff,
+    # mode_id, tex_entry, uv/nrm/vcol triplets, light_entry, tri) live in
+    # SOURCE order and row k of the draw reads them at ``remap[k]``;
+    # geometry (position, axis_x/y, alive) stays in draw-row order. The
+    # rasterizer composes the indirection at WINDOW granularity
+    # (remap[t_p], ~M*nt rows) instead of materializing a full-N
+    # permutation gather — the measured bottleneck of the ribbon frame
+    # (docs/PERF.md "Ribbon frame anatomy").
+    remap: Any = None
     # Painter texture merging (concat_painter_draws): a stacked atlas of
     # every merged effect's texture layers, [T, Hmax, Wmax, 4] (each
     # texture zero-padded to the max extent; per-entry true sizes keep
@@ -109,6 +161,7 @@ jax.tree_util.register_dataclass(
         "atlas",
         "tex_entry",
         "light_entry",
+        "remap",
     ],
     meta_fields=["sprite_grid_size", "texture_layers", "needs_uv", "lighting"],
 )
@@ -486,12 +539,34 @@ def concat_painter_draws(draws, kinds, textures_per_draw=None):
         # raster substitutes mesh UVs only where the triplet is finite
         uv_abc = cat_or("uv_abc", jnp.nan, width=6)
 
+    # Appearance indirection: if any draw carries a remap (ribbon
+    # segments), the merged draw needs one too — each block's remap
+    # offsets by its base row (appearance concatenates in the same draw
+    # order, so source indices stay within the block), identity for
+    # blocks without one. Per-draw-constant columns (mode_id, tri,
+    # tex_entry, ...) are unaffected by within-block reordering.
+    remap = None
+    if any(d.remap is not None for d in draws):
+        parts = []
+        base = 0
+        for d in draws:
+            n = d.alive.shape[0]
+            local = (
+                d.remap
+                if d.remap is not None
+                else jnp.arange(n, dtype=jnp.int32)
+            )
+            parts.append(local.astype(jnp.int32) + base)
+            base += n
+        remap = jnp.concatenate(parts)
+
     return ParticleDrawData(
         position=cat("position"),
         axis_x=cat("axis_x"),
         axis_y=cat("axis_y"),
         color=cat("color"),
         alive=cat("alive"),
+        remap=remap,
         roundness=roundness,
         sprite_index=cat("sprite_index"),
         sprite_grid_size=(1, 1),

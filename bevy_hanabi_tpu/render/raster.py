@@ -501,13 +501,23 @@ def rasterize(
         t_has = raw < ends[None, :]
         t_p = pidx_sorted[idx]  # [M, nt]
 
-    cols = [
+    # Geometry columns (projected quad frame + depth) are in DRAW-ROW
+    # order; appearance columns may sit behind ``draw.remap`` in SOURCE
+    # order (ribbon segments — extract.APPEARANCE_FIELDS). Without a
+    # remap both stacks fuse into the single row gather below; with one,
+    # appearance is fetched by a SECOND window gather through the
+    # composed index remap[t_p] — window-sized (M*nt rows), so the
+    # indirection costs ~nothing while deleting the full-N appearance
+    # permutation gather from the ribbon prepass.
+    gcols = [
         center[:, 0],
         center[:, 1],
         h1[:, 0],
         h1[:, 1],
         h2[:, 0],
         h2[:, 1],
+    ]
+    cols = [
         draw.color[:, 0],
         draw.color[:, 1],
         draw.color[:, 2],
@@ -562,17 +572,24 @@ def rasterize(
         i_vcol = len(cols)
         cols.extend(draw.vcol_abc[:, j] for j in range(12))
     if need_depth:
-        i_depth = len(cols)
-        cols.append(depth)
-    rows = jnp.stack(cols, axis=1)[t_p]  # [M, nt, F]
+        i_depth = len(gcols)
+        gcols.append(depth)
+    if draw.remap is not None:
+        grows = jnp.stack(gcols, axis=1)[t_p]  # [M, nt, G]
+        t_pa = draw.remap[t_p]
+        rows = jnp.stack(cols, axis=1)[t_pa]  # [M, nt, A]
+    else:
+        both = jnp.stack(gcols + cols, axis=1)[t_p]
+        grows = both[..., : len(gcols)]
+        rows = both[..., len(gcols):]
 
-    t_cx = rows[..., 0]
-    t_cy = rows[..., 1]
-    t_h1x = rows[..., 2]
-    t_h1y = rows[..., 3]
-    t_h2x = rows[..., 4]
-    t_h2y = rows[..., 5]
-    t_color = rows[..., 6:10]  # [M, nt, 4]
+    t_cx = grows[..., 0]
+    t_cy = grows[..., 1]
+    t_h1x = grows[..., 2]
+    t_h1y = grows[..., 3]
+    t_h2x = grows[..., 4]
+    t_h2y = grows[..., 5]
+    t_color = rows[..., 0:4]  # [M, nt, 4]
     t_round = rows[..., i_round] if draw.roundness is not None else None
     t_tri = rows[..., i_tri] if draw.tri is not None else None
     t_sprite = rows[..., i_sprite].astype(jnp.int32) if need_sprite else None
@@ -590,7 +607,7 @@ def rasterize(
     t_nrm = rows[..., i_nrm : i_nrm + 9] if has_lighting else None
     t_light = rows[..., i_light : i_light + 4] if has_light_entry else None
     t_vcol = rows[..., i_vcol : i_vcol + 12] if has_vcol else None
-    t_fragd = rows[..., i_depth] if need_depth else None
+    t_fragd = grows[..., i_depth] if need_depth else None
 
     def sample_texture(tex, u, v):
         th, tw = tex.shape[0], tex.shape[1]

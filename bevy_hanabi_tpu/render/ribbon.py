@@ -48,46 +48,35 @@ def build_ribbon_segments(
     rid = jnp.where(draw.alive, draw.ribbon_id.astype(jnp.uint32), big)
     age_key = jnp.where(draw.alive, -draw.age, jnp.inf)
     idx = jnp.arange(n, dtype=jnp.int32)
-    if draw.counter is not None:
-        counter_key = jnp.where(draw.alive, draw.counter.astype(jnp.uint32), big)
-        rid_sorted, neg_age, counter_sorted, order = jax.lax.sort(
-            (rid, age_key, counter_key, idx), num_keys=3
-        )
-    else:
-        rid_sorted, neg_age, order = jax.lax.sort(
-            (rid, age_key, idx), num_keys=2
-        )
-        counter_sorted = None
-
-    # The sorted keys come back FREE from lax.sort (rid, age, counter need no
-    # gather); aliveness is rid != sentinel; the predecessor row is a roll of
-    # the sorted arrays. The remaining per-particle fields are packed into
-    # ONE [N, F] row matrix and fetched with a single row gather — random
-    # 1M-row gathers cost ~12 ns/element on this chip (docs/PERF.md), so one
-    # packed gather instead of five is the difference between a 13.8 ms and
-    # a ~7 ms segment build at 1M.
+    # The segment GEOMETRY (position + ribbon width -- what the quad build
+    # and tile binning need) rides the sort as payload operands: measured
+    # on-chip, extra lax.sort operands are FREE at 1M (3.3 ms flat from 0
+    # to +8 f32 payloads, experiments/gather_cost.py) while a [N, F]
+    # permutation gather costs 4.4-7.6 ms -- the single biggest line of
+    # the old ribbon frame (docs/PERF.md "Ribbon frame anatomy").
+    # Appearance columns (color, sprite, cutoff, ...) never materialize
+    # in segment order at all: they stay in SOURCE order behind ``remap``
+    # (the sort's ``order`` payload) and the rasterizer fetches them at
+    # WINDOW granularity (remap[t_p], ~M*num_tiles rows, far below N).
     width_in = jnp.sqrt(jnp.sum(draw.axis_y * draw.axis_y, axis=-1))
-    cols = [
+    geom = (
         draw.position[:, 0],
         draw.position[:, 1],
         draw.position[:, 2],
-        draw.color[:, 0],
-        draw.color[:, 1],
-        draw.color[:, 2],
-        draw.color[:, 3],
         width_in,
-        # sprite indices are flipbook cells (< 2^24): exact in f32
-        draw.sprite_index.astype(jnp.float32),
-    ]
-    if draw.alpha_cutoff is not None:
-        cols.append(draw.alpha_cutoff)
-    packed = jnp.stack(cols, axis=1)[order]  # [N, F] single row gather
-
-    pos = packed[:, 0:3]
-    color = packed[:, 3:7]
-    width = packed[:, 7]
-    sprite_sorted = packed[:, 8].astype(jnp.int32)
-    cutoff_sorted = packed[:, 9] if draw.alpha_cutoff is not None else None
+    )
+    if draw.counter is not None:
+        counter_key = jnp.where(draw.alive, draw.counter.astype(jnp.uint32), big)
+        (rid_sorted, neg_age, counter_sorted, order, sx, sy, sz,
+         width) = jax.lax.sort(
+            (rid, age_key, counter_key, idx) + geom, num_keys=3
+        )
+    else:
+        rid_sorted, neg_age, order, sx, sy, sz, width = jax.lax.sort(
+            (rid, age_key, idx) + geom, num_keys=2
+        )
+        counter_sorted = None
+    pos = jnp.stack([sx, sy, sz], axis=1)
 
     alive = rid_sorted != big  # dead lanes (and rid==sentinel) sort last
     pos_prev = jnp.roll(pos, 1, axis=0)
@@ -118,15 +107,16 @@ def build_ribbon_segments(
         position=center,
         axis_x=delta,  # full segment length (raster uses 0.5*axis half-extent)
         axis_y=side * width[:, None],
-        color=color,
+        color=draw.color,  # SOURCE order, behind remap
         alive=seg_valid,
         roundness=None,
-        sprite_index=sprite_sorted,
+        sprite_index=draw.sprite_index,  # SOURCE order, behind remap
         sprite_grid_size=draw.sprite_grid_size,
         texture_layers=draw.texture_layers,
         needs_uv=draw.needs_uv,
         ribbon_id=rid_sorted,
         age=jnp.where(alive, -neg_age, 0.0),
-        alpha_cutoff=cutoff_sorted,
+        alpha_cutoff=draw.alpha_cutoff,  # SOURCE order, behind remap
         counter=counter_sorted,
+        remap=order,
     )
