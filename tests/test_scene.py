@@ -305,6 +305,50 @@ def test_ribbon_side_matches_reference_orientation():
     assert side[1] < 0 and abs(side[0]) < 1e-6 and abs(side[2]) < 1e-6
 
 
+def test_ribbon_remap_lazy_appearance_matches_resolved():
+    """Segment appearance stays in SOURCE order behind ``remap`` and the
+    rasterizer composes the indirection at window granularity — the
+    rendered image must be bit-identical to materializing the
+    permutation up front (resolve_remap). Per-particle colors/cutoffs
+    vary so a wrong index order cannot cancel out."""
+    import dataclasses
+
+    from bevy_hanabi_tpu.render.extract import resolve_remap
+
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+        proj=orthographic(-1, 1, -1, 1, 0.1, 10.0),
+        viewport=(64, 64),
+    )
+    rng = np.random.default_rng(7)
+    k = 9
+    pts = np.stack(
+        [
+            np.linspace(-0.8, 0.8, k),
+            0.4 * np.sin(np.linspace(0, 3.0, k)),
+            np.zeros(k),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    pool = ribbon_pool(pts.tolist(), [0, 0, 0, 1, 1, 1, 2, 2, 2])
+    draw = extract_draw_data(ribbon_asset(), pool, cam)
+    draw = dataclasses.replace(
+        draw,
+        color=jnp.asarray(rng.random((16, 4), dtype=np.float32)),
+        alpha_cutoff=jnp.asarray(rng.random(16, dtype=np.float32)),
+    )
+    segs = build_ribbon_segments(draw, cam)
+    assert segs.remap is not None
+    resolved = resolve_remap(segs)
+    assert resolved.remap is None
+    cfg = RasterConfig(width=64, height=64, tile_size=16)
+    for mode in ("blend", "add", "mask"):
+        img_lazy = np.asarray(rasterize(segs, cam, cfg, alpha_mode=mode))
+        img_mat = np.asarray(rasterize(resolved, cam, cfg, alpha_mode=mode))
+        np.testing.assert_array_equal(img_lazy, img_mat)
+    assert np.asarray(img_lazy).sum() > 0  # something actually drew
+
+
 def test_size_attribute_first_wins():
     """Layouts with two size attributes use the FIRST in layout order and
     ignore the rest with a warning (lib.rs:876-905) — never compound."""
