@@ -48,15 +48,6 @@ BASELINE_PARTICLES_PER_SEC = 6.0e7  # 1M alive @ 60 steps/s
 HBM_PEAK_GBPS = 590.0  # measured elementwise peak on this chip (docs/PERF.md)
 
 
-def pool_nbytes(pool) -> int:
-    import jax
-
-    return sum(
-        int(np.prod(x.shape)) * x.dtype.itemsize
-        for x in jax.tree_util.tree_leaves(pool)
-    )
-
-
 def hbm_floor_gbps(pool_bytes, fps, fb_pixels=0):
     """LOWER-BOUND achieved HBM bandwidth for one config: each frame must
     at least read + write the pool (2x pool bytes) and, when rendering,

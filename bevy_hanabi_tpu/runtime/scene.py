@@ -529,7 +529,12 @@ class HanabiScene:
             return self._aabb_cache
         import jax
 
-        entries = []  # (name, pool, emitter points [K, 3], pad)
+        # Each entry: (name, pool, emitter transforms [K, 3, 4], pad, local).
+        # LOCAL-space pools store positions in emitter space
+        # (vfx_render.wgsl:113-146), so their boxes must be taken through
+        # the per-instance 3x4 transform before they can meet world-space
+        # frustum planes.
+        entries = []
         for n, inst in self._effects.items():
             if self._cullable(inst.asset, inst.cull_pad):
                 pad = (
@@ -538,7 +543,13 @@ class HanabiScene:
                     else self.DEFAULT_CULL_PAD
                 )
                 entries.append(
-                    (n, inst.pool, np.asarray(inst.transform)[None, :, 3], pad)
+                    (
+                        n,
+                        inst.pool,
+                        np.asarray(inst.transform, np.float32)[None],
+                        pad,
+                        inst.asset.simulation_space is SimulationSpace.LOCAL,
+                    )
                 )
         for n, g in self._groups.items():
             if self._cullable(g["asset"], g.get("cull_pad")):
@@ -548,36 +559,69 @@ class HanabiScene:
                     else self.DEFAULT_CULL_PAD
                 )
                 entries.append(
-                    (n, g["pools"], np.asarray(g["transforms"])[:, :, 3], pad)
+                    (
+                        n,
+                        g["pools"],
+                        np.asarray(g["transforms"], np.float32),
+                        pad,
+                        g["asset"].simulation_space is SimulationSpace.LOCAL,
+                    )
                 )
         cache: Dict[str, tuple] = {}
         if entries:
             key = tuple(
-                (n, tuple(p.alive.shape)) for n, p, _, _ in entries
+                (n, tuple(p.alive.shape)) for n, p, _, _, _ in entries
             )
             fn = self._aabb_jit.get(key)
             if fn is None:
 
                 def aabb_all(pools):
+                    # Per-INSTANCE min/max (axis -2): LOCAL groups need one
+                    # box per instance since each has its own transform.
                     out = []
                     big = jnp.float32(3.0e38)
                     for p in pools:
-                        pos = p.attrs["position"].reshape(-1, 3)
-                        alive = p.alive.reshape(-1)[:, None]
+                        alive = p.alive
+                        pos = p.attrs["position"].reshape(alive.shape + (3,))
+                        if alive.ndim == 1:
+                            alive, pos = alive[None], pos[None]
+                        m = alive[..., None]
                         out.append(
                             (
-                                jnp.min(jnp.where(alive, pos, big), axis=0),
-                                jnp.max(jnp.where(alive, pos, -big), axis=0),
+                                jnp.min(jnp.where(m, pos, big), axis=1),
+                                jnp.max(jnp.where(m, pos, -big), axis=1),
                             )
                         )
                     return out
 
                 fn = jax.jit(aabb_all)
                 self._aabb_jit[key] = fn
-            res = fn(tuple(p for _, p, _, _ in entries))
-            for (n, _p, em, pad), (mn, mx) in zip(entries, res):
-                mn = np.minimum(np.asarray(mn), em.min(axis=0)) - pad
-                mx = np.maximum(np.asarray(mx), em.max(axis=0)) + pad
+            res = fn(tuple(p for _, p, _, _, _ in entries))
+            for (n, _p, tfs, pad, local), (mn, mx) in zip(entries, res):
+                mn, mx = np.asarray(mn), np.asarray(mx)  # [K, 3] each
+                em = tfs[:, :, 3]  # emitter world positions
+                if local:
+                    # world box per instance: center through R|t, extents
+                    # through |R| (exact for axis-aligned boxes under any
+                    # rigid/affine transform's envelope).
+                    boxes = []
+                    for k in range(mn.shape[0]):
+                        if not np.all(mn[k] <= mx[k]):
+                            continue  # no alive particles in this instance
+                        rot, t = tfs[k][:, :3], tfs[k][:, 3]
+                        c = rot @ ((mn[k] + mx[k]) * 0.5) + t
+                        e = np.abs(rot) @ ((mx[k] - mn[k]) * 0.5)
+                        boxes.append((c - e, c + e))
+                    if boxes:
+                        mn = np.min([b[0] for b in boxes], axis=0)
+                        mx = np.max([b[1] for b in boxes], axis=0)
+                    else:
+                        mn = np.full(3, 3.0e38, np.float32)
+                        mx = -mn
+                else:
+                    mn, mx = mn.min(axis=0), mx.max(axis=0)
+                mn = np.minimum(mn, em.min(axis=0)) - pad
+                mx = np.maximum(mx, em.max(axis=0)) + pad
                 cache[n] = (mn, mx)
         self._aabb_cache = cache
         self._aabb_frame = self._frame
@@ -1296,6 +1340,11 @@ class HanabiScene:
         elif (config.width, config.height) != (vw, vh):
             config = dataclasses.replace(config, width=vw, height=vh)
 
+        # The chunk API is camera-driven by construction, so WhenVisible
+        # frustum gating is active here exactly as for update(dt, cameras=…)
+        # — without this, a scene driven only through chunks would plumb
+        # ``culled`` everywhere yet never cull anything.
+        self._frustum_sim = True
         culled = self._culled_names(
             cams if cams is not None else [camera], for_render=True
         )

@@ -222,6 +222,76 @@ def test_group_culling():
     assert opq == () and trn == ()
 
 
+def test_local_space_aabb_is_world_space():
+    """LOCAL-space pools store positions in EMITTER space; the cull AABB
+    must go through the emitter transform before meeting world-space
+    frustum planes. Regression: raw local positions were unioned with the
+    world emitter position, producing a giant wrong box that culled
+    visible effects (and froze WhenVisible sims that were on screen)."""
+    from bevy_hanabi_tpu.asset import SimulationSpace
+
+    asset = spawn_gravity_effect(capacity=256, rate=600.0).with_simulation_space(
+        SimulationSpace.LOCAL
+    )
+    scene = HanabiScene(seed=0)
+    # emitter at world x=+100; local particles near local origin
+    scene.add(
+        asset, "fx", transform=_offset_transform((100.0, 0.0, 0.0)),
+        cull_pad=1.0,
+    )
+    cam_at_fx = _cam(eye=(100.0, 0.0, 6.0), target=(100.0, 0.0, 0.0))
+    for _ in range(4):
+        scene.update(DT, cameras=cam_at_fx)
+    assert scene["fx"].alive_count() > 0  # visible at its own camera
+    # a camera looking at the effect's world position sees it...
+    assert scene._culled_names([cam_at_fx], for_render=True) == set()
+    img = np.asarray(scene.render(cam_at_fx, RasterConfig(width=64, height=64)))
+    assert img[..., :3].sum() > 0.0
+    # ...and a camera looking at the LOCAL coordinates (world origin) does
+    # not — the box must not leak local-space coordinates into the world.
+    assert scene._culled_names([_cam()], for_render=True) == {"fx"}
+
+
+def test_local_space_aabb_applies_rotation():
+    """A rotated LOCAL emitter swings its particles' world box with it."""
+    from bevy_hanabi_tpu.asset import SimulationSpace
+
+    asset = spawn_gravity_effect(capacity=256, rate=600.0).with_simulation_space(
+        SimulationSpace.LOCAL
+    )
+    # 90° about +y: local +x -> world -z
+    rot = np.asarray(
+        [[0.0, 0.0, 1.0, 0.0], [0.0, 1.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]],
+        np.float32,
+    )
+    scene = HanabiScene(seed=0)
+    scene.add(asset, "fx", transform=rot, cull_pad=0.25)
+    scene.update(DT, cameras=_cam())
+    mn, mx = scene._refresh_aabbs()["fx"]
+    # particles sit near the local origin; the rotated world box must stay
+    # near the origin too (a non-applied rotation cannot be detected with
+    # a centered emitter, so also check extents transform sanely)
+    assert np.all(mn <= 0.5) and np.all(mx >= -0.5)
+    assert np.all(mx - mn < 10.0)
+
+
+def test_chunk_only_scene_gates_when_visible():
+    """A scene driven ONLY through update_render_chunk (never through
+    update(dt, cameras=...)) still frustum-gates WhenVisible effects —
+    the chunk API is camera-driven by construction. Regression: the
+    _frustum_sim latch was only set in update()."""
+    asset = spawn_gravity_effect(capacity=256, rate=600.0)
+    scene = HanabiScene(seed=0)
+    scene.add(asset, "vis")
+    scene.add(asset, "hidden", transform=_offset_transform((0.0, 0.0, 30.0)))
+    img, _sums = scene.update_render_chunk(
+        4, DT, _cam(), RasterConfig(width=64, height=64)
+    )
+    jax.block_until_ready(img)
+    assert scene["vis"].alive_count() > 0
+    assert scene["hidden"].alive_count() == 0
+
+
 def test_update_render_chunk_honors_culling():
     """The fused chunk freezes culling at chunk start: an off-frustum
     WhenVisible effect neither steps nor draws inside the chunk."""
