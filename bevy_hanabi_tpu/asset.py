@@ -128,6 +128,12 @@ class EffectAsset:
         self.prng_seed: Optional[int] = None  # None => re-rolled per instance
         self.ribbon_group: Optional[int] = None
         self.mesh = None  # Optional[render.mesh.ParticleMesh]; None = quad
+        # Opaque Bevy mesh AssetPath (reference EffectAsset::mesh,
+        # asset.rs:335 — Option<AssetPath>, e.g. "shapes.glb#Mesh0/Primitive0").
+        # This framework cannot resolve Bevy assets; the path is CARRIED so
+        # reference `.effect` files round-trip byte-identically. Assign a
+        # renderable geometry via with_mesh(ParticleMesh) separately.
+        self.mesh_asset_path: Optional[str] = None
 
     # -- builder (asset.rs:391-560) ---------------------------------------
 
@@ -177,6 +183,14 @@ class EffectAsset:
         """Render particles as instances of a ParticleMesh (EffectMesh
         analogue, reference lib.rs:745)."""
         self.mesh = mesh
+        return self
+
+    def with_mesh_asset_path(self, path: Optional[str]) -> "EffectAsset":
+        """Carry a Bevy mesh AssetPath opaquely (asset.rs:335) so reference
+        `.effect` files keep their custom-mesh reference through
+        round-trips. Does not affect rendering here — pair with
+        ``with_mesh`` to supply actual geometry."""
+        self.mesh_asset_path = path
         return self
 
     # -- derived -----------------------------------------------------------
@@ -268,6 +282,7 @@ class EffectAsset:
             "prng_seed": self.prng_seed,
             "ribbon_group": self.ribbon_group,
             "mesh": self.mesh.to_json() if self.mesh is not None else None,
+            "mesh_asset_path": self.mesh_asset_path,
         }
 
     @staticmethod
@@ -301,6 +316,7 @@ class EffectAsset:
             from .render.mesh import ParticleMesh
 
             asset.mesh = ParticleMesh.from_json(data["mesh"])
+        asset.mesh_asset_path = data.get("mesh_asset_path")
         return asset
 
     def save(self, path: str, format: Optional[str] = None) -> None:

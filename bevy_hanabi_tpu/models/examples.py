@@ -663,6 +663,28 @@ def example_worms() -> dict:
     return {"heads": heads, "bodies": body}
 
 
+def example_mesh_path() -> EffectAsset:
+    """A custom-mesh effect carrying a Bevy mesh AssetPath (asset.rs:335):
+    the path survives RON round-trips opaquely (golden-pinned) while the
+    TPU render side would pair it with a ParticleMesh for geometry."""
+    w = ExprWriter()
+    age, life = _age_life(w, life=3.0)
+    module = w.finish()
+    asset = (
+        EffectAsset("mesh_path", 1024, SpawnerSettings.rate(64.0), module)
+        .init(
+            SetAttributeModifier(A.POSITION, module.lit((0.0, 0.0, 0.0)))
+        )
+        .init(
+            SetAttributeModifier(A.VELOCITY, module.lit((0.0, 1.0, 0.0)))
+        )
+        .init(age)
+        .init(life)
+        .render(SetColorModifier((0.8, 0.8, 1.0, 1.0)))
+    )
+    return asset.with_mesh_asset_path("shapes.glb#Mesh0/Primitive0")
+
+
 def examples_registry() -> dict:
     """name -> zero-arg builder for every re-created example."""
     return {
@@ -676,6 +698,7 @@ def examples_registry() -> dict:
         "init_cone": lambda: example_init("cone"),
         "lifetime": example_lifetime,
         "lightning": example_lightning,
+        "mesh_path": example_mesh_path,
         "multicam": example_multicam,
         "ordering": example_ordering,
         "portal": example_portal,

@@ -207,3 +207,21 @@ class EffectProperties:
         d = self._dirty
         self._dirty = False
         return d
+
+    def resync(self, declared: Sequence[Property]) -> None:
+        """Re-sync declarations from a (possibly changed) asset while
+        keeping instance-set values — the hot-reload analogue of the
+        reference's ``update_properties_from_asset`` (lib.rs:1853): asset
+        defaults refresh, per-instance overrides persist for properties
+        that still exist with the same type, and values for removed or
+        re-typed properties drop."""
+        new_decl = {p.name: p for p in declared}
+        kept = {
+            n: v
+            for n, v in self._values.items()
+            if n in new_decl
+            and new_decl[n].value_type == self._declared[n].value_type
+        }
+        self._declared = new_decl
+        self._values = kept
+        self._dirty = True

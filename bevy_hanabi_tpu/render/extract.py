@@ -57,12 +57,16 @@ def resolve_remap(draw):
     All present fields are packed into ONE [N, F] float32 matrix and
     fetched with a single row gather: random-row HBM traffic is
     row-count-bound, not byte-bound (measured 2.4x over per-field
-    gathers, raster.py packed-window note). Integer fields (sprite
-    frame, painter mode id) are small by construction and round-trip
-    float32 exactly — the rasterizer itself packs them the same way."""
+    gathers, raster.py packed-window note). 32-bit integer fields
+    (sprite frame, painter mode id) ride the float matrix as BITCASTS —
+    value-preserving for any magnitude, the same convention as
+    parallel/render.py's _pack_draw."""
     if draw.remap is None:
         return draw
     import dataclasses
+
+    def is_int32(dt):
+        return jnp.issubdtype(dt, jnp.integer) and jnp.dtype(dt).itemsize == 4
 
     cols = []
     spans = {}  # field -> (start col, width, dtype, trailing shape)
@@ -73,13 +77,21 @@ def resolve_remap(draw):
         flat = v.reshape(v.shape[0], -1)
         spans[f] = (sum(c.shape[1] for c in cols), flat.shape[1],
                     v.dtype, v.shape[1:])
-        cols.append(flat.astype(jnp.float32))
+        if is_int32(v.dtype):
+            flat = jax.lax.bitcast_convert_type(flat, jnp.float32)
+        else:
+            flat = flat.astype(jnp.float32)
+        cols.append(flat)
     upd = {"remap": None}
     if cols:
         packed = jnp.concatenate(cols, axis=1)[draw.remap]
         for f, (start, width, dtype, suffix) in spans.items():
             col = packed[:, start : start + width]
-            upd[f] = col.reshape((col.shape[0],) + suffix).astype(dtype)
+            if is_int32(dtype):
+                col = jax.lax.bitcast_convert_type(col, dtype)
+            else:
+                col = col.astype(dtype)
+            upd[f] = col.reshape((col.shape[0],) + suffix)
     return dataclasses.replace(draw, **upd)
 
 

@@ -31,9 +31,11 @@ Two layers:
     ``AlphaMode`` incl. ``Mask(handle)`` (asset.rs:117-210), the
     simulation enums, and ``Gradient`` keys (gradient.rs:59-133).
 
-``EffectAsset.mesh`` is a Bevy ``AssetPath`` in the reference — it names a
-mesh asset this framework cannot resolve, so it imports as a warning and
-exports as ``None``.
+``EffectAsset.mesh`` is a Bevy ``AssetPath`` in the reference (asset.rs:335)
+— it names a mesh asset this framework cannot resolve, so the path is
+carried OPAQUELY on ``EffectAsset.mesh_asset_path``: a mesh-bearing
+reference file round-trips byte-identically (with a warning that the mesh
+itself renders as a quad unless a ``ParticleMesh`` is assigned).
 """
 
 from __future__ import annotations
@@ -1326,10 +1328,17 @@ def asset_from_ron(text: str):
 
     mesh = root.get("mesh")
     if mesh is not None and not (isinstance(mesh, Unit) and mesh.name == "None"):
+        # Option<AssetPath> (asset.rs:335): carried opaquely so the file
+        # round-trips byte-identically. Bevy meshes cannot be resolved
+        # here — pair with asset.with_mesh(ParticleMesh) for geometry.
+        path = _opt_from(mesh)
+        if not isinstance(path, str):
+            raise RonError(f"expected mesh: Some(\"<asset path>\"), got {mesh!r}")
+        asset.mesh_asset_path = path
         warn(
-            "EffectAsset.mesh names a Bevy mesh asset path; it cannot be "
-            "resolved here and was ignored — assign a ParticleMesh via "
-            "asset.with_mesh() instead"
+            f"EffectAsset.mesh names the Bevy mesh asset {path!r}; the path "
+            "is preserved for round-trips but cannot be resolved here — "
+            "assign renderable geometry via asset.with_mesh(ParticleMesh)"
         )
     return asset
 
@@ -1416,13 +1425,14 @@ def asset_to_ron(asset) -> str:
         ),
     )
 
-    if asset.mesh is not None:
+    if asset.mesh is not None and asset.mesh_asset_path is None:
         from .utils.diag import warn_once
 
         warn_once(
             "ron-export-mesh",
             "RON export: ParticleMesh does not map to a Bevy mesh asset "
-            "path; exporting mesh: None",
+            "path; exporting mesh: None (set asset.mesh_asset_path to "
+            "emit a path)",
         )
 
     root = Rec(
@@ -1447,7 +1457,7 @@ def asset_to_ron(asset) -> str:
             ),
             ("module", module_rec),
             ("alpha_mode", am_v),
-            ("mesh", Unit("None")),
+            ("mesh", _opt_to(asset.mesh_asset_path)),
         ),
     )
     return dumps(root) + "\n"

@@ -98,6 +98,9 @@ class EffectInstance:
     # opts out of per-camera raster culling (WhenVisible assets still get
     # simulation gating with the default pad).
     cull_pad: Optional[float] = None
+    # explicit capacity passed to add() (None = asset.capacity); kept so a
+    # hot-reload that doesn't touch asset.capacity preserves the override
+    capacity_override: Optional[int] = None
 
     def alive_count(self) -> int:
         return int(self.pool.alive_count())
@@ -132,6 +135,17 @@ class HanabiScene:
         from ..utils.profiling import DebugSettings
 
         self.debug = DebugSettings()
+        # Hot-reload policy for live EffectAsset edits (the reference's
+        # compile_effects change detection + rebuild, lib.rs:1703-1838):
+        # * "eager" (default): every update/chunk/render entry point checks
+        #   each distinct live asset for drift (~0.3 ms host JSON per
+        #   distinct asset) and recompiles drifted effects immediately —
+        #   the next frame runs the new definition, like the reference.
+        # * "periodic": drift checks ride the rotating footgun batch (every
+        #   asset within ~120 frames) — bounded host cost for scenes with
+        #   very many distinct assets.
+        # * "off": never recompile; drift only warns (pre-r5 behavior).
+        self.hot_reload = "eager"
 
     # -- authoring-world API ------------------------------------------------
 
@@ -255,6 +269,7 @@ class HanabiScene:
                 dict(raster_override) if raster_override else None
             ),
             cull_pad=cull_pad,
+            capacity_override=capacity,
         )
         self._effects[name] = inst
         self._new_effect_added = True
@@ -349,6 +364,7 @@ class HanabiScene:
                 dict(raster_override) if raster_override else None
             ),
             "cull_pad": cull_pad,
+            "capacity_override": capacity,
         }
         self._new_effect_added = True
         return name
@@ -415,6 +431,7 @@ class HanabiScene:
             "render_mode": render_mode,
             "compiled_signature": asset.signature(),
             "cull_pad": cull_pad,
+            "capacity_override": capacity,
         }
         self._new_effect_added = True
         return name
@@ -603,18 +620,23 @@ class HanabiScene:
                 if local:
                     # world box per instance: center through R|t, extents
                     # through |R| (exact for axis-aligned boxes under any
-                    # rigid/affine transform's envelope).
-                    boxes = []
-                    for k in range(mn.shape[0]):
-                        if not np.all(mn[k] <= mx[k]):
-                            continue  # no alive particles in this instance
-                        rot, t = tfs[k][:, :3], tfs[k][:, 3]
-                        c = rot @ ((mn[k] + mx[k]) * 0.5) + t
-                        e = np.abs(rot) @ ((mx[k] - mn[k]) * 0.5)
-                        boxes.append((c - e, c + e))
-                    if boxes:
-                        mn = np.min([b[0] for b in boxes], axis=0)
-                        mx = np.max([b[1] for b in boxes], axis=0)
+                    # rigid/affine transform's envelope). Vectorized over
+                    # the K instances (a host loop here is O(K)/frame);
+                    # instances with no alive particles mask out.
+                    has = np.all(mn <= mx, axis=1)  # [K]
+                    if np.any(has):
+                        rot, t = tfs[:, :, :3], tfs[:, :, 3]  # [K,3,3],[K,3]
+                        c = (
+                            np.einsum("kij,kj->ki", rot, (mn + mx) * 0.5) + t
+                        )
+                        e = np.einsum(
+                            "kij,kj->ki", np.abs(rot), (mx - mn) * 0.5
+                        )
+                        big = np.float32(3.0e38)
+                        lo = np.where(has[:, None], c - e, big)
+                        hi = np.where(has[:, None], c + e, -big)
+                        mn = lo.min(axis=0)
+                        mx = hi.max(axis=0)
                     else:
                         mn = np.full(3, 3.0e38, np.float32)
                         mx = -mn
@@ -676,6 +698,248 @@ class HanabiScene:
             )
         }
 
+    # -- hot reload (≈ compile_effects change detection, lib.rs:1703-1838) ---
+
+    def apply_asset_changes(self, name: Optional[str] = None) -> List[str]:
+        """Detect live ``EffectAsset`` edits and recompile the affected
+        effects/groups — the analogue of the reference's ``compile_effects``
+        rebuilding shaders + pipelines when an asset changes
+        (lib.rs:1703-1838, change detection :1789-1794) and of
+        ``update_properties_from_asset`` re-syncing property declarations
+        (lib.rs:1853).
+
+        Semantics per drifted entity:
+
+        * spawner-only edits retarget the live spawner state without a
+          recompile (group spawner banks rebuild, resetting cycle state);
+        * the particle pool is KEPT when the particle layout and capacity
+          are unchanged; a layout-only change migrates it (intersecting
+          attributes carry over, new ones take defaults, alive particles
+          survive); a capacity change resets the pool;
+        * properties re-sync (instance-set values persist for properties
+          that still exist with the same type);
+        * renderers and the whole-scene jitted caches invalidate, and the
+          change cascades to descendants of a recompiled parent (their
+          compiled step depends on the parent's layout / channel constants
+          — unaffected ones no-op through the compile cache).
+
+        With ``hot_reload == "eager"`` (default) this runs automatically at
+        every update/chunk/render entry point; call it directly for
+        immediate effect under other policies. Returns the names actually
+        recompiled (or spawner-retargeted).
+        """
+        sig_memo: Dict[int, Any] = {}
+
+        def sig_of(asset):
+            s = sig_memo.get(id(asset))
+            if s is None:
+                s = asset.signature()
+                sig_memo[id(asset)] = s
+            return s
+
+        if name is not None:
+            if name in self._effects:
+                eff_names, grp_names = [name], []
+            elif name in self._groups:
+                eff_names, grp_names = [], [name]
+            else:
+                raise KeyError(f"unknown effect {name!r}")
+        else:
+            eff_names, grp_names = list(self._order), list(self._groups)
+
+        drifted = {
+            n
+            for n in eff_names
+            if self._effects[n].compiled_signature is not None
+            and sig_of(self._effects[n].asset)
+            != self._effects[n].compiled_signature
+        }
+        changed: List[str] = []
+        if drifted:
+            # scene order keeps parents first; a recompiled parent cascades
+            # to its subtree (layout / channel-const / payload deps) —
+            # unaffected descendants no-op through the fx cache
+            cascade = set(drifted)
+            for n in self._order:
+                inst = self._effects[n]
+                if inst.parent is not None and inst.parent in cascade:
+                    cascade.add(n)
+            for n in self._order:
+                if n in cascade and self._recompile_effect(
+                    n, sig_of(self._effects[n].asset)
+                ):
+                    changed.append(n)
+        for gname in grp_names:
+            g = self._groups[gname]
+            sig = sig_of(g["asset"])
+            if (
+                g.get("compiled_signature") is not None
+                and sig != g["compiled_signature"]
+            ):
+                self._recompile_group(gname, sig)
+                changed.append(gname)
+        return changed
+
+    def _recompile_effect(self, name: str, new_sig) -> bool:
+        import json as _json
+
+        inst = self._effects[name]
+        asset = inst.asset
+        old_sig = inst.compiled_signature
+        if new_sig != old_sig:
+            old_js = _json.loads(old_sig[3])
+            new_js = _json.loads(new_sig[3])
+            if inst.spawner is not None and old_js.get("spawner") != new_js.get(
+                "spawner"
+            ):
+                inst.spawner.retarget(asset.spawner)
+            changed_keys = {
+                k
+                for k in set(old_js) | set(new_js)
+                if old_js.get(k) != new_js.get(k)
+            }
+            if changed_keys <= {"spawner"} and new_sig[:3] == old_sig[:3]:
+                # spawner-only edit: host-side state retargeted above, the
+                # compiled step is untouched
+                inst.compiled_signature = new_sig
+                return True
+        parent_layout = None
+        parent_const = None
+        if inst.parent is not None:
+            p = self._effects[inst.parent]
+            parent_layout = p.asset.particle_layout()
+            parent_const = p.asset.channel_const_count(inst.child_channel)
+            if p.fx.mesh is not None:
+                parent_const = None  # sharded parents: gap-separated buffer
+        new_fx = CompiledEffect.get(
+            asset,
+            parent_layout=parent_layout,
+            parent_const_count=parent_const,
+            payload_attrs=inst.fx.payload_attrs,
+            mesh=inst.fx.mesh,
+        )
+        layout_changed = new_sig[2] != old_sig[2]
+        if asset.capacity != old_sig[1]:
+            new_cap = asset.capacity  # asset capacity edit wins the override
+        else:
+            new_cap = inst.capacity_override or inst.pool.capacity
+        pool_changed = layout_changed or new_cap != inst.pool.capacity
+        if new_fx is inst.fx and not pool_changed and new_sig == old_sig:
+            return False  # cascade no-op: nothing this effect compiles on changed
+        events_compatible = (
+            not layout_changed
+            and not pool_changed
+            and new_fx.payload_attrs == inst.fx.payload_attrs
+        )
+        if pool_changed:
+            inst.pool = self._migrate_pool(inst.pool, new_fx, new_cap)
+        inst.fx = new_fx
+        if not events_compatible:
+            inst.last_events = {}
+        inst.renderer = None
+        inst.compiled_signature = new_sig
+        inst.properties.resync(
+            [Property(n, v) for n, v in asset.module.properties().items()]
+        )
+        self._family_jit = {
+            k: v for k, v in self._family_jit.items() if name not in k
+        }
+        # whole-scene executables close over the old fx objects; their keys
+        # (which embed asset signatures) can never hit again — drop them
+        self._scene_chunk_jit.clear()
+        if inst.parent is not None:
+            # the child's inherited attributes may have changed: refresh the
+            # parent's event-payload capture union
+            self._restrict_parent_payload(inst.parent)
+        return True
+
+    @staticmethod
+    def _migrate_pool(old: ParticlePool, fx, new_cap: int) -> ParticlePool:
+        """Layout-changed pool migration: same capacity keeps alive/seed/
+        counter and every intersecting attribute (new attributes take their
+        defaults); a capacity change resets the pool."""
+        new = fx.create_pool(new_cap)
+        if old.alive.shape != new.alive.shape:
+            return new
+        attrs = dict(new.attrs)
+        for k, v in new.attrs.items():
+            ov = old.attrs.get(k)
+            if ov is not None and ov.shape == v.shape and ov.dtype == v.dtype:
+                attrs[k] = ov
+        return ParticlePool(
+            attrs=attrs, alive=old.alive, seed=old.seed, counter=old.counter
+        )
+
+    def _recompile_group(self, gname: str, new_sig) -> None:
+        import json as _json
+
+        g = self._groups[gname]
+        asset = g["asset"]
+        old_sig = g["compiled_signature"]
+        old_js = _json.loads(old_sig[3])
+        new_js = _json.loads(new_sig[3])
+        if old_js.get("spawner") != new_js.get("spawner"):
+            # group spawners are a vectorized bank; rebuild with the new
+            # settings (cycle state resets — per-instance retargeting would
+            # need per-lane carry the native bank doesn't expose)
+            from ..spawn import make_spawner_bank
+
+            g["bank"] = make_spawner_bank(
+                asset.spawner,
+                g["fx"].num_instances,
+                seed=int(self._rng.integers(0, 2**63)),
+            )
+        changed_keys = {
+            k
+            for k in set(old_js) | set(new_js)
+            if old_js.get(k) != new_js.get(k)
+        }
+        if changed_keys <= {"spawner"} and new_sig[:3] == old_sig[:3]:
+            g["compiled_signature"] = new_sig
+            return
+        count = g["fx"].num_instances
+        layout_changed = new_sig[2] != old_sig[2]
+        old_cap = int(g["pools"].alive.shape[-1])
+        if asset.capacity != old_sig[1]:
+            new_cap = asset.capacity
+        else:
+            new_cap = g.get("capacity_override") or old_cap
+        if g.get("sharded"):
+            from ..parallel.mesh import ShardedEffect
+
+            fx = ShardedEffect(asset, count, g["fx"].mesh, new_cap)
+        else:
+            from .instanced import InstancedEffect
+
+            fx = InstancedEffect(asset, count, new_cap)
+        old_pools = g["pools"]
+        g["fx"] = fx
+        if layout_changed or new_cap != old_cap:
+            new_pools = fx.create_pools()
+            if new_cap == old_cap:
+                attrs = dict(new_pools.attrs)
+                for k, v in new_pools.attrs.items():
+                    ov = old_pools.attrs.get(k)
+                    if (
+                        ov is not None
+                        and ov.shape == v.shape
+                        and ov.dtype == v.dtype
+                    ):
+                        attrs[k] = ov
+                new_pools = ParticlePool(
+                    attrs=attrs,
+                    alive=old_pools.alive,
+                    seed=old_pools.seed,
+                    counter=old_pools.counter,
+                )
+            g["pools"] = new_pools
+        g["renderer"] = None
+        g["properties"].resync(
+            [Property(n, v) for n, v in asset.module.properties().items()]
+        )
+        g["compiled_signature"] = new_sig
+        self._scene_chunk_jit.clear()
+
     # -- per-frame update (≈ tick_spawners + simulate()) ---------------------
 
     def update(self, dt: float, cameras=None) -> None:
@@ -691,6 +955,8 @@ class HanabiScene:
         import time as _time
 
         _t0 = _time.perf_counter()
+        if self.hot_reload == "eager":
+            self.apply_asset_changes()
         self.debug.on_frame_start(self._new_effect_added)
         self._new_effect_added = False
         if cameras is not None and not isinstance(cameras, (list, tuple)):
@@ -786,9 +1052,11 @@ class HanabiScene:
     def _check_footguns(self) -> None:
         """Cheap periodic checks for the classic perf footguns.
 
-        1. Asset drift: mutating a live instance's EffectAsset after add()
-           does NOT recompile here (the reference invalidates + recompiles
-           and warns, lib.rs:1796); warn so the silent no-op is visible.
+        1. Asset drift: under ``hot_reload == "periodic"`` the rotating
+           batch below RECOMPILES drifted effects (every live asset is
+           checked within ~120 frames); under ``"off"`` it only warns
+           (the reference invalidates + recompiles and warns, lib.rs:1796).
+           Eager mode already applied changes before this runs.
         2. Jit-cache churn: a new compiled variant appearing frame after
            frame means something in a render/step signature changes every
            frame — each entry is a multi-second XLA compile on TPU.
@@ -813,14 +1081,18 @@ class HanabiScene:
             for k in range(batch):
                 name, asset, sig = entities[(tick * batch + k) % len(entities)]
                 if sig is not None and asset.signature() != sig:
-                    warn_once(
-                        f"asset-drift:{name}",
-                        f"effect {name!r}: EffectAsset was modified after "
-                        "add(); the compiled effect still runs the OLD "
-                        "definition. Remove and re-add the instance to "
-                        "apply changes (reference recompiles here, "
-                        "lib.rs:1796).",
-                    )
+                    if self.hot_reload == "off":
+                        warn_once(
+                            f"asset-drift:{name}",
+                            f"effect {name!r}: EffectAsset was modified "
+                            "after add(); the compiled effect still runs "
+                            "the OLD definition (hot_reload='off'). Call "
+                            "apply_asset_changes() or remove and re-add "
+                            "the instance (reference recompiles here, "
+                            "lib.rs:1796).",
+                        )
+                    elif name in self._effects or name in self._groups:
+                        self.apply_asset_changes(name)
         cache_size = (
             len(self._family_jit)
             + len(self._batch_render_jit)
@@ -1033,6 +1305,8 @@ class HanabiScene:
         before each frame's inputs are captured (animate properties /
         transforms within the chunk).
         """
+        if self.hot_reload == "eager":
+            self.apply_asset_changes()
         (
             active_effects,
             active_groups,
@@ -1317,6 +1591,8 @@ class HanabiScene:
 
         from ..render.raster import RasterConfig
 
+        if self.hot_reload == "eager":
+            self.apply_asset_changes()
         cams = (
             list(camera) if isinstance(camera, (list, tuple)) else None
         )
@@ -1797,6 +2073,8 @@ class HanabiScene:
 
         from ..render.raster import RasterConfig
 
+        if self.hot_reload == "eager":
+            self.apply_asset_changes()
         cameras = list(cameras)
         if not cameras:
             raise ValueError("render_views needs at least one camera")
@@ -1947,6 +2225,8 @@ class HanabiScene:
         from ..render.renderer import EffectRenderer
         from ..render.raster import RasterConfig
 
+        if self.hot_reload == "eager":
+            self.apply_asset_changes()
         vw, vh = camera.viewport
         if background is None:
             background = (

@@ -163,6 +163,21 @@ class EffectSpawner:
         self.spawn_count = 0
         self.completed_cycle_count = 0
 
+    def retarget(self, settings: SpawnerSettings) -> None:
+        """Swap in new settings from a hot-reloaded asset without losing
+        runtime state: the fractional remainder, completed-cycle count,
+        RNG stream, and active flag carry over; the current cycle's
+        sampled values are discarded so the new settings take effect at
+        the next tick instead of after the old cycle drains. (The
+        reference keeps EffectSpawner state across compile_effects too —
+        the component outlives asset edits.)"""
+        self.settings = settings
+        self.cycle_time = 0.0
+        self.sampled_period = 0.0
+        self.sampled_spawn_duration = 0.0
+        self.sampled_count = 0.0
+        self.spawn_count = 0
+
     # -- tick (spawn.rs:838-921, mirrored control flow) --------------------
 
     def tick(self, dt: float) -> int:

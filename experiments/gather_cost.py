@@ -78,7 +78,9 @@ def main():
     def stepw(c):
         wi, acc = c
         out = data[perm[wi]]
-        return jnp.roll(wi, 1), acc + out[0, 0]
+        # consume the ENTIRE gathered block: reducing only out[0,0] lets
+        # XLA legally shrink the gather to one element, under-measuring it
+        return jnp.roll(wi, 1), acc + jnp.sum(out)
 
     ms = timeit_chained(stepw, (widx, jnp.float32(0)))
     print(f"window gather {w} rows of [N,10] via remap: {ms:7.3f} ms",

@@ -1043,7 +1043,9 @@ def test_scene_stats_and_diagnostics(caplog):
     assert s["effects"]["rocket"]["capacity"] == 256
     assert s["total_alive"] == sum(e["alive"] for e in s["effects"].values())
 
-    # asset drift: mutate the live asset -> warning at the next 30th frame
+    # asset drift under hot_reload="off": warning at the next 30th frame
+    # (the default "eager" policy recompiles instead — tests/test_hot_reload.py)
+    scene.hot_reload = "off"
     with caplog.at_level(logging.WARNING, logger="bevy_hanabi_tpu"):
         scene["rocket"].asset.with_simulation_space(
             scene["rocket"].asset.simulation_space
@@ -1114,6 +1116,7 @@ def test_group_asset_drift_warns_within_120_frames(caplog):
 
     reset_warn_once()
     scene = HanabiScene(seed=4)
+    scene.hot_reload = "off"  # warn-only drift handling
     # several effects so the rotating batch actually has to cover a set
     for i in range(3):
         scene.add(instancing_effect(capacity=64), f"fx{i}")
