@@ -124,3 +124,13 @@ class ShardedEffect(InstancedEffect):
             return super().step_chunk(
                 pools, self.shard_inputs_stacked(inputs_stacked), sims_stacked
             )
+
+    def step_checked(self, pools: ParticlePool, inputs: StepInputs, sim: SimParams):
+        with self.mesh:
+            return super().step_checked(pools, inputs, sim)
+
+    def step_chunk_checked(self, pools: ParticlePool, inputs_stacked, sims_stacked):
+        with self.mesh:
+            return super().step_chunk_checked(
+                pools, self.shard_inputs_stacked(inputs_stacked), sims_stacked
+            )

@@ -213,9 +213,10 @@ class CompiledEffect:
         self._jit_step = jax.jit(self._step, donate_argnums=(0,))
         self._jit_step_chunk = jax.jit(self._step_chunk, donate_argnums=(0,))
         self._jit_render_chunk: Dict[Any, Any] = {}
-        # checkify-instrumented step, built lazily on first validated use
-        # (DebugSettings.validate) — zero cost when validation is off
+        # checkify-instrumented executables, built lazily on first validated
+        # use (DebugSettings.validate) — zero cost when validation is off
         self._jit_step_checked = None
+        self._jit_step_chunk_checked = None
 
     # -- pool ------------------------------------------------------------
 
@@ -321,6 +322,29 @@ class CompiledEffect:
             raise ValueError("step_chunk does not support event-linked effects")
         return self._jit_step_chunk(pool, inputs_stacked, sims_stacked)
 
+    def step_chunk_checked(self, pool, inputs_stacked, sims_stacked):
+        """K-frame chunk through a checkify-instrumented scan (see
+        :meth:`step_checked`): checkify composes with ``lax.scan``, so a
+        poison read or bad index raises at the offending chunk instead of
+        silently corrupting K frames. Separate executable, no donation —
+        use only under ``DebugSettings.validate``."""
+        if self.num_event_channels or self.consumes_events:
+            raise ValueError("step_chunk does not support event-linked effects")
+        if self._jit_step_chunk_checked is None:
+            from jax.experimental import checkify
+
+            self._jit_step_chunk_checked = jax.jit(
+                checkify.checkify(
+                    self._step_chunk,
+                    errors=checkify.index_checks | checkify.float_checks,
+                )
+            )
+        err, out = self._jit_step_chunk_checked(
+            pool, inputs_stacked, sims_stacked
+        )
+        err.throw()
+        return out
+
     def _step_chunk(self, pool, inputs_stacked, sims_stacked):
         def body(p, per_frame):
             inputs, sim = per_frame
@@ -409,7 +433,7 @@ class CompiledEffect:
         return fn(pool, inputs_stacked, sims_stacked, camera, tuple(textures))
 
     @staticmethod
-    def make_family_chunk_step(members):
+    def make_family_chunk_step(members, checked: bool = False):
         """Build a jitted K-frame scan over an event-linked effect tree.
 
         ``members``: topologically ordered (parents first) sequence of
@@ -426,6 +450,10 @@ class CompiledEffect:
         so an arbitrary-depth tree advances K frames in ONE device dispatch.
         Members inherit from event payloads, never from live parent pools,
         which is what makes the fused scan legal.
+
+        ``checked=True`` returns a checkify-instrumented variant (index
+        bounds + NaN/Inf traps through the whole family scan, no
+        donation) for ``DebugSettings.validate``.
         """
         fxs = tuple(m[0] for m in members)
         parent_idx = tuple(m[1] for m in members)
@@ -450,6 +478,22 @@ class CompiledEffect:
             (pools, pendings), _ = jax.lax.scan(body, carry, (member_inputs, sims))
             return pools, pendings
 
+        if checked:
+            from jax.experimental import checkify
+
+            cfn = jax.jit(
+                checkify.checkify(
+                    fam_chunk,
+                    errors=checkify.index_checks | checkify.float_checks,
+                )
+            )
+
+            def checked_fn(carry, member_inputs, sims):
+                err, out = cfn(carry, member_inputs, sims)
+                err.throw()
+                return out
+
+            return checked_fn
         return jax.jit(fam_chunk, donate_argnums=(0,))
 
     @staticmethod

@@ -112,6 +112,53 @@ class InstancedEffect:
         """Advance all instances one frame; returns (pools, events_out)."""
         return self._jit_step(pools, inputs, sim)
 
+    def _vstep(self):
+        return jax.vmap(
+            lambda pool, inputs, sim: self.effect._step(
+                pool, inputs, sim, None, None
+            ),
+            in_axes=(0, 0, None),
+        )
+
+    def step_checked(self, pools: ParticlePool, inputs: StepInputs, sim: SimParams):
+        """Vmapped step through a checkify-instrumented executable (index
+        bounds + NaN/Inf traps; see CompiledEffect.step_checked). No
+        donation — use only under ``DebugSettings.validate``."""
+        if not hasattr(self, "_jit_step_checked"):
+            from jax.experimental import checkify
+
+            self._jit_step_checked = jax.jit(
+                checkify.checkify(
+                    self._vstep(),
+                    errors=checkify.index_checks | checkify.float_checks,
+                )
+            )
+        err, out = self._jit_step_checked(pools, inputs, sim)
+        err.throw()
+        return out
+
+    def step_chunk_checked(self, pools: ParticlePool, inputs_stacked, sims_stacked):
+        """Checkified K-frame x I-instance chunk (scan over vmap)."""
+        if not hasattr(self, "_jit_chunk_checked"):
+            from jax.experimental import checkify
+
+            vm = self._vstep()
+
+            def body(p, per_frame):
+                inputs, sim = per_frame
+                new_p, _ = vm(p, inputs, sim)
+                return new_p, None
+
+            self._jit_chunk_checked = jax.jit(
+                checkify.checkify(
+                    lambda p, ii, ss: jax.lax.scan(body, p, (ii, ss))[0],
+                    errors=checkify.index_checks | checkify.float_checks,
+                )
+            )
+        err, out = self._jit_chunk_checked(pools, inputs_stacked, sims_stacked)
+        err.throw()
+        return out
+
     def step_chunk(self, pools: ParticlePool, inputs_stacked, sims_stacked):
         """K frames x I instances in ONE dispatch (lax.scan over vmap).
 

@@ -441,8 +441,21 @@ class HanabiScene:
         return int(g["fx"].total_alive(g["pools"]))
 
     def _group_flat_pool(self, g) -> ParticlePool:
-        """View a group's [I, N, ...] pools as one flat pool for rendering."""
-        return g["pools"].flatten(composite_ribbon_ids=True)
+        """View a group's [I, N, ...] pools as one flat pool for rendering.
+
+        Sharded groups replicate first (one all_gather over ICI) so the
+        flat view — and anything downstream like the painter's global
+        sort — runs the identical single-device algorithm bit-exactly
+        (same rationale as the sharded-instance gather in render())."""
+        pools = g["pools"]
+        if g.get("sharded"):
+            import jax as _jax
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            pools = _jax.device_put(
+                pools, NamedSharding(g["fx"].mesh, PartitionSpec())
+            )
+        return pools.flatten(composite_ribbon_ids=True)
 
     def remove(self, name: str) -> None:
         if name in self._groups:
@@ -644,6 +657,16 @@ class HanabiScene:
                     mn, mx = mn.min(axis=0), mx.max(axis=0)
                 mn = np.minimum(mn, em.min(axis=0)) - pad
                 mx = np.maximum(mx, em.max(axis=0)) + pad
+                if self.debug.validate and (
+                    np.isnan(mn).any() or np.isnan(mx).any()
+                ):
+                    raise FloatingPointError(
+                        f"debug validation: effect {n!r} has a nan pool "
+                        "AABB — an alive lane carries a non-finite "
+                        "position (poison read or bad init/update "
+                        "expression); without validation this would "
+                        "silently frustum-cull the effect"
+                    )
                 cache[n] = (mn, mx)
         self._aabb_cache = cache
         self._aabb_frame = self._frame
@@ -697,6 +720,45 @@ class HanabiScene:
                 aabb_in_frustum(p, aabbs[n][0], aabbs[n][1]) for p in planes
             )
         }
+
+    def _per_view_visibility(self, cameras, insts, groups):
+        """Per-camera visibility masks for multi-view rendering
+        (render_views / multi-view chunks): bool [V, n_effects] and
+        [V, n_groups] rows, one per camera, True where the entity's padded
+        AABB meets THAT camera's frustum (the reference's per-view
+        RenderVisibleEntities, render/mod.rs:5580-5600). Entities not
+        participating in culling stay visible in every view; an
+        all-False column is normally already excluded from the plan by
+        the union-culling step. Masks AND into the draw alive masks
+        inside the vmapped frame, so shapes stay static per view."""
+        from ..render.camera import aabb_in_frustum, frustum_planes
+
+        planes = [frustum_planes(c) for c in cameras]
+        aabbs = self._refresh_aabbs()
+
+        def participates(asset, pad):
+            if pad is not None:
+                return True
+            return (
+                asset.simulation_condition
+                is SimulationCondition.WHEN_VISIBLE
+                and self._frustum_sim
+            )
+
+        def row(name, asset, pad):
+            if not participates(asset, pad) or name not in aabbs:
+                return [True] * len(planes)
+            mn, mx = aabbs[name]
+            return [bool(aabb_in_frustum(p, mn, mx)) for p in planes]
+
+        vis_eff = np.asarray(
+            [row(i.name, i.asset, i.cull_pad) for i in insts], np.bool_
+        ).reshape(len(insts), len(planes)).T  # [V, n_eff]
+        vis_grp = np.asarray(
+            [row(g["name"], g["asset"], g.get("cull_pad")) for g in groups],
+            np.bool_,
+        ).reshape(len(groups), len(planes)).T  # [V, n_grp]
+        return vis_eff, vis_grp
 
     # -- hot reload (≈ compile_effects change detection, lib.rs:1703-1838) ---
 
@@ -1043,7 +1105,10 @@ class HanabiScene:
             )
             if g.get("sharded"):
                 inputs = g["fx"].shard_inputs(inputs)
-            g["pools"], _ = g["fx"].step(g["pools"], inputs, sim)
+            gstep = (
+                g["fx"].step_checked if self.debug.validate else g["fx"].step
+            )
+            g["pools"], _ = gstep(g["pools"], inputs, sim)
         self.debug.on_frame_end()
         self.last_frame_ms = (_time.perf_counter() - _t0) * 1000.0
 
@@ -1315,19 +1380,25 @@ class HanabiScene:
             per_group_inputs,
             sims,
         ) = self._collect_chunk_inputs(frames, dt, on_frame)
+        validate = self.debug.validate
         family_members = {n for mem in families.values() for n in mem}
         for name in active_effects:
             if name in family_members:
                 continue
             inst = self._effects[name]
             ii, ss = CompiledEffect.stack_frames(per_effect_inputs[name], sims)
-            inst.pool = inst.fx.step_chunk(inst.pool, ii, ss)
+            chunk_fn = (
+                inst.fx.step_chunk_checked if validate else inst.fx.step_chunk
+            )
+            inst.pool = chunk_fn(inst.pool, ii, ss)
 
         # Event trees: one fused scan per tree (members in topo order)
         for rname, names in families.items():
             insts = [self._effects[n] for n in names]
             index = {n: i for i, n in enumerate(names)}
-            key = tuple(names)
+            # the "##checked" sentinel can never collide with an effect
+            # name's membership test in the cache-invalidation paths
+            key = tuple(names) + (("##checked",) if validate else ())
             fam_fn = self._family_jit.get(key)
             if fam_fn is None:
                 fam_fn = CompiledEffect.make_family_chunk_step(
@@ -1338,7 +1409,8 @@ class HanabiScene:
                             inst.child_channel,
                         )
                         for inst in insts
-                    ]
+                    ],
+                    checked=validate,
                 )
                 self._family_jit[key] = fam_fn
             stacked = [
@@ -1372,18 +1444,24 @@ class HanabiScene:
                 lambda *xs: _jnp.stack([_jnp.asarray(x, _jnp.float32) for x in xs]),
                 *sims,
             )
-            g["pools"] = g["fx"].step_chunk(g["pools"], ii, ss)
+            gchunk = (
+                g["fx"].step_chunk_checked if validate else g["fx"].step_chunk
+            )
+            g["pools"] = gchunk(g["pools"], ii, ss)
 
     @staticmethod
     def _painter_ok(asset, textures, raster_override, sharded=False):
         """Can this effect/group join the unified painter pass?  Ribbon
-        segments and expanded mesh triangles concatenate fine, and
-        textured effects (any layer count) merge through the painter
-        texture atlas (per-entry, per-layer tex id/size/mapping columns).
-        Only per-effect raster overrides (a different tile grid cannot
-        share a pass) and sharded pools (their entries live on other
-        devices) keep their own passes."""
-        return not (raster_override or sharded)
+        segments and expanded mesh triangles concatenate fine, textured
+        effects (any layer count) merge through the painter texture atlas
+        (per-entry, per-layer tex id/size/mapping columns), and SHARDED
+        pools join with gather semantics — the flat draw set replicates
+        (one all_gather over ICI, the cost the reference's single-GPU
+        draw pays implicitly) so the global back-to-front sort interleaves
+        sharded and unsharded entries exactly. Only per-effect raster
+        overrides (a different tile grid cannot share a pass) keep their
+        own passes."""
+        return not raster_override
 
     def _scene_render_plan(
         self, insts, groups, camera, pipeline="auto", culled=frozenset()
@@ -1528,8 +1606,8 @@ class HanabiScene:
                 raise ValueError(
                     "pipeline='painter' requires every visible effect/group "
                     "to be painter-eligible (no per-effect raster "
-                    "overrides or sharded pools) — use 'auto' to "
-                    "fall back to the split pipeline automatically"
+                    "overrides) — use 'auto' to fall back to the split "
+                    "pipeline automatically"
                 )
             n_passes = len(opaque_passes) + len(transp_passes)
             if eligible and (pipeline == "painter" or n_passes >= 2):
@@ -1672,6 +1750,7 @@ class HanabiScene:
             transp_passes,
             config,
             scene_depth is not None,
+            self.debug.validate,
         )
         fn = self._scene_chunk_jit.get(key)
         self._note_chunk_cache(fn is not None)
@@ -1679,6 +1758,7 @@ class HanabiScene:
             fn = self._build_scene_chunk(
                 insts, groups, opaque_passes, transp_passes, config,
                 n_views=len(cams) if cams is not None else 0,
+                checked=self.debug.validate,
             )
             self._scene_chunk_jit[key] = fn
 
@@ -1737,10 +1817,13 @@ class HanabiScene:
             camera_arg = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *cams
             )
+            vis_eff, vis_grp = self._per_view_visibility(cams, insts, groups)
         else:
             camera_arg = camera
+            vis_eff = vis_grp = None
         (pools, pendings, gpools, image), sums = fn(
-            carry, member_inputs, g_ins, ss, camera_arg, scene_depth, bg_vec
+            carry, member_inputs, g_ins, ss, camera_arg, scene_depth, bg_vec,
+            vis_eff, vis_grp,
         )
         for inst, pool, pend in zip(insts, pools, pendings):
             inst.pool = pool
@@ -1808,7 +1891,18 @@ class HanabiScene:
             img, depth = out if write_depth else (out, depth_in)
             return composite_by_mode(img, fb, kind), depth
 
-        def effect_draw(i, pool, inputs, sim, camera):
+        def mask_vis(draw, vis, i):
+            # per-view culling: zero the alive mask for views this entity
+            # is outside of (shapes stay static under the camera vmap)
+            if vis is None:
+                return draw
+            import dataclasses as _dc
+
+            return _dc.replace(
+                draw, alive=jnp.logical_and(draw.alive, vis[i])
+            )
+
+        def effect_draw(i, pool, inputs, sim, camera, vis=None):
             asset = assets[i]
             draw = extract_draw_data(
                 asset,
@@ -1819,6 +1913,7 @@ class HanabiScene:
                 textures=list(eff_texs[i]),
                 transform=inputs.transform,
             )
+            draw = mask_vis(draw, vis, i)
             if asset.particle_layout().contains("ribbon_id"):
                 from ..render.ribbon import build_ribbon_segments
 
@@ -1829,7 +1924,7 @@ class HanabiScene:
                 draw = expand_mesh_draw(draw, asset.mesh)
             return draw
 
-        def group_draw(gi, gpool, g_in, sim, camera):
+        def group_draw(gi, gpool, g_in, sim, camera, vis=None):
             asset = g_assets[gi]
             props0 = jax.tree_util.tree_map(
                 lambda x: x[0], g_in.properties
@@ -1842,6 +1937,7 @@ class HanabiScene:
                 properties=props0,
                 textures=list(g_texs[gi]),
             )
+            draw = mask_vis(draw, vis, gi)
             if asset.particle_layout().contains("ribbon_id"):
                 from ..render.ribbon import build_ribbon_segments
 
@@ -1852,16 +1948,20 @@ class HanabiScene:
                 draw = expand_mesh_draw(draw, asset.mesh)
             return draw
 
-        def batch_draws(idxs, pools, m_ins, sim, camera):
+        def batch_draws(idxs, pools, m_ins, sim, camera, vis=None):
             draws = [
-                extract_draw_data(
-                    assets[i],
-                    pools[i],
-                    camera,
-                    sim=sim,
-                    properties=m_ins[i].properties,
-                    textures=[],
-                    transform=m_ins[i].transform,
+                mask_vis(
+                    extract_draw_data(
+                        assets[i],
+                        pools[i],
+                        camera,
+                        sim=sim,
+                        properties=m_ins[i].properties,
+                        textures=[],
+                        transform=m_ins[i].transform,
+                    ),
+                    vis,
+                    i,
                 )
                 for i in idxs
             ]
@@ -1893,7 +1993,7 @@ class HanabiScene:
             )
 
         def painter_concat(idxs, gidxs, pools, gpools, m_ins, g_ins_t,
-                           sim, camera):
+                           sim, camera, vis_eff=None, vis_grp=None):
             """Concatenate every painter-eligible effect/group into ONE
             draw set with per-entry blend-mode ids (and mask cutoffs) for
             the unified painter pass (alpha_mode="scene"). Ribbon effects
@@ -1904,24 +2004,27 @@ class HanabiScene:
             draws, kinds, texs = [], [], []
             for i in idxs:
                 draws.append(
-                    effect_draw(i, pools[i], m_ins[i], sim, camera)
+                    effect_draw(i, pools[i], m_ins[i], sim, camera, vis_eff)
                 )
                 kinds.append(assets[i].alpha_mode.kind)
                 texs.append(eff_texs[i])
             for gi in gidxs:
                 draws.append(
-                    group_draw(gi, gpools[gi], g_ins_t[gi], sim, camera)
+                    group_draw(
+                        gi, gpools[gi], g_ins_t[gi], sim, camera, vis_grp
+                    )
                 )
                 kinds.append(g_assets[gi].alpha_mode.kind)
                 texs.append(g_texs[gi])
             return concat_painter_draws(draws, kinds, textures_per_draw=texs)
 
         def run_pass(p, pools, gpools, m_ins, g_ins_t, sim, camera, fb,
-                     depth_in, write_depth):
+                     depth_in, write_depth, vis_eff=None, vis_grp=None):
             tag = p[0]
             if tag == "painter":
                 draw = painter_concat(
-                    p[1], p[2], pools, gpools, m_ins, g_ins_t, sim, camera
+                    p[1], p[2], pools, gpools, m_ins, g_ins_t, sim, camera,
+                    vis_eff, vis_grp,
                 )
                 img = rasterize(
                     draw, camera, config, alpha_mode="scene", textures=[],
@@ -1931,25 +2034,25 @@ class HanabiScene:
             kind = p[2]
             if tag == "eff":
                 i = p[1]
-                draw = effect_draw(i, pools[i], m_ins[i], sim, camera)
+                draw = effect_draw(i, pools[i], m_ins[i], sim, camera, vis_eff)
                 return raster_draw(
                     assets[i], draw, camera, kind, eff_texs[i], fb,
                     depth_in, write_depth, base_cfg=eff_cfgs[i],
                 )
             if tag == "batch":
-                draw = batch_draws(p[1], pools, m_ins, sim, camera)
+                draw = batch_draws(p[1], pools, m_ins, sim, camera, vis_eff)
                 return raster_draw(
                     None, draw, camera, kind, (), fb, depth_in, write_depth
                 )
             gi = p[1]
-            draw = group_draw(gi, gpools[gi], g_ins_t[gi], sim, camera)
+            draw = group_draw(gi, gpools[gi], g_ins_t[gi], sim, camera, vis_grp)
             return raster_draw(
                 g_assets[gi], draw, camera, kind, g_texs[gi], fb,
                 depth_in, write_depth, base_cfg=g_cfgs[gi],
             )
 
         def render_frame(pools, gpools, m_ins, g_ins_t, sim, camera,
-                         scene_depth, bg_vec):
+                         scene_depth, bg_vec, vis_eff=None, vis_grp=None):
             fb = jnp.broadcast_to(
                 bg_vec, (config.height, config.width, 4)
             ).astype(jnp.float32)
@@ -1957,12 +2060,12 @@ class HanabiScene:
             for p in opaque_passes:
                 fb, depth_acc = run_pass(
                     p, pools, gpools, m_ins, g_ins_t, sim,
-                    camera, fb, depth_acc, True,
+                    camera, fb, depth_acc, True, vis_eff, vis_grp,
                 )
             for p in transp_passes:
                 fb, _ = run_pass(
                     p, pools, gpools, m_ins, g_ins_t, sim,
-                    camera, fb, depth_acc, False,
+                    camera, fb, depth_acc, False, vis_eff, vis_grp,
                 )
             return fb
 
@@ -1970,11 +2073,14 @@ class HanabiScene:
 
     def _build_scene_chunk(
         self, insts, groups, opaque_passes, transp_passes, config,
-        n_views: int = 0,
+        n_views: int = 0, checked: bool = False,
     ):
         """Build the jitted whole-scene K-frame step+render scan.
         ``n_views > 0``: ``camera`` is a stacked pytree and every frame
-        renders all views (vmapped), fb = [V, H, W, 4]."""
+        renders all views (vmapped), fb = [V, H, W, 4].
+        ``checked=True`` (DebugSettings.validate): the WHOLE scan — every
+        member step, group step, and raster pass — runs under checkify
+        (index bounds + NaN/Inf traps), no donation."""
         import jax
 
         render_frame = self._make_scene_frame_renderer(
@@ -1999,7 +2105,7 @@ class HanabiScene:
         ]
 
         def chunk_fn(carry, member_inputs, g_ins, sims, camera, scene_depth,
-                     bg_vec):
+                     bg_vec, vis_eff=None, vis_grp=None):
             def body(c, per_frame):
                 pools, pendings, gpools, _ = c
                 m_ins, g_ins_t, sim = per_frame
@@ -2022,12 +2128,14 @@ class HanabiScene:
                     new_gpools.append(gp)
                 # ---- render the fresh pools ----
                 if n_views:
+                    # per-view culling masks ride the camera vmap (frozen
+                    # for the chunk, like visibility)
                     fb = jax.vmap(
-                        lambda cam: render_frame(
+                        lambda cam, ve, vg: render_frame(
                             new_pools, new_gpools, m_ins, g_ins_t, sim,
-                            cam, scene_depth, bg_vec,
+                            cam, scene_depth, bg_vec, ve, vg,
                         )
-                    )(camera)
+                    )(camera, vis_eff, vis_grp)
                 else:
                     fb = render_frame(
                         new_pools, new_gpools, m_ins, g_ins_t, sim, camera,
@@ -2042,6 +2150,22 @@ class HanabiScene:
 
             return jax.lax.scan(body, carry, (member_inputs, g_ins, sims))
 
+        if checked:
+            from jax.experimental import checkify
+
+            cfn = jax.jit(
+                checkify.checkify(
+                    chunk_fn,
+                    errors=checkify.index_checks | checkify.float_checks,
+                )
+            )
+
+            def checked_fn(*args):
+                err, out = cfn(*args)
+                err.throw()
+                return out
+
+            return checked_fn
         return jax.jit(chunk_fn, donate_argnums=(0,))
 
     def render_views(
@@ -2061,11 +2185,21 @@ class HanabiScene:
         so split-screen or multi-camera rendering costs ~V× rasterization
         in one device round-trip instead of V separate dispatches.
 
+        Culling is per view (the reference's per-view
+        RenderVisibleEntities, render/mod.rs:5580-5600): an entity outside
+        EVERY camera's frustum leaves the plan entirely; one outside only
+        SOME cameras stays in the plan but its alive mask zeroes in those
+        views, so it contributes no bin entries, no blend energy, and no
+        sort keys there (shapes stay static under the vmap).
+
         All cameras must share one viewport (one raster grid). The
-        back-to-front effect ordering is frozen under ``cameras[0]`` (for
-        wildly different views whose orderings disagree, render per view).
-        ``scene_depth``, if given, is shared by all views. Returns a
-        [V, H, W, 4] image stack.
+        back-to-front effect ordering is frozen under ``cameras[0]`` —
+        the one remaining cross-view approximation: same-kind transparent
+        PASSES composite in camera-0 depth order in every view (within a
+        pass, and across all opaque/mask content, per-pixel depth is
+        exact per view). For wildly different views whose pass orderings
+        disagree, render per view. ``scene_depth``, if given, is shared
+        by all views. Returns a [V, H, W, 4] image stack.
         """
         import dataclasses
 
@@ -2101,6 +2235,7 @@ class HanabiScene:
             insts, groups, cameras[0], pipeline=pipeline,
             culled=self._culled_names(cameras, for_render=True),
         )
+        vis_eff, vis_grp = self._per_view_visibility(cameras, insts, groups)
         key = (
             "views",
             tuple(
@@ -2135,7 +2270,9 @@ class HanabiScene:
             fn = jax.jit(
                 jax.vmap(
                     render_frame,
-                    in_axes=(None, None, None, None, None, 0, None, None),
+                    in_axes=(
+                        None, None, None, None, None, 0, None, None, 0, 0,
+                    ),
                 )
             )
             self._scene_chunk_jit[key] = fn
@@ -2172,6 +2309,8 @@ class HanabiScene:
             cam_stack,
             scene_depth,
             bg_vec,
+            vis_eff,
+            vis_grp,
         )
 
     def warmup(self) -> None:
@@ -2212,10 +2351,11 @@ class HanabiScene:
         ONE unified back-to-front pass over every effect's entries with
         per-entry blend equations — ribbons join via their segment quads,
         meshes via expanded triangles, textures (any layer count) via a
-        stacked atlas (raises unless all effects are eligible: no
-        per-effect raster overrides or sharded pools); "auto"
-        (default) = painter whenever eligible and the split plan would
-        take >= 2 passes. The painter pass keeps pixel-identical occlusion
+        stacked atlas, and sharded pools via gather semantics (their flat
+        draw set replicates over ICI so the global sort interleaves them
+        exactly; raises unless all effects are eligible: no per-effect
+        raster overrides); "auto" (default) = painter whenever eligible
+        and the split plan would take >= 2 passes. The painter pass keeps pixel-identical occlusion
         (an opaque entry simply overwrites everything behind it) and
         orders transparents in true depth order ACROSS effects, where the
         split pipeline can only order whole passes by emitter distance.
@@ -2590,8 +2730,24 @@ class HanabiScene:
 
             fn = jax.jit(render_fn)
             self._batch_render_jit[key] = fn
+
+        def eff_pool(inst):
+            # sharded single instances join the painter with gather
+            # semantics: replicate first (one all_gather over ICI) so the
+            # global sort sees the identical single-device entry order —
+            # bit-exact with the unsharded painter (same rationale as
+            # _group_flat_pool and the split-path sharded-instance render)
+            if inst.fx.mesh is None:
+                return inst.pool
+            import jax as _jax
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return _jax.device_put(
+                inst.pool, NamedSharding(inst.fx.mesh, PartitionSpec())
+            )
+
         return fn(
-            tuple(i.pool for i in insts),
+            tuple(eff_pool(i) for i in insts),
             tuple(i.transform for i in insts),
             tuple(i.properties.as_dict() for i in insts),
             tuple(self._group_flat_pool(g) for g in groups),

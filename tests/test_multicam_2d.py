@@ -81,3 +81,103 @@ def test_perspective_vs_ortho_depth():
     left = cov[:, :32].sum()   # near particle
     right = cov[:, 32:].sum()  # far particle
     assert left > right > 0
+
+
+def test_render_views_per_view_culling():
+    """An effect outside camera B's frustum contributes ZERO blended energy
+    to B's image while still appearing in A's (per-view visibility,
+    reference render/mod.rs:5580-5600) — not just union culling."""
+    scene = HanabiScene(seed=5)
+    # particle at z=+4.5: inside A's frustum, outside B's (far=6 from -5)
+    tf = np.array(
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 4.5]], np.float32
+    )
+    scene.add(
+        point_asset("p", (0.0, 0.0, 0.0), (1.0, 0.0, 0.0, 1.0)),
+        "p",
+        transform=tf,
+        cull_pad=0.5,
+    )
+    # an always-visible reference effect so both views draw something
+    # (offset laterally so the red quad cannot occlude it in view A)
+    scene.add(
+        point_asset("q", (1.0, 0.0, 0.0), (0.0, 1.0, 0.0, 1.0)), "q"
+    )
+    scene.update(DT)
+    cam_a = CameraParams(
+        look_at((0, 0, 5.0), (0, 0, 0)),
+        orthographic(-2, 2, -2, 2, 0.1, 6.0),
+        (64, 64),
+    )
+    cam_b = CameraParams(
+        look_at((0, 0, -5.0), (0, 0, 0)),
+        orthographic(-2, 2, -2, 2, 0.1, 6.0),
+        (64, 64),
+    )
+    imgs = np.asarray(scene.render_views([cam_a, cam_b], CFG))
+    assert imgs.shape[0] == 2
+    # A sees the red particle; B sees zero red energy anywhere
+    assert imgs[0][..., 0].max() > 0.5
+    assert imgs[1][..., 0].max() == 0.0
+    # both see the green reference particle
+    assert imgs[0][..., 1].max() > 0.5
+    assert imgs[1][..., 1].max() > 0.5
+
+
+def test_render_views_per_view_culling_group():
+    """Per-view masks apply to instanced groups too."""
+    scene = HanabiScene(seed=6)
+    tf = np.broadcast_to(
+        np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 4.5]], np.float32),
+        (2, 3, 4),
+    )
+    scene.add_group(
+        point_asset("g", (0.0, 0.0, 0.0), (1.0, 0.0, 1.0, 1.0)),
+        2,
+        "grp",
+        transforms=tf,
+        cull_pad=0.5,
+    )
+    scene.update(DT)
+    cam_a = CameraParams(
+        look_at((0, 0, 5.0), (0, 0, 0)),
+        orthographic(-2, 2, -2, 2, 0.1, 6.0),
+        (64, 64),
+    )
+    cam_b = CameraParams(
+        look_at((0, 0, -5.0), (0, 0, 0)),
+        orthographic(-2, 2, -2, 2, 0.1, 6.0),
+        (64, 64),
+    )
+    imgs = np.asarray(scene.render_views([cam_a, cam_b], CFG))
+    assert imgs[0][..., 0].max() > 0.5
+    assert imgs[1][..., 0].max() == 0.0
+
+
+def test_update_render_chunk_multiview_per_view_culling():
+    """The multi-view chunk path threads the same per-view masks."""
+    scene = HanabiScene(seed=7)
+    tf = np.array(
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 4.5]], np.float32
+    )
+    scene.add(
+        point_asset("p", (0.0, 0.0, 0.0), (1.0, 0.0, 0.0, 1.0)),
+        "p",
+        transform=tf,
+        cull_pad=0.5,
+    )
+    cam_a = CameraParams(
+        look_at((0, 0, 5.0), (0, 0, 0)),
+        orthographic(-2, 2, -2, 2, 0.1, 6.0),
+        (64, 64),
+    )
+    cam_b = CameraParams(
+        look_at((0, 0, -5.0), (0, 0, 0)),
+        orthographic(-2, 2, -2, 2, 0.1, 6.0),
+        (64, 64),
+    )
+    scene.update(DT)  # spawn first so the AABB is meaningful
+    imgs, _ = scene.update_render_chunk(3, DT, [cam_a, cam_b], CFG)
+    imgs = np.asarray(imgs)
+    assert imgs[0][..., 0].max() > 0.5
+    assert imgs[1][..., 0].max() == 0.0
