@@ -140,6 +140,147 @@ def test_additive_fast_sort_matches_ordered_on_device(tpu):
     assert fast[..., 3].sum() > 0
 
 
+def _checksum_close(img_t, img_c, rel=0.005):
+    """Framebuffer checksum agreement bound (provenance: bench.py
+    run_device_checks — the raster sort keys are integers, bit-identical
+    on both backends, so the delta is pure f32 blend arithmetic; measured
+    TPU-vs-CPU deltas on these configs are <0.1% and 0.5% gives 5x margin
+    without masking a dropped/duplicated splat, which shifts the sum >>1%)."""
+    assert np.isfinite(img_t).all(), "non-finite pixels on device"
+    st, sc = float(img_t.sum()), float(img_c.sum())
+    assert abs(st - sc) <= rel * max(abs(sc), 1.0), (
+        f"checksum TPU {st:.2f} vs CPU {sc:.2f}"
+    )
+
+
+def _small_cam(res=128):
+    from bevy_hanabi_tpu.render import CameraParams, look_at, perspective
+
+    return CameraParams(
+        look_at((0, 0, 6), (0, 0, 0)),
+        perspective(0.9, 1.0, 0.1, 100.0),
+        (res, res),
+    )
+
+
+def test_ribbon_trail_order_on_device(tpu):
+    """Trail-ORDER-sensitive path on the real chip: the (rid, age, counter)
+    segment sort + geometry-in-sort raster must agree with CPU (mirrors
+    bench.py run_device_checks 'ribbon_trails_8k_64')."""
+    from bevy_hanabi_tpu.compiler import SimParams
+    from bevy_hanabi_tpu.models import ribbon_bench_effect
+    from bevy_hanabi_tpu.render import RasterConfig
+    from bevy_hanabi_tpu.runtime import CompiledEffect, StepInputs
+
+    r = ribbon_bench_effect(capacity=8192, num_ribbons=64)
+    rfx = CompiledEffect(r)
+    cam = _small_cam()
+    cfg = RasterConfig(width=128, height=128)
+
+    def run(device):
+        with jax.default_device(device):
+            pool = rfx.create_pool()
+            ins = [StepInputs.make(256, 7 * i + 1) for i in range(30)]
+            sims = [SimParams(time=i / 60, delta_time=1 / 60) for i in range(30)]
+            ii, ss = rfx.stack_frames(ins, sims)
+            pool, img, _ = rfx.step_render_chunk(pool, ii, ss, cam, cfg)
+            return np.asarray(pool.alive), np.asarray(img)
+
+    a_t, img_t = run(tpu)
+    a_c, img_c = run(jax.devices("cpu")[0])
+    np.testing.assert_array_equal(a_t, a_c)
+    _checksum_close(img_t, img_c)
+
+
+def test_firework_event_tree_on_device(tpu):
+    """Parent emission compaction + child consume on the real chip: event
+    counts, alive masks, and PCG seeds must be BIT-EXACT vs CPU (mirrors
+    bench.py run_device_checks 'firework_event_tree_2k_8k')."""
+    from bevy_hanabi_tpu.models import firework_effect, firework_trail_effect
+    from bevy_hanabi_tpu.runtime import HanabiScene
+
+    def run(device):
+        with jax.default_device(device):
+            s = HanabiScene(seed=17)
+            s.add(firework_effect(capacity=2048), "rocket")
+            s.add(firework_trail_effect(capacity=8192), "trail", parent="rocket")
+            for _ in range(30):
+                s.update(1 / 60)
+            return (
+                int(s["rocket"].alive_count()),
+                int(s["trail"].alive_count()),
+                np.asarray(s["trail"].pool.alive),
+                np.asarray(s["trail"].pool.seed),
+            )
+
+    ra_t, ta_t, m_t, s_t = run(tpu)
+    ra_c, ta_c, m_c, s_c = run(jax.devices("cpu")[0])
+    assert (ra_t, ta_t) == (ra_c, ta_c)
+    np.testing.assert_array_equal(m_t, m_c)
+    np.testing.assert_array_equal(s_t, s_c)
+
+
+def test_textured_mesh_frame_on_device(tpu):
+    """Barycentric mesh raster + bilinear texture sampling on the real chip
+    (mirrors bench.py run_device_checks 'textured_mesh_2k')."""
+    from bevy_hanabi_tpu.models import gradient_effect
+    from bevy_hanabi_tpu.models.texutils import make_circle_texture
+    from bevy_hanabi_tpu.modifiers import ParticleTextureModifier
+    from bevy_hanabi_tpu.render import RasterConfig
+    from bevy_hanabi_tpu.render.mesh import ParticleMesh
+    from bevy_hanabi_tpu.runtime import HanabiScene
+
+    cam = _small_cam()
+    cfg = RasterConfig(width=128, height=128)
+
+    def run(device):
+        with jax.default_device(device):
+            s = HanabiScene(seed=5)
+            asset = (
+                gradient_effect(capacity=2048)
+                .render(ParticleTextureModifier(0))
+                .with_mesh(ParticleMesh.icosphere(radius=0.4, subdivisions=1))
+            )
+            s.add(asset, "mesh", textures=[make_circle_texture(32)])
+            for _ in range(3):
+                s.update(1 / 60)
+            return np.asarray(s.render(cam, cfg))
+
+    _checksum_close(run(tpu), run(jax.devices("cpu")[0]))
+
+
+def test_painter_pass_on_device(tpu):
+    """Unified painter pass (one global (tile, depth) sort, per-entry blend
+    equations) on the real chip (mirrors bench.py 'painter_scene_3fx')."""
+    from bevy_hanabi_tpu.asset import AlphaMode
+    from bevy_hanabi_tpu.models import gradient_effect, spawn_gravity_effect
+    from bevy_hanabi_tpu.render import RasterConfig
+    from bevy_hanabi_tpu.runtime import HanabiScene
+
+    cam = _small_cam()
+    cfg = RasterConfig(width=128, height=128)
+
+    def run(device):
+        with jax.default_device(device):
+            s = HanabiScene(seed=9)
+            s.add(gradient_effect(capacity=2048), "blend")
+            s.add(
+                gradient_effect(capacity=2048).with_alpha_mode(AlphaMode.ADD),
+                "add",
+            )
+            s.add(
+                spawn_gravity_effect(
+                    capacity=1024, rate=2000.0
+                ).with_alpha_mode(AlphaMode.OPAQUE),
+                "opq",
+            )
+            for _ in range(3):
+                s.update(1 / 60)
+            return np.asarray(s.render(cam, cfg, pipeline="painter"))
+
+    _checksum_close(run(tpu), run(jax.devices("cpu")[0]))
+
+
 def test_scene_chunk_and_mesh_uv_on_device(tpu):
     """Round-3 surfaces on the real chip: the fused whole-scene chunk
     (event tree included) and barycentric mesh-UV texture sampling."""
