@@ -816,6 +816,13 @@ def bench_scaling():
                 f"max_entries_per_tile={cfg.max_entries_per_tile}"
             ),
         }
+    results["scaling_2M_512sq_exact"]["note"] += (
+        "; below 60 by design-measured wall: exact span^2 binning is 4N "
+        "statically-shaped sort entries (8.4M at 2M) and no sort variant "
+        "(1-op/2-op/u16/batched/depth-rank chain) beats the measured "
+        "floor — full dead-end record + the ~1.3M 60fps crossing in "
+        "docs/PERF.md 'The exact-binning wall'"
+    )
     return results
 
 
