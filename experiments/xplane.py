@@ -120,11 +120,117 @@ def op_durations(path: str) -> Dict[str, Dict[str, float]]:
     return out
 
 
+def _stat_value(buf: bytes):
+    mid, val = 0, None
+    for fnum, wt, v in _fields(buf):
+        if fnum == 1:
+            mid = v
+        elif fnum == 2:  # double
+            val = struct.unpack("<d", struct.pack("<Q", v))[0]
+        elif fnum in (3, 4, 7):  # uint64 / int64 / ref
+            val = v
+        elif fnum in (5, 6):  # str / bytes
+            val = v.decode("utf-8", "replace") if fnum == 5 else v
+    return mid, val
+
+
+def op_stats(path: str, line: str = "XLA Ops"):
+    """Aggregate per-op stats from the device plane's op-level line.
+
+    Each XEvent is one actual op EXECUTION (a while body's ops appear once
+    per iteration), carrying XLA's per-op stats: `bytes_accessed` (HBM
+    bytes the op moves per the compiler's accounting, counted per
+    occurrence here — so loop iterations accumulate), `flops`, and
+    `hlo_category`. Returns {op_name: {"ms", "bytes", "flops",
+    "occurrences", "category"}}. Container ops (the `while` wrapping a
+    lax.scan/fori_loop) nest their children — exclude categories/names you
+    consider containers when summing totals to avoid double counting.
+    """
+    data = open(path, "rb").read()
+    for fnum, _, plane_buf in _fields(data):
+        if fnum != 1:
+            continue
+        plane_name = ""
+        ev_meta: Dict[int, str] = {}
+        stat_meta: Dict[int, str] = {}
+        lines = []
+        for pf, _, pv in _fields(plane_buf):
+            if pf == 2:
+                plane_name = pv.decode("utf-8", "replace")
+            elif pf == 3:
+                lines.append(pv)
+            elif pf == 4:
+                mid, mbuf = _map_entry(pv)
+                name = display = ""
+                for mf, _, mv in _fields(mbuf):
+                    if mf == 2:
+                        name = mv.decode("utf-8", "replace")
+                    elif mf == 4:
+                        display = mv.decode("utf-8", "replace")
+                ev_meta[mid] = display or name
+            elif pf == 5:
+                mid, mbuf = _map_entry(pv)
+                for mf, _, mv in _fields(mbuf):
+                    if mf == 2:
+                        stat_meta[mid] = mv.decode("utf-8", "replace")
+        if "TPU" not in plane_name or plane_name.startswith("#"):
+            continue
+        out: Dict[str, dict] = {}
+        for line_buf in lines:
+            line_name = ""
+            events = []
+            for lf, _, lv in _fields(line_buf):
+                if lf == 2:
+                    line_name = lv.decode("utf-8", "replace")
+                elif lf == 11:
+                    line_name = lv.decode("utf-8", "replace") or line_name
+                elif lf == 4:
+                    events.append(lv)
+            if line_name != line:
+                continue
+            for ev_buf in events:
+                mid = dur_ps = 0
+                stats = {}
+                for ef, _, ev in _fields(ev_buf):
+                    if ef == 1:
+                        mid = ev
+                    elif ef == 3:
+                        dur_ps = ev
+                    elif ef == 4:
+                        sid, sval = _stat_value(ev)
+                        stats[stat_meta.get(sid, sid)] = sval
+                name = ev_meta.get(mid, f"<{mid}>")
+                rec = out.setdefault(
+                    name,
+                    {"ms": 0.0, "bytes": 0, "flops": 0, "occurrences": 0,
+                     "category": stats.get("hlo_category", "")},
+                )
+                if stats.get("hlo_category") and not rec["category"]:
+                    rec["category"] = stats["hlo_category"]
+                rec["ms"] += dur_ps / 1e9
+                rec["bytes"] += int(stats.get("bytes_accessed", 0) or 0)
+                rec["flops"] += int(stats.get("flops", 0) or 0)
+                rec["occurrences"] += 1
+        return out
+    return {}
+
+
 if __name__ == "__main__":
     import sys
 
-    for key, ctr in op_durations(sys.argv[1]).items():
+    path = sys.argv[1]
+    for key, ctr in op_durations(path).items():
         total = sum(ctr.values())
         print(f"== {key}: {total:.3f} ms total ==")
         for name, ms in ctr.most_common(12):
             print(f"  {ms:9.3f} ms ({ms / total * 100:4.1f}%)  {name[:90]}")
+    stats = op_stats(path)
+    if stats:
+        leaf = {n: r for n, r in stats.items()
+                if not n.startswith("while")}
+        tb = sum(r["bytes"] for r in leaf.values())
+        tm = sum(r["ms"] for r in leaf.values())
+        print(f"\n== leaf op stats: {tb / 1e6:.1f} MB, {tm:.3f} ms ==")
+        for n, r in sorted(leaf.items(), key=lambda kv: -kv[1]["bytes"])[:12]:
+            print(f"  {r['bytes'] / 1e6:9.1f} MB {r['ms']:9.3f} ms "
+                  f"x{r['occurrences']:<4d} [{r['category'][:18]:18s}] {n[:60]}")
