@@ -213,11 +213,14 @@ def run_device_checks():
     check("gradient_render_8k", gradient_render)
 
     # (3) ribbons: trail-ORDER-sensitive — 30 frames build 64 trails, the
-    # (rid, age, counter) segment sort + geometry-in-sort path renders
+    # (rid, age, counter) segment sort + geometry-in-sort path renders.
+    # Transcendental-free check variant: certifies segment ORDER
+    # bit-comparably instead of tripping on VPU sin/cos ULP drift
+    # (see ribbon_order_check_effect; drift is covered by check (1)).
     def ribbon_render():
-        from bevy_hanabi_tpu.models import ribbon_bench_effect
+        from bevy_hanabi_tpu.models import ribbon_order_check_effect
 
-        r = ribbon_bench_effect(capacity=8192, num_ribbons=64)
+        r = ribbon_order_check_effect(capacity=8192, num_ribbons=64)
         rfx = CompiledEffect(r)
 
         def run(device):
@@ -284,8 +287,12 @@ def run_device_checks():
     check("firework_event_tree_2k_8k", firework_tree)
 
     # (5) textured triangle-mesh particles: barycentric raster + bilinear
-    # texture sampling on device
+    # texture sampling on device. Transcendental-free check effect —
+    # sphere-init sin/cos drift flips triangle-edge coverage (measured
+    # 11 flipped pixels on a 31-pixel scene = 8.5% checksum delta) and
+    # would gate on VPU ULPs instead of the raster.
     def textured_mesh():
+        from bevy_hanabi_tpu.models import textured_mesh_check_effect
         from bevy_hanabi_tpu.models.texutils import make_circle_texture
         from bevy_hanabi_tpu.render.mesh import ParticleMesh
         from bevy_hanabi_tpu.runtime import HanabiScene
@@ -296,7 +303,7 @@ def run_device_checks():
             with jax.default_device(device):
                 s = HanabiScene(seed=5)
                 asset = (
-                    gradient_effect(capacity=2048)
+                    textured_mesh_check_effect(capacity=2048)
                     .render(ParticleTextureModifier(0))
                     .with_mesh(
                         ParticleMesh.icosphere(radius=0.4, subdivisions=1)

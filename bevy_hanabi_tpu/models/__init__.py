@@ -12,5 +12,7 @@ from .benchmarks import (  # noqa: F401
     gradient_effect,
     instancing_effect,
     ribbon_bench_effect,
+    ribbon_order_check_effect,
     spawn_gravity_effect,
+    textured_mesh_check_effect,
 )

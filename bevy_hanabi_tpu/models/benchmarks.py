@@ -40,6 +40,8 @@ __all__ = [
     "firework_effect",
     "instancing_effect",
     "ribbon_bench_effect",
+    "ribbon_order_check_effect",
+    "textured_mesh_check_effect",
 ]
 
 
@@ -233,6 +235,92 @@ def ribbon_bench_effect(
         )
         .render(SetSizeModifier((0.04, 0.04, 0.04)))
         .with_alpha_mode(AlphaMode.ADD)
+    )
+
+
+def ribbon_order_check_effect(
+    capacity: int = 8192, num_ribbons: int = 64
+) -> EffectAsset:
+    """Device-gate variant of ``ribbon_bench_effect`` with NO
+    transcendentals: init math is PCG rand (bit-exact across backends,
+    ops/rng.py) plus mul/add only, so a rendered TPU frame is
+    bit-comparable to the CPU frame and the gate certifies the
+    (RIBBON_ID, AGE, COUNTER) segment sort ORDER — a TPU-vs-CPU delta
+    here means dropped/duplicated/mis-ordered segments, not VPU sin/cos
+    ULP noise. (``ribbon_bench_effect``'s cos/sin fan origins shift
+    positions ~1e-3 rel between backends, flipping pixel coverage at
+    quad edges; transcendental drift is certified separately by the
+    trajectory device check with rtol.) Ribbons fan from a line with a
+    linear depth stagger so trails stay distinct and overlap across
+    tiles."""
+    w = ExprWriter()
+    rid = w.attr(A.PARTICLE_COUNTER) % w.lit(num_ribbons, UINT)
+    ridf = rid.cast(FLOAT)
+    origin = (ridf * (4.0 / num_ribbons) - 2.0).vec3(
+        ridf * (2.0 / num_ribbons) - 1.0,
+        ridf * (1.0 / num_ribbons),
+    )
+    return (
+        EffectAsset(
+            "ribbon_order_check",
+            capacity,
+            SpawnerSettings.rate(capacity / 4.0 * 1.05),
+            w.finish(),
+        )
+        .init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(4.0).expr()))
+        .init(SetAttributeModifier(A.RIBBON_ID, rid.expr()))
+        .init(SetAttributeModifier(A.POSITION, origin.expr()))
+        .init(
+            SetAttributeModifier(
+                A.VELOCITY,
+                ((w.rand(VEC3F) * 2.0 - w.lit((1.0, 1.0, 1.0))) * 0.4).expr(),
+            )
+        )
+        .render(SetSizeModifier((0.04, 0.04, 0.04)))
+        .with_alpha_mode(AlphaMode.ADD)
+    )
+
+
+def textured_mesh_check_effect(capacity: int = 2048) -> EffectAsset:
+    """Device-gate effect for the triangle-mesh + texture raster path,
+    transcendental-free for the same reason as
+    ``ribbon_order_check_effect``: cube-volume rand positions and linear
+    rand velocities (bit-exact PCG + mul/add) instead of
+    ``gradient_effect``'s sphere init (sphere sampling runs device
+    sin/cos whose ~1e-3 backend ULP drift flips triangle-edge pixel
+    coverage — measured 11 flipped pixels on a 31-pixel scene = an 8.5%
+    checksum delta that says nothing about the raster). Attach a mesh
+    and ParticleTextureModifier at the call site."""
+    w = ExprWriter()
+    color = (
+        Gradient()
+        .with_key(0.0, (1.0, 0.2, 0.2, 1.0))
+        .with_key(1.0, (0.2, 0.2, 1.0, 0.6))
+    )
+    return (
+        EffectAsset(
+            "textured_mesh_check",
+            capacity,
+            SpawnerSettings.rate(capacity / 5.0),
+            w.finish(),
+        )
+        .init(SetAttributeModifier(A.AGE, w.lit(0.0).expr()))
+        .init(SetAttributeModifier(A.LIFETIME, w.lit(5.0).expr()))
+        .init(
+            SetAttributeModifier(
+                A.POSITION,
+                ((w.rand(VEC3F) * 2.0 - w.lit((1.0, 1.0, 1.0))) * 1.5).expr(),
+            )
+        )
+        .init(
+            SetAttributeModifier(
+                A.VELOCITY,
+                ((w.rand(VEC3F) * 2.0 - w.lit((1.0, 1.0, 1.0))) * 0.5).expr(),
+            )
+        )
+        .render(ColorOverLifetimeModifier(color))
+        .with_alpha_mode(AlphaMode.BLEND)
     )
 
 

@@ -41,8 +41,14 @@ class CameraParams:
 
     @property
     def world_from_view(self) -> jnp.ndarray:
-        """Inverse view matrix (camera→world)."""
-        return jnp.linalg.inv(self.view)
+        """Inverse view matrix (camera→world). View matrices are always
+        affine here (look_at, optionally composed with an affine local
+        transform), so the closed-form adjugate inverse applies —
+        ``jnp.linalg.inv`` would lower to MXU dot_generals
+        (ops/linalg.py)."""
+        from ..ops.linalg import affine4_inv
+
+        return affine4_inv(jnp.asarray(self.view, jnp.float32))
 
     @property
     def rotation(self) -> jnp.ndarray:

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..asset import EffectAsset, SimulationSpace
 from ..compiler import RenderContext, SimParams
+from ..ops.linalg import affine3, mat4_mul, mvp_w, rotate3
 from ..runtime.pool import ParticlePool
 from .camera import CameraParams
 
@@ -233,7 +234,9 @@ def extract_draw_data(
         # view_local = world→view ∘ local→world: every derived camera
         # quantity (rotation/position/up) lands in effect space.
         ctx_camera = CameraParams(
-            view=camera.view @ m4, proj=camera.proj, viewport=camera.viewport
+            view=mat4_mul(camera.view, m4),
+            proj=camera.proj,
+            viewport=camera.viewport,
         )
     else:
         ctx_camera = camera
@@ -327,18 +330,19 @@ def extract_draw_data(
     if is_local:
         # Transform the whole particle frame to world space: position affine,
         # axes by the 3x3 (scale included — the reference transforms the
-        # expanded sim-space vertex, vfx_render.wgsl:293-295).
-        position = position @ rot3.T + transform[:, 3]
-        ctx.axis_x = ctx.axis_x @ rot3.T
-        ctx.axis_y = ctx.axis_y @ rot3.T
-        ctx.axis_z = ctx.axis_z @ rot3.T
+        # expanded sim-space vertex, vfx_render.wgsl:293-295). Broadcast
+        # math, NOT `@` (bf16 MXU quantization — ops/linalg.py).
+        position = affine3(position, rot3, transform[:, 3])
+        ctx.axis_x = rotate3(ctx.axis_x, rot3)
+        ctx.axis_y = rotate3(ctx.axis_y, rot3)
+        ctx.axis_z = rotate3(ctx.axis_z, rot3)
 
     # ---- screen-space size (output.rs:838-862) ----
     sz = ctx.size
     if ctx.screen_space_size:
-        hom = jnp.concatenate([position, jnp.ones((n, 1), jnp.float32)], axis=1)
-        clip = (camera.proj @ (camera.view @ hom.T)).T
-        w_cs = clip[:, 3]
+        # only clip w is consumed: one broadcast row instead of the full
+        # (4,4)@(4,N) product (which lowers terribly AND at bf16 — linalg)
+        w_cs = mvp_w(mat4_mul(camera.proj, camera.view), position)
         wpx, hpx = camera.viewport
         denom = jnp.minimum(wpx * camera.proj_scale[0], hpx * camera.proj_scale[1])
         sz = sz * (w_cs[:, None] * 2.0) / denom

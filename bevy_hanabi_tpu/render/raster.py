@@ -153,8 +153,12 @@ def _project(camera: CameraParams, p: jnp.ndarray):
     projections (clip w degenerates to 1 under ortho).
     """
     # Elementwise 4x4 transform: tiny (4,4)@(4,N) matmuls lower terribly on
-    # TPU (measured ~17ms per projection at 1M); broadcasting scalars is ~free.
-    mvp = camera.proj @ camera.view
+    # TPU (measured ~17ms per projection at 1M); broadcasting scalars is
+    # ~free. The 4x4 product itself also avoids `@`: traced camera matrices
+    # would hit the MXU at bf16 default precision (ops/linalg.py).
+    from ..ops.linalg import mat4_mul
+
+    mvp = mat4_mul(camera.proj, camera.view)
     px, py, pz = p[:, 0], p[:, 1], p[:, 2]
 
     def row(m, i):

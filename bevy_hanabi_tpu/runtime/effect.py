@@ -597,14 +597,22 @@ class CompiledEffect:
             m.apply(self.asset.module, ictx)
 
         # Emitter transform (global sim space): position w=1, velocity w=0
-        # (vfx_init.wgsl:186-188).
+        # (vfx_init.wgsl:186-188). Broadcast math, NOT `@`: a tiny matmul
+        # hits the MXU at bf16 default precision and quantized spawn state
+        # to ~2^-11 rel (ops/linalg.py).
         if self._global_space:
+            from ..ops.linalg import affine3, rotate3
+
             rot = inputs.transform[:, :3]
             tr = inputs.transform[:, 3]
             if "position" in ictx.particle:
-                ictx.particle["position"] = ictx.particle["position"] @ rot.T + tr
+                ictx.particle["position"] = affine3(
+                    ictx.particle["position"], rot, tr
+                )
             if "velocity" in ictx.particle:
-                ictx.particle["velocity"] = ictx.particle["velocity"] @ rot.T
+                ictx.particle["velocity"] = rotate3(
+                    ictx.particle["velocity"], rot
+                )
 
         # Merge spawned lanes into the pool.
         new_attrs = {}

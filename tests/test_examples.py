@@ -231,3 +231,89 @@ def test_gallery_harness_specs_run_headless():
         scene.render(cam, RasterConfig(width=64, height=64), scene_depth=depth)
     )
     assert img.shape == (64, 64, 4) and np.isfinite(img).all()
+
+
+def test_device_check_effects_are_transcendental_free():
+    """The device-gate effects (ribbon_order_check_effect,
+    textured_mesh_check_effect) exist to make TPU-vs-CPU rendered frames
+    bit-comparable: their expr graphs must stay free of transcendental ops,
+    whose VPU-vs-libm ULP drift shifts positions ~1e-3 and flips pixel
+    coverage at primitive edges (the measured failure mode that motivated
+    them — see bench.py run_device_checks). PCG rand is bit-exact and
+    allowed; sin/cos/exp/sqrt-family ops are not."""
+    from bevy_hanabi_tpu.graph.expr import BinaryOp, UnaryOp
+    from bevy_hanabi_tpu.models import (
+        ribbon_order_check_effect,
+        textured_mesh_check_effect,
+    )
+
+    banned_unary = {
+        UnaryOp.SIN, UnaryOp.COS, UnaryOp.TAN, UnaryOp.ASIN, UnaryOp.ACOS,
+        UnaryOp.ATAN, UnaryOp.EXP, UnaryOp.EXP2, UnaryOp.LOG, UnaryOp.LOG2,
+        UnaryOp.SQRT, UnaryOp.INV_SQRT, UnaryOp.NORMALIZE, UnaryOp.LENGTH,
+    }
+    banned_binary = {BinaryOp.ATAN2, BinaryOp.DISTANCE}
+    for asset in (
+        ribbon_order_check_effect(capacity=256, num_ribbons=8),
+        textured_mesh_check_effect(capacity=256),
+    ):
+        for e in asset.module._exprs:
+            op = getattr(e, "op", None)
+            assert op not in banned_unary and op not in banned_binary, (
+                f"{asset.name}: transcendental op {op} would break the "
+                "bit-comparable device gate"
+            )
+
+
+def test_device_check_effects_render_on_cpu():
+    """The device-gate effects compile and produce non-empty frames on the
+    host backend (the reference side of every TPU-vs-CPU comparison)."""
+    import math
+
+    from bevy_hanabi_tpu.models import (
+        ribbon_order_check_effect,
+        textured_mesh_check_effect,
+    )
+    from bevy_hanabi_tpu.models.texutils import make_circle_texture
+    from bevy_hanabi_tpu.modifiers import ParticleTextureModifier
+    from bevy_hanabi_tpu.compiler import SimParams
+    from bevy_hanabi_tpu.render import (
+        CameraParams,
+        RasterConfig,
+        look_at,
+        perspective,
+    )
+    from bevy_hanabi_tpu.render.mesh import ParticleMesh
+    from bevy_hanabi_tpu.runtime import CompiledEffect, HanabiScene, StepInputs
+
+    cam = CameraParams(
+        look_at((0, 0, 6), (0, 0, 0)),
+        perspective(0.9, 1.0, 0.1, 100.0),
+        (64, 64),
+    )
+    cfg = RasterConfig(width=64, height=64)
+
+    r = ribbon_order_check_effect(capacity=1024, num_ribbons=16)
+    rfx = CompiledEffect(r)
+    pool = rfx.create_pool()
+    ins = [StepInputs.make(64, 7 * i + 1) for i in range(12)]
+    sims = [SimParams(time=i / 60, delta_time=1 / 60) for i in range(12)]
+    ii, ss = rfx.stack_frames(ins, sims)
+    pool, img, _ = rfx.step_render_chunk(pool, ii, ss, cam, cfg)
+    img = np.asarray(img)
+    assert np.isfinite(img).all() and (img[..., 3] > 0).sum() > 10
+    rids = np.asarray(pool.get("ribbon_id"))[np.asarray(pool.alive)]
+    assert len(np.unique(rids)) > 1  # trails actually chained
+
+    s = HanabiScene(seed=5)
+    s.add(
+        textured_mesh_check_effect(capacity=512)
+        .render(ParticleTextureModifier(0))
+        .with_mesh(ParticleMesh.icosphere(radius=0.4, subdivisions=1)),
+        "mesh",
+        textures=[make_circle_texture(32)],
+    )
+    for _ in range(3):
+        s.update(1 / 60)
+    img2 = np.asarray(s.render(cam, cfg))
+    assert np.isfinite(img2).all() and (img2[..., 3] > 0).sum() > 0

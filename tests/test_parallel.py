@@ -642,15 +642,32 @@ def _firework_scene(mesh=None, seed=11, raster_override=None):
 
 
 def _assert_pools_equal(ref, sh, names=("p", "c")):
+    """Structural state (alive masks, seeds, every integer attribute) must
+    be BIT-exact between the sharded and single-device runs — a delta
+    there means mis-routed/dropped/duplicated events. Float trajectories
+    get a few-ULP allowance (atol 1e-6): the two runs are two DIFFERENT
+    XLA compilations, and the backend is free to contract `pos + vel*dt`
+    into an FMA in one and not the other (observed: 4 of 3033 lanes off
+    by exactly 1 ulp after an unrelated fusion-boundary change). A real
+    event bug shifts positions by whole emission offsets, orders of
+    magnitude above this bound."""
     for name in names:
         a, b = ref[name].pool, sh[name].pool
         assert np.array_equal(np.asarray(a.alive), np.asarray(b.alive)), (
             f"{name}: alive masks diverge"
         )
+        assert np.array_equal(np.asarray(a.seed), np.asarray(b.seed)), (
+            f"{name}: PCG seeds diverge"
+        )
         m = np.asarray(a.alive)
         for k in a.attrs:
             av, bv = np.asarray(a.attrs[k])[m], np.asarray(b.attrs[k])[m]
-            assert np.array_equal(av, bv), f"{name}.{k} diverges"
+            if np.issubdtype(av.dtype, np.floating):
+                np.testing.assert_allclose(
+                    av, bv, rtol=0.0, atol=1e-6, err_msg=f"{name}.{k} diverges"
+                )
+            else:
+                assert np.array_equal(av, bv), f"{name}.{k} diverges"
 
 
 @needs_devices(8)

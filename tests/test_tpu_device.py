@@ -166,13 +166,15 @@ def _small_cam(res=128):
 def test_ribbon_trail_order_on_device(tpu):
     """Trail-ORDER-sensitive path on the real chip: the (rid, age, counter)
     segment sort + geometry-in-sort raster must agree with CPU (mirrors
-    bench.py run_device_checks 'ribbon_trails_8k_64')."""
+    bench.py run_device_checks 'ribbon_trails_8k_64'). The effect is the
+    transcendental-free check variant so the comparison certifies segment
+    ORDER, not VPU sin/cos ULPs (see ribbon_order_check_effect)."""
     from bevy_hanabi_tpu.compiler import SimParams
-    from bevy_hanabi_tpu.models import ribbon_bench_effect
+    from bevy_hanabi_tpu.models import ribbon_order_check_effect
     from bevy_hanabi_tpu.render import RasterConfig
     from bevy_hanabi_tpu.runtime import CompiledEffect, StepInputs
 
-    r = ribbon_bench_effect(capacity=8192, num_ribbons=64)
+    r = ribbon_order_check_effect(capacity=8192, num_ribbons=64)
     rfx = CompiledEffect(r)
     cam = _small_cam()
     cfg = RasterConfig(width=128, height=128)
@@ -222,8 +224,12 @@ def test_firework_event_tree_on_device(tpu):
 
 def test_textured_mesh_frame_on_device(tpu):
     """Barycentric mesh raster + bilinear texture sampling on the real chip
-    (mirrors bench.py run_device_checks 'textured_mesh_2k')."""
-    from bevy_hanabi_tpu.models import gradient_effect
+    (mirrors bench.py run_device_checks 'textured_mesh_2k'). Uses the
+    transcendental-free check effect: gradient_effect's sphere init runs
+    device sin/cos whose ~1e-3 backend drift flips triangle-edge coverage
+    (measured 11 flipped pixels on a 31-pixel scene), which says nothing
+    about the raster being certified here."""
+    from bevy_hanabi_tpu.models import textured_mesh_check_effect
     from bevy_hanabi_tpu.models.texutils import make_circle_texture
     from bevy_hanabi_tpu.modifiers import ParticleTextureModifier
     from bevy_hanabi_tpu.render import RasterConfig
@@ -237,7 +243,7 @@ def test_textured_mesh_frame_on_device(tpu):
         with jax.default_device(device):
             s = HanabiScene(seed=5)
             asset = (
-                gradient_effect(capacity=2048)
+                textured_mesh_check_effect(capacity=2048)
                 .render(ParticleTextureModifier(0))
                 .with_mesh(ParticleMesh.icosphere(radius=0.4, subdivisions=1))
             )
