@@ -81,8 +81,10 @@ def hbm_gbps_measured(run_chunk, fps, frames=None):
     attribution. cost_analysis() was measured useless here: it counts
     while bodies once (or inconsistently), not per iteration."""
     import glob as _glob
+    import shutil
     import tempfile
 
+    d = None
     try:
         from bevy_hanabi_tpu.utils.xplane import leaf_totals, op_stats
 
@@ -101,6 +103,10 @@ def hbm_gbps_measured(run_chunk, fps, frames=None):
         return round(nbytes / (frames or K) * fps / 1e9, 1)
     except Exception:  # pragma: no cover — diagnostics must never kill bench
         return None
+    finally:
+        # a capture is tens of MB; repeated runs would litter /tmp
+        if d is not None:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def run_device_checks():

@@ -252,12 +252,31 @@ class EffectAsset:
         return self.num_event_channels() > 0
 
     def signature(self) -> Tuple:
-        """Hashable compile key ≈ pipeline specialization key."""
+        """Hashable FULL-asset key — the hot-reload drift detector
+        (any edit, spawner included, must register as drift)."""
         return (
             self.name,
             self.capacity,
             self.particle_layout().signature(),
             json.dumps(self.to_json(), sort_keys=True),
+        )
+
+    def compile_signature(self) -> Tuple:
+        """Hashable key over everything a COMPILED executable can depend
+        on ≈ the reference's pipeline specialization key. This is
+        ``signature()`` minus the spawner: spawn counts enter at runtime
+        as StepInputs (the reference feeds them via a buffer the same
+        way, spawn.rs tick → GpuSpawnerParams), so jit caches keyed on
+        this survive live spawner edits — keying them on the full
+        signature would force a multi-second whole-scene re-trace per
+        editor rate-slider tweak and strand the old executable."""
+        js = self.to_json()
+        del js["spawner"]
+        return (
+            self.name,
+            self.capacity,
+            self.particle_layout().signature(),
+            json.dumps(js, sort_keys=True),
         )
 
     # -- serde (asset.rs:674-1000; .effect file loader :1072) ---------------

@@ -41,14 +41,27 @@ class CameraParams:
 
     @property
     def world_from_view(self) -> jnp.ndarray:
-        """Inverse view matrix (camera→world). View matrices are always
-        affine here (look_at, optionally composed with an affine local
-        transform), so the closed-form adjugate inverse applies —
-        ``jnp.linalg.inv`` would lower to MXU dot_generals
-        (ops/linalg.py)."""
+        """Inverse view matrix (camera→world). View matrices built by this
+        framework are always affine (look_at, optionally composed with an
+        affine local transform), so the closed-form adjugate inverse
+        applies — ``jnp.linalg.inv`` would lower to MXU dot_generals
+        (ops/linalg.py). A user-supplied CONCRETE view with a projective
+        bottom row still gets the true inverse (host f64, constant-folds
+        into jitted programs); only a traced non-affine view — which
+        nothing in this codebase produces, and whose values a trace cannot
+        inspect — is assumed affine."""
         from ..ops.linalg import affine4_inv
 
-        return affine4_inv(jnp.asarray(self.view, jnp.float32))
+        v = self.view
+        if not isinstance(v, jax.core.Tracer):
+            bottom = np.asarray(v)[3]
+            if not np.array_equal(bottom, [0.0, 0.0, 0.0, 1.0]):
+                return jnp.asarray(
+                    np.linalg.inv(np.asarray(v, np.float64)).astype(
+                        np.float32
+                    )
+                )
+        return affine4_inv(jnp.asarray(v, jnp.float32))
 
     @property
     def rotation(self) -> jnp.ndarray:

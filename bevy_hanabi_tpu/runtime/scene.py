@@ -31,6 +31,19 @@ from .pool import ParticlePool
 __all__ = ["HanabiScene", "EffectInstance"]
 
 
+def _replicate_pool(pool, mesh):
+    """Replicate a sharded pool (or [I, N, ...] pools pytree) onto every
+    device of ``mesh`` — one all_gather over ICI — so downstream rendering
+    runs the IDENTICAL single-device algorithm bit-exactly: leaving the
+    pool sharded lets GSPMD repartition the raster sort and break depth
+    ties differently under the per-tile blend budget. This is the cost the
+    reference's single-GPU draw pays implicitly."""
+    import jax as _jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return _jax.device_put(pool, NamedSharding(mesh, PartitionSpec()))
+
+
 def _texture_key(texs):
     """Cache-key identity for textures baked into traced closures.
 
@@ -443,18 +456,13 @@ class HanabiScene:
     def _group_flat_pool(self, g) -> ParticlePool:
         """View a group's [I, N, ...] pools as one flat pool for rendering.
 
-        Sharded groups replicate first (one all_gather over ICI) so the
+        Sharded groups replicate first (``_replicate_pool``) so the
         flat view — and anything downstream like the painter's global
         sort — runs the identical single-device algorithm bit-exactly
         (same rationale as the sharded-instance gather in render())."""
         pools = g["pools"]
         if g.get("sharded"):
-            import jax as _jax
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            pools = _jax.device_put(
-                pools, NamedSharding(g["fx"].mesh, PartitionSpec())
-            )
+            pools = _replicate_pool(pools, g["fx"].mesh)
         return pools.flatten(composite_ribbon_ids=True)
 
     def remove(self, name: str) -> None:
@@ -882,7 +890,11 @@ class HanabiScene:
         )
         layout_changed = new_sig[2] != old_sig[2]
         if asset.capacity != old_sig[1]:
-            new_cap = asset.capacity  # asset capacity edit wins the override
+            # asset capacity edit wins — and RETIRES — the add()-time
+            # override, else the stale override would resurrect on the next
+            # unrelated edit and reset the pool to the old capacity
+            new_cap = asset.capacity
+            inst.capacity_override = None
         else:
             new_cap = inst.capacity_override or inst.pool.capacity
         pool_changed = layout_changed or new_cap != inst.pool.capacity
@@ -963,7 +975,10 @@ class HanabiScene:
         layout_changed = new_sig[2] != old_sig[2]
         old_cap = int(g["pools"].alive.shape[-1])
         if asset.capacity != old_sig[1]:
+            # capacity edit wins and retires the add()-time override (same
+            # stale-override resurrection hazard as _recompile_effect)
             new_cap = asset.capacity
+            g["capacity_override"] = None
         else:
             new_cap = g.get("capacity_override") or old_cap
         if g.get("sharded"):
@@ -1450,17 +1465,15 @@ class HanabiScene:
             g["pools"] = gchunk(g["pools"], ii, ss)
 
     @staticmethod
-    def _painter_ok(asset, textures, raster_override, sharded=False):
+    def _painter_ok(raster_override):
         """Can this effect/group join the unified painter pass?  Ribbon
         segments and expanded mesh triangles concatenate fine, textured
         effects (any layer count) merge through the painter texture atlas
-        (per-entry, per-layer tex id/size/mapping columns), and SHARDED
-        pools join with gather semantics — the flat draw set replicates
-        (one all_gather over ICI, the cost the reference's single-GPU
-        draw pays implicitly) so the global back-to-front sort interleaves
-        sharded and unsharded entries exactly. Only per-effect raster
-        overrides (a different tile grid cannot share a pass) keep their
-        own passes."""
+        (per-entry, per-layer tex id/size/mapping columns), and sharded
+        pools join with gather semantics (``_replicate_pool``) so the
+        global back-to-front sort interleaves sharded and unsharded
+        entries exactly. Only per-effect raster overrides (a different
+        tile grid cannot share a pass) keep their own passes."""
         return not raster_override
 
     def _scene_render_plan(
@@ -1586,20 +1599,10 @@ class HanabiScene:
             )
         if pipeline in ("auto", "painter"):
             eligible = all(
-                self._painter_ok(
-                    insts[i].asset,
-                    insts[i].textures,
-                    getattr(insts[i], "raster_override", None),
-                    insts[i].fx.mesh is not None,
-                )
+                self._painter_ok(getattr(insts[i], "raster_override", None))
                 for i in vis_idx
             ) and all(
-                self._painter_ok(
-                    groups[gi]["asset"],
-                    groups[gi]["textures"],
-                    groups[gi].get("raster_override"),
-                    groups[gi].get("sharded"),
-                )
+                self._painter_ok(groups[gi].get("raster_override"))
                 for gi in vis_groups
             )
             if pipeline == "painter" and not eligible:
@@ -1723,7 +1726,9 @@ class HanabiScene:
             tuple(
                 (
                     n,
-                    insts[i].asset.signature(),
+                    # compile_signature: live spawner edits must not churn
+                    # the whole-scene jit cache (counts are runtime inputs)
+                    insts[i].asset.compile_signature(),
                     int(insts[i].pool.alive.shape[-1]),
                     index.get(insts[i].parent),
                     insts[i].child_channel,
@@ -1735,7 +1740,7 @@ class HanabiScene:
             tuple(
                 (
                     g,
-                    groups[gi]["asset"].signature(),
+                    groups[gi]["asset"].compile_signature(),
                     groups[gi]["fx"].num_instances,
                     tuple(
                         sorted(
@@ -2239,14 +2244,14 @@ class HanabiScene:
         key = (
             "views",
             tuple(
-                (n, insts[i].asset.signature(),
+                (n, insts[i].asset.compile_signature(),
                  int(insts[i].pool.alive.shape[-1]),
                  tuple(sorted((insts[i].raster_override or {}).items())),
                  _texture_key(insts[i].textures))
                 for i, n in enumerate(names)
             ),
             tuple(
-                (g, groups[gi]["asset"].signature(),
+                (g, groups[gi]["asset"].compile_signature(),
                  groups[gi]["fx"].num_instances,
                  tuple(
                      sorted(
@@ -2444,17 +2449,8 @@ class HanabiScene:
                 pool = inst.pool
                 if inst.fx.mesh is not None:
                     # gather-mode semantics for sharded instances: replicate
-                    # the pool (one all_gather over ICI), then rasterize the
-                    # identical single-device algorithm — bit-exact with the
-                    # unsharded render, where leaving the pool sharded lets
-                    # GSPMD repartition the raster sort and break depth ties
-                    # differently under the per-tile blend budget.
-                    import jax as _jax
-                    from jax.sharding import NamedSharding, PartitionSpec
-
-                    pool = _jax.device_put(
-                        pool, NamedSharding(inst.fx.mesh, PartitionSpec())
-                    )
+                    # then rasterize — bit-exact with the unsharded render
+                    pool = _replicate_pool(pool, inst.fx.mesh)
                 return ensure_renderer(inst).render(
                     pool,
                     camera,
@@ -2560,7 +2556,7 @@ class HanabiScene:
         from ..render.raster import rasterize
 
         key = (
-            tuple(i.asset.signature() for i in insts),
+            tuple(i.asset.compile_signature() for i in insts),
             tuple(int(i.pool.alive.shape[-1]) for i in insts),
             alpha_kind,
             config,
@@ -2660,9 +2656,9 @@ class HanabiScene:
         eff_texs, g_texs = _texs[: len(insts)], _texs[len(insts):]
         key = (
             "painter",
-            tuple(i.asset.signature() for i in insts),
+            tuple(i.asset.compile_signature() for i in insts),
             tuple(int(i.pool.alive.shape[-1]) for i in insts),
-            tuple(g["asset"].signature() for g in groups),
+            tuple(g["asset"].compile_signature() for g in groups),
             tuple(g["fx"].num_instances for g in groups),
             # keyed on the ORIGINAL texture objects (eff_texs/g_texs are
             # fresh conversions every call, so their ids don't identify)
@@ -2733,18 +2729,12 @@ class HanabiScene:
 
         def eff_pool(inst):
             # sharded single instances join the painter with gather
-            # semantics: replicate first (one all_gather over ICI) so the
-            # global sort sees the identical single-device entry order —
-            # bit-exact with the unsharded painter (same rationale as
+            # semantics: replicate first so the global sort sees the
+            # identical single-device entry order (same rationale as
             # _group_flat_pool and the split-path sharded-instance render)
             if inst.fx.mesh is None:
                 return inst.pool
-            import jax as _jax
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            return _jax.device_put(
-                inst.pool, NamedSharding(inst.fx.mesh, PartitionSpec())
-            )
+            return _replicate_pool(inst.pool, inst.fx.mesh)
 
         return fn(
             tuple(eff_pool(i) for i in insts),

@@ -170,7 +170,17 @@ class EffectSpawner:
         sampled values are discarded so the new settings take effect at
         the next tick instead of after the old cycle drains. (The
         reference keeps EffectSpawner state across compile_effects too —
-        the component outlives asset edits.)"""
+        the component outlives asset edits.)
+
+        Exception: a FOREVER spawner's completed-cycle tally (one per
+        elapsed period) is meaningless under a finite schedule — carrying
+        it over would leave e.g. a rate→once edit permanently spent — so
+        crossing forever→finite restarts the cycle count per the new
+        settings' emit_on_start, exactly as construction would."""
+        if self.settings.is_forever() and not settings.is_forever():
+            self.completed_cycle_count = (
+                0 if settings.emit_on_start else settings.cycle_count
+            )
         self.settings = settings
         self.cycle_time = 0.0
         self.sampled_period = 0.0

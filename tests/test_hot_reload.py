@@ -282,3 +282,92 @@ def test_apply_asset_changes_returns_names():
     asset.update_modifiers[-1] = AccelModifier(w.lit((0.0, -9.0, 0.0)).expr())
     assert scene.apply_asset_changes() == ["fx"]
     assert scene.apply_asset_changes() == []
+
+
+def test_capacity_override_retired_by_asset_capacity_edit():
+    """An asset-capacity edit wins AND retires the add()-time capacity
+    override: a later unrelated edit must keep the edited capacity (the
+    stale override used to resurrect, resetting the pool to the old
+    capacity and killing every live particle)."""
+    asset, w = gravity_asset(capacity=64)
+    asset.spawner = SpawnerSettings.rate(240.0)  # keeps refilling post-reset
+    scene = HanabiScene()
+    scene.add(asset, "fx", capacity=1024)
+    scene.update(DT)
+    assert scene["fx"].pool.capacity == 1024
+    asset.capacity = 128
+    scene.update(DT)
+    assert scene["fx"].pool.capacity == 128
+    scene.update(DT)  # respawn into the 128 pool
+    alive_before = scene["fx"].alive_count()
+    assert alive_before > 0
+    # unrelated modifier edit: capacity must stay 128, pool must be kept
+    asset.update_modifiers[-1] = AccelModifier(w.lit((0.0, -9.0, 0.0)).expr())
+    scene.update(DT)
+    assert scene["fx"].pool.capacity == 128
+    assert scene["fx"].alive_count() >= alive_before
+
+
+def test_group_capacity_override_retired_by_asset_capacity_edit():
+    """Same stale-override hazard on the group path."""
+    asset, w = gravity_asset(capacity=64, once=2.0)
+    scene = HanabiScene()
+    scene.add_group(asset, count=2, name="grp", capacity=256)
+    scene.update(DT)
+    assert int(scene._groups["grp"]["pools"].alive.shape[-1]) == 256
+    asset.capacity = 32
+    scene.update(DT)
+    assert int(scene._groups["grp"]["pools"].alive.shape[-1]) == 32
+    asset.update_modifiers[-1] = AccelModifier(w.lit((0.0, -9.0, 0.0)).expr())
+    scene.update(DT)
+    assert int(scene._groups["grp"]["pools"].alive.shape[-1]) == 32
+
+
+def test_spawner_edit_forever_to_finite_fires():
+    """Hot-editing a forever (rate) spawner into a finite (once) one must
+    fire the burst: the forever spawner's completed-cycle tally is
+    meaningless under the finite schedule and used to leave it
+    permanently spent."""
+    asset, _ = gravity_asset(capacity=256)
+    asset.spawner = SpawnerSettings.rate(60.0)
+    scene = HanabiScene()
+    scene.add(asset, "fx")
+    for _ in range(5):  # rack up completed rate cycles
+        scene.update(DT)
+    before = scene["fx"].alive_count()
+    asset.spawner = SpawnerSettings.once(16.0)
+    scene.update(DT)
+    after = scene["fx"].alive_count()
+    # the burst fired (+16, plus at most the carried-over fractional
+    # remainder from the rate cycles — documented retarget semantics)
+    assert before + 16 <= after <= before + 17
+    scene.update(DT)
+    assert scene["fx"].alive_count() == after  # once = one cycle, then spent
+
+
+def test_spawner_edit_does_not_churn_render_jit_cache():
+    """Live spawner edits retarget host-side state only: the compiled
+    executables can't depend on spawner settings (counts are runtime
+    StepInputs), so the signature-keyed render/chunk jit caches must keep
+    hitting — churn here means a multi-second whole-scene re-trace per
+    editor rate-slider tweak plus a stranded stale executable."""
+    asset, _ = gravity_asset(once=2.0)
+    scene = HanabiScene()
+    scene.add(asset, "fx")
+    scene.update(DT)
+    cam = CameraParams(
+        view=look_at((0.0, 0.0, 4.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0)),
+        proj=orthographic(-2.0, 2.0, -2.0, 2.0, 0.1, 50.0),
+        viewport=(32, 32),
+    )
+    scene.render(cam)
+    scene.update_render_chunk(2, DT, cam)
+    n_render = len(scene._batch_render_jit)
+    n_chunk = len(scene._scene_chunk_jit)
+    assert n_chunk > 0
+    asset.spawner = SpawnerSettings.rate(30.0)
+    scene.update(DT)
+    scene.render(cam)
+    scene.update_render_chunk(2, DT, cam)
+    assert len(scene._batch_render_jit) == n_render
+    assert len(scene._scene_chunk_jit) == n_chunk
