@@ -144,6 +144,14 @@ class HanabiScene:
         # set once update(dt, cameras=...) is used: the scene is
         # camera-driven, so WhenVisible entities join render culling too
         self._frustum_sim = False
+        # render_culling: tri-state override of that latch for RENDER
+        # culling of WhenVisible entities. None (default) = latch-driven
+        # (camera-driven scenes cull, eager-rendered scenes don't — the
+        # per-render AABB dispatch+readback costs ≈ a tunnel round-trip
+        # that scenes not using visibility never asked for); True = always
+        # cull (an eager render loop opting into reference-parity per-view
+        # culling, render/mod.rs:5580-5600); False = never render-cull.
+        self.render_culling: Optional[bool] = None
         # Debug capture knobs (≈ DebugSettings resource, render/mod.rs:2425)
         from ..utils.profiling import DebugSettings
 
@@ -691,12 +699,18 @@ class HanabiScene:
         WhenVisible and unconditional render culling would tax every
         eager render with an AABB dispatch + readback (≈ a tunnel
         round-trip on axon) that scenes not using visibility never asked
-        for."""
+        for. ``scene.render_culling = True/False`` overrides that latch
+        either way."""
         from ..render.camera import aabb_in_frustum, frustum_planes
 
         cameras = list(cameras)
         if not cameras:
             return set()
+        render_cull = (
+            self._frustum_sim
+            if self.render_culling is None
+            else self.render_culling
+        )
 
         def participates(asset, pad):
             if pad is not None:
@@ -704,7 +718,7 @@ class HanabiScene:
             return (
                 asset.simulation_condition
                 is SimulationCondition.WHEN_VISIBLE
-                and (not for_render or self._frustum_sim)
+                and (not for_render or render_cull)
             )
 
         names = {
@@ -744,13 +758,19 @@ class HanabiScene:
         planes = [frustum_planes(c) for c in cameras]
         aabbs = self._refresh_aabbs()
 
+        render_cull = (
+            self._frustum_sim
+            if self.render_culling is None
+            else self.render_culling
+        )
+
         def participates(asset, pad):
             if pad is not None:
                 return True
             return (
                 asset.simulation_condition
                 is SimulationCondition.WHEN_VISIBLE
-                and self._frustum_sim
+                and render_cull
             )
 
         def row(name, asset, pad):
